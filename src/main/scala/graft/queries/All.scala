@@ -1,0 +1,9 @@
+package graft.queries
+
+import graft.QueryDef
+
+/** Every query catalog, in SURVEY.md §2 coverage order. */
+object All {
+  def queries: Seq[QueryDef] =
+    Relational.queries
+}

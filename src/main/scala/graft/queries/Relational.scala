@@ -1,0 +1,276 @@
+package graft.queries
+
+import graft.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator coverage (SURVEY.md §2.2-§2.6): scans, filters,
+  * projections, every join flavor the reference uses (inner, full/left
+  * outer, left semi, left anti), aggregation, set ops, dedup, explode,
+  * window functions.
+  *
+  * All joins here are declarative DataFrame joins — Catalyst/AQE picks
+  * broadcast vs shuffle; dimension tables (region/nation/supplier/part)
+  * are small enough that AQE broadcasts them automatically at any SF.
+  */
+object Relational {
+  import Exact._
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Seq[QueryDef] = Seq(
+    // ---- A: aggregation over a filtered scan (TPC-H Q1 shape). Filter +
+    // column pruning push into the parquet scan; partial aggregation is
+    // map-side so the shuffle carries one row per (flag,status) group.
+    QueryDef(
+      "q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dmul(col("l_extendedprice"), lit(1) - col("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // ---- inner joins through two dimensions; nation is broadcast by AQE.
+    QueryDef(
+      "q02_revenue_by_nation",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS num_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          dsum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("num_orders"))
+    },
+
+    // ---- left semi join (SURVEY J9 shape).
+    QueryDef(
+      "q03_semi_join",
+      """SELECT c_mktsegment, COUNT(*) AS num_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(
+          t(s, dir, "orders").filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("num_customers"))
+    },
+
+    // ---- left anti join (SURVEY J8 shape).
+    QueryDef(
+      "q04_anti_join",
+      """SELECT c_nationkey, COUNT(*) AS num_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("num_customers"))
+    },
+
+    // ---- left outer join + two-level aggregation (TPC-H Q13 shape;
+    // null-aware count of the outer side).
+    QueryDef(
+      "q05_outer_histogram",
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY c_custkey
+        |) GROUP BY c_count""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"),
+          "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+
+    // ---- tight filter conjunction over one table (TPC-H Q6 shape).
+    // All four predicates push down to the parquet reader.
+    QueryDef(
+      "q06_filtered_revenue",
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .filter(col("l_discount") >= 0.03 && col("l_discount") <= 0.07)
+        .filter(col("l_quantity") < 24)
+        .agg(
+          sum(dmul(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // ---- union + distinct (SURVEY U1/P5).
+    QueryDef(
+      "q07_union_distinct",
+      """SELECT DISTINCT k FROM (
+        |  SELECT o_custkey AS k FROM orders
+        |  UNION ALL SELECT c_custkey FROM customer)""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").select(col("o_custkey").as("k"))
+        .union(t(s, dir, "customer").select(col("c_custkey").as("k")))
+        .distinct()
+    },
+
+    // ---- except (set difference).
+    QueryDef(
+      "q08_except",
+      "SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders") {
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_custkey").as("k"))
+          .except(t(s, dir, "orders").select(col("o_custkey").as("k")))
+    },
+
+    // ---- window function: top-3 per group with a deterministic
+    // tie-break. row_number cast to long to match DuckDB's BIGINT.
+    QueryDef(
+      "q09_topk_per_segment",
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+    },
+
+    // ---- explode/unnest a computed array (SURVEY §2.7 explode).
+    QueryDef(
+      "q10_explode_words",
+      """SELECT word, COUNT(*) AS cnt FROM (
+        |  SELECT UNNEST(string_split(p_name, ' ')) AS word FROM part)
+        |GROUP BY word""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    // ---- conditional aggregation (sum(case when), SURVEY A3 shape).
+    QueryDef(
+      "q11_conditional_agg",
+      """SELECT o_orderpriority, COUNT(*) AS total,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS finished_ratio
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val fin = sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("total"),
+          fin.as("finished"),
+          (fin.cast("double") / count(lit(1))).as("finished_ratio"))
+    },
+
+    // ---- time bucketing over the events table (batch equivalent of a
+    // tumbling-window streaming aggregation).
+    QueryDef(
+      "q12_events_daily",
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("value")).as("total_value"))
+    },
+
+    // ---- 3-way join fact-to-dims (SURVEY J1/J2 shape at scale: the
+    // lineitem-orders join shuffles on orderkey; customer joins via the
+    // already-shuffled orders side).
+    QueryDef(
+      "q13_segment_returnflag",
+      """SELECT c_mktsegment, l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment, l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("l_returnflag"))
+        .agg(dsum(col("l_extendedprice")).as("rev"), count(lit(1)).as("n"))
+    },
+
+    // ---- collect_set equivalent with deterministic ordering (SURVEY A1:
+    // the neighbor-aggregation shape used all over the reference).
+    QueryDef(
+      "q14_collect_sorted_set",
+      """SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments,
+        |  COUNT(DISTINCT c_mktsegment) AS num_segments
+        |FROM customer GROUP BY c_nationkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+          countDistinct(col("c_mktsegment")).as("num_segments"))
+    },
+
+    // ---- full outer join with coalesced keys (SURVEY J3 shape: the
+    // neighbors-x-vertices full join that backfills isolated vertices).
+    QueryDef(
+      "q15_full_outer",
+      """SELECT COALESCE(s.k, c.k) AS nationkey,
+        |  COALESCE(n_suppliers, 0) AS n_suppliers,
+        |  COALESCE(n_customers, 0) AS n_customers
+        |FROM (SELECT s_nationkey AS k, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1) s
+        |FULL OUTER JOIN (SELECT c_nationkey AS k, COUNT(*) AS n_customers FROM customer GROUP BY 1) c
+        |ON s.k = c.k""".stripMargin) { (s, dir) =>
+      val sup = t(s, dir, "supplier").groupBy(col("s_nationkey").as("sk"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      val cust = t(s, dir, "customer").groupBy(col("c_nationkey").as("ck"))
+        .agg(count(lit(1)).as("n_customers"))
+      sup.join(cust, col("sk") === col("ck"), "full_outer")
+        .select(
+          coalesce(col("sk"), col("ck")).as("nationkey"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"))
+    }
+  )
+}
