@@ -20,11 +20,15 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     if (name == "events") {
+      // Set once per session in practice; kept idempotent here so ad-hoc
+      // loads outside Bench/Verify still work.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(path)
+      // Integer division: double division of epoch nanos (~1.7e18) loses
+      // sub-microsecond exactness past 2^53 (ADVICE round 1).
       raw.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
     } else spark.read.parquet(path)
   }
 

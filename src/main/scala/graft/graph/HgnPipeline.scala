@@ -1,0 +1,109 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HGN algorithm parameters — the reference's `run_options` YAML section
+  * (`confs/quakers.yml:58-65`, `configuration/yml_schema.json`).
+  */
+final case class HgnParams(
+    featureMinAvg: Double = 0.33,
+    rLvl1Thres: Double = 0.50,
+    rLvl2Thres: Double = 0.85,
+    maxEdgeWeight: Double = 0.50,
+    betweennessThres: Double = 10.0,
+    maxSpLength: Int = 2,
+    maxSteps: Int = 30,
+    minCompSize: Int = 10)
+
+/** The HGN main loop (SURVEY §2.9 G8): iteration =
+  * r-metrics → edge weights → edges-to-delete → anti-join deletion →
+  * drop isolated vertices, until convergence — `main.py:144-213`.
+  */
+object HgnPipeline {
+
+  /** Edges to delete, given weights and betweenness — `get_edges_to_delete`
+    * (`main.py:115-141`): join edge_weights against the betweenness table
+    * on its STRUCT column in both orientations (J7), union, then the
+    * compound predicate (P4)
+    *   `weight < maxW  OR  (weight >= maxW AND betweenness > bThres)`.
+    * No dedup — an edge matching in both orientations appears twice, as in
+    * the reference (harmless: deletion is an anti-join).
+    */
+  def edgesToDelete(
+      edgeWeights: DataFrame,
+      betweenness: DataFrame, // (edges: struct<src,dst>, betweenness)
+      maxEdgeWeight: Double,
+      betweennessThres: Double): DataFrame = {
+    val fwd = edgeWeights.join(betweenness,
+      edgeWeights("src") === betweenness("edges.src") &&
+      edgeWeights("dst") === betweenness("edges.dst"))
+    val rev = edgeWeights.join(betweenness,
+      edgeWeights("src") === betweenness("edges.dst") &&
+      edgeWeights("dst") === betweenness("edges.src"))
+    fwd.union(rev)
+      .filter(col("edge_weight") < maxEdgeWeight ||
+        (col("edge_weight") >= maxEdgeWeight && col("betweenness") > betweennessThres))
+      .select("src", "dst")
+  }
+
+  /** Remove `toDelete` edges in either orientation (double left-anti, J8,
+    * `main.py:201-206`) and re-add every keepit == true edge (line 207;
+    * the union can reintroduce an edge listed for deletion — reference
+    * semantics, kept).
+    */
+  def deleteEdges(g: PropertyGraph, toDelete: DataFrame, edgesR: DataFrame): PropertyGraph = {
+    val del = toDelete.select(col("src").as("d_src"), col("dst").as("d_dst"))
+    val kept = g.edges
+      .join(del, col("src") === col("d_src") && col("dst") === col("d_dst"), "left_anti")
+      .join(del, col("src") === col("d_dst") && col("dst") === col("d_src"), "left_anti")
+      .select("src", "dst")
+      .union(edgesR.filter(col("keepit")).select("src", "dst"))
+    PropertyGraph(g.vertices, kept).dropIsolatedVertices
+  }
+
+  /** One main-loop iteration (`main.py:172-208`). Returns the next graph
+    * and the number of edges selected for deletion (the loop-exit signal).
+    */
+  def iterate(
+      g: PropertyGraph,
+      similarities: DataFrame,
+      betweenness: DataFrame,
+      params: HgnParams): (PropertyGraph, Long) = {
+    val edgesR = RMetrics.run(g, params.rLvl1Thres, params.rLvl2Thres)
+      .localCheckpoint() // lineage cut, replacing the reference's parquet
+                         // round-trips (`spark_manager.py:215-231`, SURVEY §7.1)
+    val weights = EdgeWeights.run(edgesR, similarities, params.featureMinAvg)
+    val toDelete = edgesToDelete(
+      weights, betweenness, params.maxEdgeWeight, params.betweennessThres)
+      .localCheckpoint()
+    val n = toDelete.count()
+    if (n == 0) (g, 0L)
+    else (deleteEdges(g, toDelete, edgesR), n)
+  }
+
+  /** Full run: betweenness init once, then iterate to convergence or
+    * `maxSteps` (`main.py:144-213`, exit condition lines 196-198).
+    * `similarities` is the per-edge similarity table from the init step
+    * (cosine over encoded features — [[graft.ml.DummyVectors]] +
+    * [[graft.ml.Cosine]] — or any user-supplied `(src, dst, similarity)`).
+    */
+  def run(
+      initial: PropertyGraph,
+      similarities: DataFrame,
+      params: HgnParams)(implicit spark: SparkSession): PropertyGraph = {
+    val betweenness = Betweenness.run(initial, params.maxSpLength).localCheckpoint()
+    var g = PropertyGraph(
+      initial.vertices.localCheckpoint(), initial.edges.localCheckpoint())
+    var step = 0
+    var converged = false
+    while (!converged && step < params.maxSteps) {
+      step += 1
+      val (next, deleted) = iterate(g, similarities, betweenness, params)
+      if (deleted == 0) converged = true
+      else g = PropertyGraph(
+        next.vertices.localCheckpoint(), next.edges.localCheckpoint())
+    }
+    g
+  }
+}

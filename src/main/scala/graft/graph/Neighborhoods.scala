@@ -1,0 +1,58 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Level-1 / level-2 neighborhood scan (SURVEY §2.9 G6), matching the
+  * reference's `find_neighbors` (`graph_tools/graph_tools.py:328-370`):
+  *
+  *   - level 1: direct neighbors over the symmetrized edges;
+  *   - level 2: neighbors-of-neighbors UNIONED with level 1
+  *     (`graph_tools/graph_tools.py:346-350`), i.e. "within ≤2 hops";
+  *   - self excluded (`filter("id != dst")`), sets deduped;
+  *   - every vertex appears in the result: a full outer join against the
+  *     vertex table backfills isolated vertices with `count = 0` and an
+  *     empty neighbor array (`graph_tools/graph_tools.py:360-364`,
+  *     SURVEY J3/P6).
+  *
+  * The reference enumerated hops with GraphFrames motifs; here each hop is
+  * one self-join of the adjacency DataFrame — same result, plain Catalyst
+  * joins (shuffle on the join key; at scale AQE handles skew). Level-2
+  * fan-out is O(sum of squared degrees): fine for the HGN-style graphs
+  * this targets, and the join is still fully distributed.
+  */
+object Neighborhoods {
+
+  /** Neighbor pairs `(id, nb)` within ≤ `level` hops, distinct,
+    * self-excluded. `level` must be 1 or 2.
+    */
+  def neighborPairs(g: PropertyGraph, level: Int): DataFrame = {
+    require(level == 1 || level == 2, s"level must be 1 or 2, got $level")
+    val adj = g.adjacency // (src, dst), distinct, no self-loops
+    val lvl1 = adj.select(col("src").as("id"), col("dst").as("nb"))
+    val pairs = level match {
+      case 1 => lvl1
+      case 2 =>
+        val hop2 = adj.select(col("src").as("id"), col("dst").as("mid"))
+          .join(adj.select(col("src").as("mid"), col("dst").as("nb")), Seq("mid"))
+          .select(col("id"), col("nb"))
+        hop2.unionByName(lvl1) // lvl-2 includes lvl-1 (reference line 349-350)
+    }
+    pairs.filter(col("id") =!= col("nb")).distinct()
+  }
+
+  /** Per-vertex neighbor set + degree with isolated-vertex backfill:
+    * `(id, count, neighbors)` for EVERY vertex of `g`.
+    */
+  def neighbors(g: PropertyGraph, level: Int): DataFrame = {
+    val agged = neighborPairs(g, level)
+      .groupBy("id")
+      .agg(collect_set(col("nb")).as("nbs"), count(lit(1)).as("cnt"))
+    g.vertices.select("id")
+      .join(agged, Seq("id"), "full")
+      .select(
+        col("id"),
+        coalesce(col("cnt"), lit(0L)).as("count"),
+        coalesce(col("nbs"), array().cast("array<bigint>")).as("neighbors"))
+  }
+}

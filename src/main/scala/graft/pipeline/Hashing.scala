@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, cross-engine hashing for the data-pipeline operators.
+  *
+  * Everything downstream (MinHash signatures, SimHash bits, fingerprints)
+  * needs a hash that the DuckDB oracle can reproduce bit-for-bit in SQL.
+  * `xxhash64`/`hash` are Spark-private; instead we take the first 15 hex
+  * chars (60 bits, always < 2^60 so it fits a signed long) of the md5 hex
+  * digest — md5 is identical everywhere.
+  *
+  *   Spark : conv(substr(md5(x), 1, 15), 16, 10) :: long
+  *   DuckDB: CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)
+  */
+object Hashing {
+
+  /** 60-bit hash of a string column. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB SQL fragment computing the same value. */
+  def sqlH60(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** Same 60-bit hash computed driver/executor-side in Scala (used by the
+    * multimodal mapPartitions stub; must agree with [[h60]]).
+    */
+  def h60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // First 15 hex chars = first 7 bytes + the high nibble of byte 8.
+    val hex = d.take(8).map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Universal-hash family over 60-bit inputs, h_i(x) = (a_i*(x mod M) + b_i)
+    * mod P with M prime < 2^20 and P = 2^31-1: products stay < 2^62, so the
+    * arithmetic is exact in BIGINT on both engines.
+    */
+  val M: Long = 1048573L
+  val P: Long = 2147483647L
+  def hashA(i: Int): Long = 37L + 2L * i
+  def hashB(i: Int): Long = 10007L * i + 17L
+
+  def universal(i: Int, x: Column): Column =
+    (lit(hashA(i)) * (x % M) + lit(hashB(i))) % P
+
+  def sqlUniversal(i: Int, xExpr: String): String =
+    s"((${hashA(i)} * ($xExpr % $M) + ${hashB(i)}) % $P)"
+}

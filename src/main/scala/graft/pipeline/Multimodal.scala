@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as opaque
+  * `binary` columns plus typed metadata, and run decode/feature-extract as
+  * a batched per-partition pass.
+  *
+  * This is the Scala analog of the Python-side `mapInPandas` pattern: a
+  * `Dataset.mapPartitions` over a case-class row, so the expensive decoder
+  * is invoked once per JVM partition with an iterator of rows (amortizing
+  * model/codec setup), the output schema is fixed by an `Encoder`, and the
+  * partitioning of the input carries through untouched — no shuffle is
+  * introduced by decode.
+  *
+  * ENVIRONMENT STUB: this container has no image/audio codecs, so
+  * [[FakeDecoder.decode]] derives deterministic pseudo-metadata from the
+  * payload hash. The Spark-side plumbing — binary column, schema, batch
+  * iteration, partition preservation — is real and oracle-tested (the
+  * fake is reproducible in DuckDB SQL precisely so the plumbing can be
+  * hash-verified end to end). Swapping in a real codec changes only the
+  * body of `decode`.
+  */
+object Multimodal {
+
+  /** A multimodal asset row: opaque payload + source metadata. */
+  final case class Asset(asset_id: Long, payload: Array[Byte], media_type: String)
+
+  /** Decoded feature row (what a real image decode would yield: geometry +
+    * a compact feature value).
+    */
+  final case class DecodedAsset(
+      asset_id: Long, n_bytes: Long, width: Long, height: Long, feature: Long)
+
+  /** Deterministic stand-in for the codec. Must agree with
+    * [[sqlDecodeFragment]] so the oracle can verify the pipeline.
+    */
+  object FakeDecoder {
+    def decode(a: Asset): DecodedAsset = {
+      val h = Hashing.h60(a.asset_id.toString)
+      DecodedAsset(
+        asset_id = a.asset_id,
+        n_bytes = a.payload.length.toLong,
+        width = 32L + h % 224L,
+        height = 32L + (h / 224L) % 224L,
+        feature = h % 1000003L)
+    }
+  }
+
+  /** Build an asset table from a documents-like table: the text payload
+    * re-encoded as binary stands in for the media payload.
+    */
+  def assetsFromDocuments(docs: DataFrame): Dataset[Asset] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("asset_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit("text/plain").as("media_type"))
+      .as[Asset]
+  }
+
+  /** The decode pass: one decoder instantiation per partition, streaming
+    * batches through it (mapInPandas batch shape; here the "batch" is the
+    * partition iterator, which Spark feeds incrementally — constant
+    * memory).
+    */
+  def decodeAssets(assets: Dataset[Asset]): Dataset[DecodedAsset] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { rows =>
+      // Per-partition setup would construct the real codec here, once.
+      rows.map(FakeDecoder.decode)
+    }
+  }
+
+  /** DuckDB SQL computing [[FakeDecoder.decode]]'s output from the same
+    * source table (for the oracle): `idExpr`/`textExpr` are column exprs.
+    */
+  def sqlDecodeFragment(idExpr: String, textExpr: String): String = {
+    val h = Hashing.sqlH60(s"CAST($idExpr AS VARCHAR)")
+    s"""SELECT $idExpr AS asset_id,
+       |  CAST(octet_length(encode($textExpr)) AS BIGINT) AS n_bytes,
+       |  32 + $h % 224 AS width,
+       |  32 + ($h // 224) % 224 AS height,
+       |  $h % 1000003 AS feature""".stripMargin
+  }
+}

@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over a `documents`
+  * corpus: token counting, quality scoring, language-ID heuristic, and
+  * content fingerprinting. All pure built-in/higher-order expressions —
+  * no UDFs, so the whole stage stays in whole-stage codegen and is a
+  * narrow map over the corpus (embarrassingly parallel at 100 TB; the only
+  * shuffle anywhere downstream is whatever aggregation the caller adds).
+  *
+  * Every function here is deliberately DuckDB-expressible so the driver's
+  * oracle can hash-match results (see
+  * [[graft.queries.PipelineQueries]]).
+  */
+object TextAnalysis {
+
+  /** Small English function-word set for the language-ID / stopword-ratio
+    * heuristics. Deterministic and tiny by design: real language ID would
+    * ship per-language n-gram tables; the heuristic's *shape* (token-set
+    * scoring, ratio thresholds) is what matters at the engine level.
+    */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "from", "or", "be", "are")
+
+  /** Whitespace tokens of lowered text. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword token count: alphanumeric runs plus individual
+    * non-alphanumeric, non-space symbols (the classic pre-tokenizer
+    * regex, counted rather than materialized).
+    */
+  val SubwordPattern = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit(SubwordPattern)).cast("long")
+
+  /** Number of tokens that are English stopwords. */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), w => w.isInCollection(EnglishStopwords))).cast("long")
+
+  /** Stopword ratio in [0,1]; 0 for empty docs. */
+  def stopwordRatio(text: Column): Column =
+    when(tokenCount(text) > 0,
+      stopwordCount(text).cast("double") / tokenCount(text).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Mean token length (chars), 0 for empty docs. */
+  def meanTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n > 0,
+      aggregate(tokens(text), lit(0L), (acc, w) => acc + length(w)).cast("double")
+        / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Quality gate: length in range, plausible mean word length, some
+    * English function words — the standard cheap pre-filter shape for a
+    * web-scale corpus (each clause is one scan-local comparison).
+    */
+  def qualityOk(
+      text: Column,
+      minTokens: Long = 5L,
+      maxTokens: Long = 100000L,
+      maxMeanTokenLen: Double = 15.0,
+      minStopwordRatio: Double = 0.01): Column =
+    tokenCount(text).between(minTokens, maxTokens) &&
+      meanTokenLen(text) <= maxMeanTokenLen &&
+      stopwordRatio(text) >= minStopwordRatio
+
+  /** Language-ID heuristic: English if the function-word ratio clears the
+    * threshold, else undetermined.
+    */
+  def languageId(text: Column, enThreshold: Double = 0.04): Column =
+    when(stopwordRatio(text) >= enThreshold, lit("en")).otherwise(lit("und"))
+
+  /** Whole-document fingerprint: 60-bit hash of the lowered text. */
+  def docFingerprint(text: Column): Column = Hashing.h60(lower(text))
+
+  /** Content fingerprint robust to local edits: minimum 60-bit hash over
+    * the word `n`-shingles (a 1-perm MinHash). Equal fingerprints ⇒ the
+    * docs share their minimizing shingle.
+    */
+  def shingleFingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(Shingles.wordShingles(tokens(text), n), s => Hashing.h60(s)))
+}
+
+/** Word n-gram shingling shared by fingerprinting and the dedup family. */
+object Shingles {
+
+  /** Distinct space-joined word `n`-grams of a token array; whole doc as
+    * one shingle when shorter than `n`.
+    */
+  def wordShingles(tokens: Column, n: Int): Column = {
+    require(n >= 1)
+    val grams = transform(
+      sequence(lit(1), greatest(size(tokens) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(tokens, i, lit(n))))
+    array_distinct(grams)
+  }
+
+  /** DuckDB fragment computing the same shingle list from a token-list
+    * expression (1-based list slicing mirrors Spark's `slice`).
+    */
+  def sqlWordShingles(tokensExpr: String, n: Int): String =
+    s"""list_distinct(list_transform(
+       |  range(1, greatest(len($tokensExpr) - ${n - 1}, 1) + 1),
+       |  i -> array_to_string(list_slice($tokensExpr, i, i + ${n - 1}), ' ')))""".stripMargin
+}

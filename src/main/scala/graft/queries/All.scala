@@ -5,5 +5,5 @@ import graft.QueryDef
 /** Every query catalog, in SURVEY.md §2 coverage order. */
 object All {
   def queries: Seq[QueryDef] =
-    Relational.queries
+    Relational.queries ++ GraphQueries.queries ++ PipelineQueries.queries
 }

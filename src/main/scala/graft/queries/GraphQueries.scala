@@ -1,0 +1,365 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph._
+import graft.ml.Cosine
+
+/** Oracle-checked coverage of the HGN graph operator family (SURVEY §2.9
+  * G1-G8 plus the join/agg shapes J2-J9, A1-A4, F2-F5) over a graph DERIVED
+  * from the driver's parquet test data, so every operator gets a DuckDB
+  * oracle (VERDICT round 1, "Next round" items 1-5).
+  *
+  * Derived graph: vertices = `part`; an edge connects two parts that
+  * co-occur in some order, restricted to pairs in the same `l_partkey % 10`
+  * class. The restriction (a) keeps the 2-hop oracle SQL tractable in
+  * DuckDB at sf0.01 and (b) guarantees ≥10 connected components so the
+  * community queries are non-trivial. Edge "similarity" is the closed form
+  * of cosine over one-hot feature encodings: the fraction of matching part
+  * features ([[Cosine.featureMatchRatio]]) — same semantic as the
+  * reference's dummy-vector cosine (`graph_tools/graph_tools.py:35-72`),
+  * SQL-expressible.
+  *
+  * Thresholds are chosen so every predicate branch fires on the sf0.01
+  * data (keepit splits 174/11260, edge weights straddle `maxEdgeWeight`,
+  * betweenness straddles `betweennessThres`).
+  */
+object GraphQueries {
+
+  // Algorithm parameters (reference defaults from confs/quakers.yml:58-65
+  // except where the derived graph's distributions need a different split).
+  private val RL1 = 0.5
+  private val RL2 = 0.85
+  private val FMA = 0.3
+  private val MAXW = 0.2
+  private val BTHRES = 16
+  private val MINCOMP = 4
+  private val SUPPORT = 2
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------- Spark side
+
+  /** Co-purchase edges among same-mod-10 parts, canonical src < dst. */
+  def derivedEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("src"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("dst"))
+    a.join(b, Seq("ok"))
+      .filter(col("src") < col("dst") && col("src") % 10 === col("dst") % 10)
+      .select("src", "dst")
+      .distinct()
+  }
+
+  def derivedGraph(s: SparkSession, dir: String): PropertyGraph =
+    PropertyGraph(
+      t(s, dir, "part").select(col("p_partkey").as("id")),
+      derivedEdges(s, dir))
+
+  /** Per-edge similarity: fraction of equal part features (closed-form
+    * one-hot cosine; see [[Cosine.featureMatchRatio]]).
+    */
+  def similarities(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val ps = p.select(col("p_partkey").as("src"), col("p_brand").as("sb"),
+      col("p_type").as("st"), col("p_size").as("ss"))
+    val pd = p.select(col("p_partkey").as("dst"), col("p_brand").as("db"),
+      col("p_type").as("dt"), col("p_size").as("ds"))
+    derivedEdges(s, dir).join(ps, Seq("src")).join(pd, Seq("dst"))
+      .select(col("src"), col("dst"),
+        Cosine.featureMatchRatio(Seq(
+          (col("sb"), col("db")), (col("st"), col("dt")), (col("ss"), col("ds"))))
+          .as("similarity"))
+  }
+
+  /** Co-purchase edges appearing in ≥ SUPPORT distinct orders (a sparser
+    * graph whose components have varied sizes — used by the community
+    * filter query).
+    */
+  def supportEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("src"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("dst"))
+    a.join(b, Seq("ok"))
+      .filter(col("src") < col("dst") && col("src") % 10 === col("dst") % 10)
+      .groupBy("src", "dst")
+      .agg(countDistinct(col("ok")).as("sup"))
+      .filter(col("sup") >= SUPPORT)
+      .select("src", "dst")
+  }
+
+  def supportGraph(s: SparkSession, dir: String): PropertyGraph = {
+    val e = supportEdges(s, dir)
+    val v = e.select(explode(array(col("src"), col("dst"))).as("id")).distinct()
+    PropertyGraph(v, e)
+  }
+
+  // ---------------------------------------------------------------- oracle SQL
+
+  /** Shared DuckDB prelude mirroring the derivations above. */
+  private val EDGES = """
+    |edges AS (
+    |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    |  FROM lineitem a JOIN lineitem b
+    |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    |  WHERE a.l_partkey % 10 = b.l_partkey % 10
+    |),
+    |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+    |n1 AS (SELECT DISTINCT src AS id, dst AS nb FROM sym)""".stripMargin
+
+  private val N2 = """
+    |n2 AS (
+    |  SELECT DISTINCT id, nb FROM (
+    |    SELECT a.id AS id, b.nb AS nb FROM n1 a JOIN n1 b ON a.nb = b.id
+    |    UNION ALL SELECT id, nb FROM n1
+    |  ) WHERE id <> nb
+    |)""".stripMargin
+
+  private val DEGREES = """
+    |d1 AS (SELECT id, count(*) AS c FROM n1 GROUP BY id),
+    |d2 AS (SELECT id, count(*) AS c FROM n2 GROUP BY id)""".stripMargin
+
+  private val COMMON = """
+    |cn1 AS (SELECT e.src, e.dst, count(*) AS c
+    |  FROM edges e JOIN n1 x ON x.id = e.src JOIN n1 y ON y.id = e.dst AND y.nb = x.nb
+    |  WHERE x.nb <> e.src AND x.nb <> e.dst GROUP BY e.src, e.dst),
+    |cn2rows AS (SELECT e.src, e.dst, x.nb
+    |  FROM edges e JOIN n2 x ON x.id = e.src JOIN n2 y ON y.id = e.dst AND y.nb = x.nb
+    |  WHERE x.nb <> e.src AND x.nb <> e.dst),
+    |cn2 AS (SELECT src, dst, count(*) AS c FROM cn2rows GROUP BY src, dst)""".stripMargin
+
+  private val RMETRICS = s"""
+    |rmetrics AS (
+    |  SELECT e.src, e.dst,
+    |    CAST(COALESCE(cn2r.c, 0) AS BIGINT) AS cc2,
+    |    COALESCE(cn1r.c, 0) / CAST(d1s.c AS DOUBLE) AS r11,
+    |    COALESCE(cn1r.c, 0) / CAST(d1d.c AS DOUBLE) AS r12,
+    |    COALESCE(cn2r.c, 0) / CAST(d2s.c AS DOUBLE) AS r21,
+    |    COALESCE(cn2r.c, 0) / CAST(d2d.c AS DOUBLE) AS r22
+    |  FROM edges e
+    |  JOIN d1 d1s ON d1s.id = e.src JOIN d1 d1d ON d1d.id = e.dst
+    |  JOIN d2 d2s ON d2s.id = e.src JOIN d2 d2d ON d2d.id = e.dst
+    |  LEFT JOIN cn1 cn1r ON cn1r.src = e.src AND cn1r.dst = e.dst
+    |  LEFT JOIN cn2 cn2r ON cn2r.src = e.src AND cn2r.dst = e.dst
+    |),
+    |rkeep AS (
+    |  SELECT src, dst, cc2, r11, r12, r21, r22,
+    |    (r11 > $RL1 OR r12 > $RL1 OR r21 > $RL2 OR r22 > $RL2) AS keepit
+    |  FROM rmetrics
+    |)""".stripMargin
+
+  private val SIMS = """
+    |sims AS (
+    |  SELECT e.src, e.dst,
+    |    ((CASE WHEN ps.p_brand = pd.p_brand THEN 1 ELSE 0 END) +
+    |     (CASE WHEN ps.p_type  = pd.p_type  THEN 1 ELSE 0 END) +
+    |     (CASE WHEN ps.p_size  = pd.p_size  THEN 1 ELSE 0 END)) / CAST(3 AS DOUBLE) AS similarity
+    |  FROM edges e JOIN part ps ON ps.p_partkey = e.src JOIN part pd ON pd.p_partkey = e.dst
+    |)""".stripMargin
+
+  private val WEIGHTS = s"""
+    |cne AS (
+    |  SELECT k.src AS nb_src, k.dst AS nb_dst, c.nb AS cn
+    |  FROM (SELECT src, dst FROM rkeep WHERE NOT keepit) k
+    |  JOIN cn2rows c ON c.src = k.src AND c.dst = k.dst
+    |),
+    |simvals AS (
+    |  SELECT DISTINCT a.nb_src AS src, a.nb_dst AS dst, s.similarity
+    |  FROM cne a JOIN sims s ON s.src = a.cn
+    |  JOIN cne b ON b.nb_src = a.nb_src AND b.nb_dst = a.nb_dst AND b.cn = s.dst
+    |),
+    |weights AS (
+    |  SELECT src, dst,
+    |    COUNT(CASE WHEN similarity >= $FMA THEN similarity END) / CAST(COUNT(similarity) AS DOUBLE) AS edge_weight
+    |  FROM simvals GROUP BY src, dst
+    |)""".stripMargin
+
+  // n1's columns are (id, nb) = the distinct symmetrized adjacency:
+  // s1.id -> path start a, s1.nb = s2.id -> the intermediate, s2.nb -> z.
+  private val BTW = """
+    |p2 AS (
+    |  SELECT s1.id AS a, s2.nb AS z, MIN(s1.nb) AS m
+    |  FROM n1 s1 JOIN n1 s2 ON s1.nb = s2.id
+    |  WHERE s1.id <> s2.nb
+    |    AND NOT EXISTS (SELECT 1 FROM n1 e WHERE e.id = s1.id AND e.nb = s2.nb)
+    |  GROUP BY s1.id, s2.nb
+    |),
+    |pathedges AS (
+    |  SELECT id AS src, nb AS dst FROM n1
+    |  UNION ALL SELECT a AS src, m AS dst FROM p2
+    |  UNION ALL SELECT m AS src, z AS dst FROM p2
+    |),
+    |btw AS (SELECT src, dst, count(*) AS betweenness FROM pathedges GROUP BY src, dst)""".stripMargin
+
+  private val SUPEDGES = s"""
+    |sedges AS (
+    |  SELECT src, dst FROM (
+    |    SELECT a.l_partkey AS src, b.l_partkey AS dst, count(DISTINCT a.l_orderkey) AS sup
+    |    FROM lineitem a JOIN lineitem b
+    |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    |    WHERE a.l_partkey % 10 = b.l_partkey % 10
+    |    GROUP BY 1, 2) WHERE sup >= $SUPPORT
+    |),
+    |ssym AS (SELECT src, dst FROM sedges UNION ALL SELECT dst AS src, src AS dst FROM sedges)""".stripMargin
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ---- G1 + scans: the derived edge table itself (also pins down the
+    // graph every other query builds on).
+    QueryDef(
+      "g01_derived_edges",
+      s"WITH $EDGES SELECT src, dst FROM edges") { (s, dir) =>
+      derivedEdges(s, dir)
+    },
+
+    // ---- G6 + J3/P6: lvl-1/lvl-2 neighborhood sizes for EVERY vertex,
+    // isolated vertices backfilled with 0 (full outer join shape).
+    QueryDef(
+      "g02_neighborhoods",
+      s"""WITH $EDGES, $N2
+         |SELECT v.id,
+         |  COALESCE(c1.c, 0) AS count1,
+         |  COALESCE(c2.c, 0) AS count2
+         |FROM (SELECT p_partkey AS id FROM part) v
+         |LEFT JOIN (SELECT id, count(*) AS c FROM n1 GROUP BY id) c1 ON v.id = c1.id
+         |LEFT JOIN (SELECT id, count(*) AS c FROM n2 GROUP BY id) c2 ON v.id = c2.id""".stripMargin) {
+      (s, dir) =>
+        val g = derivedGraph(s, dir)
+        Neighborhoods.neighbors(g, 1)
+          .select(col("id"), col("count").as("count1"))
+          .join(Neighborhoods.neighbors(g, 2)
+            .select(col("id"), col("count").as("count2")), Seq("id"))
+    },
+
+    // ---- F2-F5 + J2: per-edge r-metrics and the keep-edge decision.
+    QueryDef(
+      "g03_r_metrics",
+      s"""WITH $EDGES, $N2, $DEGREES, $COMMON, $RMETRICS
+         |SELECT src, dst, cc2, r11, r12, r21, r22, keepit FROM rkeep""".stripMargin) {
+      (s, dir) =>
+        RMetrics.run(derivedGraph(s, dir), RL1, RL2)
+          .select(col("src"), col("dst"),
+            size(col("common_neighbors")).cast("long").as("cc2"),
+            col("r11"), col("r12"), col("r21"), col("r22"), col("keepit"))
+    },
+
+    // ---- G2/G3/G7 + J4 + A2: bounded Girvan-Newman betweenness with the
+    // deterministic one-path-per-pair tie-break (min intermediate).
+    QueryDef(
+      "g04_betweenness",
+      s"""WITH $EDGES, $BTW
+         |SELECT src, dst, betweenness FROM btw""".stripMargin) { (s, dir) =>
+      implicit val spark: SparkSession = s
+      Betweenness.run(derivedGraph(s, dir), maxLen = 2)
+        .select(col("edges.src").as("src"), col("edges.dst").as("dst"),
+          col("betweenness"))
+    },
+
+    // ---- J5 (right outer) + J6 (5-key) + A3: edge weights from
+    // common-neighbor similarities.
+    QueryDef(
+      "g05_edge_weights",
+      s"""WITH $EDGES, $N2, $DEGREES, $COMMON, $RMETRICS, $SIMS, $WEIGHTS
+         |SELECT src, dst, edge_weight FROM weights""".stripMargin) { (s, dir) =>
+      val edgesR = RMetrics.run(derivedGraph(s, dir), RL1, RL2)
+      EdgeWeights.run(edgesR, similarities(s, dir), FMA)
+    },
+
+    // ---- J7 (struct-field keys) + P4 (compound predicate): edges to
+    // delete, both orientations, no dedup (reference main.py:115-141).
+    QueryDef(
+      "g06_edges_to_delete",
+      s"""WITH $EDGES, $N2, $DEGREES, $COMMON, $RMETRICS, $SIMS, $WEIGHTS, $BTW
+         |SELECT src, dst FROM (
+         |  SELECT w.src, w.dst, w.edge_weight, b.betweenness
+         |  FROM weights w JOIN btw b ON w.src = b.src AND w.dst = b.dst
+         |  UNION ALL
+         |  SELECT w.src, w.dst, w.edge_weight, b.betweenness
+         |  FROM weights w JOIN btw b ON w.src = b.dst AND w.dst = b.src
+         |) WHERE edge_weight < $MAXW OR (edge_weight >= $MAXW AND betweenness > $BTHRES)""".stripMargin) {
+      (s, dir) =>
+        implicit val spark: SparkSession = s
+        val g = derivedGraph(s, dir)
+        val edgesR = RMetrics.run(g, RL1, RL2)
+        val weights = EdgeWeights.run(edgesR, similarities(s, dir), FMA)
+        val btw = Betweenness.run(g, maxLen = 2)
+        HgnPipeline.edgesToDelete(weights, btw, MAXW, BTHRES)
+    },
+
+    // ---- G8 + J8: the edge set after one full HGN deletion round
+    // (double anti-join + keepit re-add; multiset semantics preserved).
+    QueryDef(
+      "g07_iteration_edges",
+      s"""WITH $EDGES, $N2, $DEGREES, $COMMON, $RMETRICS, $SIMS, $WEIGHTS, $BTW,
+         |del AS (
+         |  SELECT src, dst FROM (
+         |    SELECT w.src, w.dst, w.edge_weight, b.betweenness
+         |    FROM weights w JOIN btw b ON w.src = b.src AND w.dst = b.dst
+         |    UNION ALL
+         |    SELECT w.src, w.dst, w.edge_weight, b.betweenness
+         |    FROM weights w JOIN btw b ON w.src = b.dst AND w.dst = b.src
+         |  ) WHERE edge_weight < $MAXW OR (edge_weight >= $MAXW AND betweenness > $BTHRES)
+         |)
+         |SELECT src, dst FROM (
+         |  SELECT e.src, e.dst FROM edges e
+         |  WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.src = e.src AND d.dst = e.dst)
+         |    AND NOT EXISTS (SELECT 1 FROM del d WHERE d.src = e.dst AND d.dst = e.src)
+         |  UNION ALL
+         |  SELECT src, dst FROM rkeep WHERE keepit
+         |)""".stripMargin) { (s, dir) =>
+      implicit val spark: SparkSession = s
+      val g = derivedGraph(s, dir)
+      val edgesR = RMetrics.run(g, RL1, RL2).localCheckpoint()
+      val weights = EdgeWeights.run(edgesR, similarities(s, dir), FMA)
+      val btw = Betweenness.run(g, maxLen = 2)
+      val toDelete = HgnPipeline.edgesToDelete(weights, btw, MAXW, BTHRES)
+      HgnPipeline.deleteEdges(g, toDelete, edgesR).edges
+    },
+
+    // ---- G4: connected components (GraphX Pregel) vs a recursive-CTE
+    // min-reachable-id oracle. GraphX labels with the component's lowest
+    // vertex id, which is exactly what the CTE computes.
+    QueryDef(
+      "g08_components",
+      s"""WITH RECURSIVE $EDGES,
+         |verts AS (SELECT DISTINCT src AS id FROM sym),
+         |reach AS (
+         |  SELECT id, id AS r FROM verts
+         |  UNION
+         |  SELECT s.dst AS id, r.r FROM reach r JOIN sym s ON s.src = r.id
+         |)
+         |SELECT id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin) {
+      (s, dir) =>
+        implicit val spark: SparkSession = s
+        val e = derivedEdges(s, dir)
+        val v = e.select(explode(array(col("src"), col("dst"))).as("id")).distinct()
+        Communities.connectedComponents(PropertyGraph(v, e))
+    },
+
+    // ---- A4 + J9 + G5: drop communities smaller than MINCOMP on the
+    // sparser support-filtered graph (component sizes 2..7 at sf0.01), then
+    // emit the surviving vertex ids.
+    QueryDef(
+      "g09_community_filter",
+      s"""WITH RECURSIVE $SUPEDGES,
+         |verts AS (SELECT DISTINCT src AS id FROM ssym),
+         |reach AS (
+         |  SELECT id, id AS r FROM verts
+         |  UNION
+         |  SELECT s.dst AS id, r.r FROM reach r JOIN ssym s ON s.src = r.id
+         |),
+         |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+         |SELECT id FROM comp WHERE component IN (
+         |  SELECT component FROM comp GROUP BY component HAVING count(*) >= $MINCOMP)""".stripMargin) {
+      (s, dir) =>
+        implicit val spark: SparkSession = s
+        Communities.filterSmallCommunities(supportGraph(s, dir), MINCOMP)
+          .vertices.select("id")
+    }
+  )
+}

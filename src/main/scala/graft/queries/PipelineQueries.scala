@@ -1,0 +1,290 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.pipeline._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked LLM-data-pipeline operator family over the `documents`
+  * and `embeddings` test tables: text analysis, exact/near dedup
+  * (inverted-index Jaccard, MinHash-LSH, SimHash), similarity search
+  * (brute-force + IVF), and the multimodal decode plumbing.
+  *
+  * Every query is deterministic end to end — hashes are the cross-engine
+  * md5-derived [[Hashing.h60]], cosine is fixed-point quantized — so the
+  * DuckDB oracle replays the identical algorithm and the driver's
+  * hash-compare must match exactly, LSH probabilities notwithstanding.
+  */
+object PipelineQueries {
+
+  private val SHINGLE_N = 3
+  private val JACCARD_T = 0.3
+  private val MH_BANDS = 24
+  private val MH_ROWS = 2
+  private val MH_T = 0.5
+  private val SH_BITS = 48
+  private val SH_BANDS = 4
+  private val SH_MAXHAM = 12
+  private val ANN_K = 10
+  private val ANN_NQ = 10
+  private val IVF_K = 5
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------- SQL bits
+
+  private val STOPLIST =
+    TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** tokens / shingles / hashed shingles per doc, shared prelude. */
+  private val DOCS = s"""
+    |toks AS (
+    |  SELECT doc_id, text, string_split(lower(text), ' ') AS tokens FROM documents
+    |),
+    |sh AS (
+    |  SELECT doc_id, ${Shingles.sqlWordShingles("tokens", SHINGLE_N)} AS shingles
+    |  FROM toks
+    |),
+    |hsh AS (
+    |  SELECT doc_id,
+    |    shingles,
+    |    len(shingles) AS n_sh,
+    |    list_transform(shingles, s -> ${Hashing.sqlH60("s")} % ${Hashing.M}) AS hs
+    |  FROM sh
+    |)""".stripMargin
+
+  private def sqlJaccard(interExpr: String, naExpr: String, nbExpr: String): String =
+    s"$interExpr / CAST($naExpr + $nbExpr - $interExpr AS DOUBLE)"
+
+  /** Fixed-point micro-cosine between two FLOAT[] exprs (dim 64). */
+  private def sqlMicroCos(a: String, b: String): String = {
+    def qe(v: String) =
+      s"CAST(floor(CAST($v[CAST(i AS INT)] AS DOUBLE) * 1000) AS BIGINT)"
+    def qv(v: String) = s"list_transform(range(1, 65), i -> ${qe(v)})"
+    s"""CAST(floor(
+       |  CAST(list_sum(list_transform(range(1, 65), i ->
+       |    ${qe(a)} * ${qe(b)})) AS DOUBLE) /
+       |  sqrt(
+       |    CAST(list_sum(list_transform(${qv(a)}, x -> x * x)) AS DOUBLE) *
+       |    CAST(list_sum(list_transform(${qv(b)}, x -> x * x)) AS DOUBLE))
+       |  * 1000000) AS BIGINT)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ---- token counting + quality + language-ID, one narrow pass.
+    QueryDef(
+      "p01_text_stats",
+      s"""WITH toks AS (
+         |  SELECT doc_id, text, string_split(lower(text), ' ') AS tokens FROM documents
+         |), stats AS (
+         |  SELECT doc_id,
+         |    CAST(len(tokens) AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '${TextAnalysis.SubwordPattern}')) AS BIGINT) AS n_subwords,
+         |    CAST(len(list_filter(tokens, w -> list_contains($STOPLIST, w))) AS BIGINT)
+         |      / CAST(len(tokens) AS DOUBLE) AS stop_ratio,
+         |    CAST(list_sum(list_transform(tokens, w -> length(w))) AS DOUBLE)
+         |      / CAST(len(tokens) AS DOUBLE) AS mean_tok_len
+         |  FROM toks
+         |)
+         |SELECT doc_id, n_tokens, n_subwords, stop_ratio, mean_tok_len,
+         |  CASE WHEN stop_ratio >= 0.04 THEN 'en' ELSE 'und' END AS lang_pred,
+         |  (n_tokens BETWEEN 5 AND 100000) AND mean_tok_len <= 15.0
+         |    AND stop_ratio >= 0.01 AS quality_ok
+         |FROM stats""".stripMargin) { (s, dir) =>
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(txt).as("n_tokens"),
+        TextAnalysis.subwordCount(txt).as("n_subwords"),
+        TextAnalysis.stopwordRatio(txt).as("stop_ratio"),
+        TextAnalysis.meanTokenLen(txt).as("mean_tok_len"),
+        TextAnalysis.languageId(txt).as("lang_pred"),
+        TextAnalysis.qualityOk(txt).as("quality_ok"))
+    },
+
+    // ---- whole-doc + shingle (1-perm MinHash) fingerprints.
+    QueryDef(
+      "p02_fingerprints",
+      s"""WITH $DOCS
+         |SELECT h.doc_id,
+         |  ${Hashing.sqlH60("lower(t.text)")} AS fp,
+         |  CAST(list_min(list_transform(h.shingles, s -> ${Hashing.sqlH60("s")})) AS BIGINT) AS shingle_fp
+         |FROM hsh h JOIN toks t ON t.doc_id = h.doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.docFingerprint(col("text")).as("fp"),
+        TextAnalysis.shingleFingerprint(col("text"), SHINGLE_N).as("shingle_fp"))
+    },
+
+    // ---- exact dedup: deterministic survivor + group size per distinct
+    // normalized text (keyed dropDuplicates shape, P5).
+    QueryDef(
+      "p03_exact_dedup",
+      s"""SELECT ${Hashing.sqlH60("lower(text)")} AS text_hash,
+         |  MIN(doc_id) AS canonical_id,
+         |  COUNT(*) AS group_size
+         |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.exact(t(s, dir, "documents"))
+    },
+
+    // ---- exact n-gram Jaccard near-dup via inverted-index join (complete
+    // because J > 0 implies a shared shingle — never all-pairs).
+    QueryDef(
+      "p04_jaccard_pairs",
+      s"""WITH $DOCS,
+         |post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b, j AS jaccard FROM (
+         |  SELECT id_a, id_b,
+         |    ${sqlJaccard("common", "sa.n_sh", "sb.n_sh")} AS j
+         |  FROM inter
+         |  JOIN hsh sa ON sa.doc_id = id_a
+         |  JOIN hsh sb ON sb.doc_id = id_b
+         |) WHERE j >= $JACCARD_T""".stripMargin) { (s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), SHINGLE_N, JACCARD_T)
+    },
+
+    // ---- MinHash-LSH near-dup: shingle → minhash sig → band buckets →
+    // bucket join → exact-Jaccard verify. The oracle replays the LSH
+    // pipeline itself (same hash family), so the compare is exact.
+    QueryDef(
+      "p05_minhash_pairs",
+      s"""WITH $DOCS,
+         |sigs AS (
+         |  SELECT doc_id, shingles, n_sh,
+         |    list_transform(range(0, ${MH_BANDS * MH_ROWS}), i ->
+         |      CAST(list_min(list_transform(hs, x ->
+         |        ((37 + 2*i) * x + 10007*i + 17) % ${Hashing.P})) AS BIGINT)) AS sig
+         |  FROM hsh
+         |),
+         |buckets AS (
+         |  SELECT doc_id, shingles, n_sh, CAST(j AS BIGINT) AS band,
+         |    CAST(sig[CAST(2*j+1 AS INT)] AS VARCHAR) || ',' ||
+         |    CAST(sig[CAST(2*j+2 AS INT)] AS VARCHAR) AS bucket
+         |  FROM sigs, range(0, $MH_BANDS) t(j)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b, j AS jaccard FROM (
+         |  SELECT id_a, id_b,
+         |    ${sqlJaccard("len(list_intersect(sa.shingles, sb.shingles))", "sa.n_sh", "sb.n_sh")} AS j
+         |  FROM cand
+         |  JOIN hsh sa ON sa.doc_id = id_a
+         |  JOIN hsh sb ON sb.doc_id = id_b
+         |) WHERE j >= $MH_T""".stripMargin) { (s, dir) =>
+      Dedup.minHashPairs(t(s, dir, "documents"), SHINGLE_N, MH_BANDS, MH_ROWS, MH_T)
+    },
+
+    // ---- SimHash signatures (48-bit, majority vote over shingle hashes).
+    QueryDef(
+      "p06_simhash",
+      s"""WITH $DOCS,
+         |hw AS (
+         |  SELECT doc_id,
+         |    list_transform(shingles, w -> ${Hashing.sqlH60("w")}) AS hs
+         |  FROM sh
+         |)
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(0, $SH_BITS), i ->
+         |    CASE WHEN list_sum(list_transform(hs, x -> ((x >> i) & 1) * 2 - 1)) > 0
+         |         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM hw""".stripMargin) { (s, dir) =>
+      Dedup.simHash(t(s, dir, "documents"), SH_BITS, SHINGLE_N)
+        .select(col("id").as("doc_id"), col("simhash"))
+    },
+
+    // ---- SimHash near-dup pairs: band buckets (pigeonhole-complete for
+    // hamming < bands) + bit_count(xor) verify.
+    QueryDef(
+      "p07_simhash_pairs",
+      s"""WITH $DOCS,
+         |hw AS (
+         |  SELECT doc_id,
+         |    list_transform(shingles, w -> ${Hashing.sqlH60("w")}) AS hs
+         |  FROM sh
+         |),
+         |shh AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(range(0, $SH_BITS), i ->
+         |      CASE WHEN list_sum(list_transform(hs, x -> ((x >> i) & 1) * 2 - 1)) > 0
+         |           THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS simhash
+         |  FROM hw
+         |),
+         |banded AS (
+         |  SELECT doc_id, simhash, CAST(j AS BIGINT) AS band,
+         |    (simhash >> CAST(${SH_BITS / SH_BANDS} * j AS INT)) % ${1L << (SH_BITS / SH_BANDS)} AS key
+         |  FROM shh, range(0, $SH_BANDS) t(j)
+         |)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SH_MAXHAM""".stripMargin) {
+      (s, dir) =>
+        Dedup.simHashPairs(t(s, dir, "documents"), SH_BITS, SH_BANDS, SH_MAXHAM,
+            SHINGLE_N)
+          .select(col("id_a"), col("id_b"), col("hamming"))
+    },
+
+    // ---- brute-force cosine top-k (exact ANN baseline), fixed-point
+    // deterministic ranking.
+    QueryDef(
+      "p08_ann_brute",
+      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $ANN_NQ),
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${sqlMicroCos("q.embedding", "c.embedding")} AS sim_micro
+         |  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |)
+         |SELECT query_id, neighbor_id, sim_micro, rank FROM (
+         |  SELECT query_id, neighbor_id, sim_micro,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim_micro DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM pairs
+         |) WHERE rank <= $ANN_K""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Ann.bruteForceTopK(emb.filter(col("vec_id") < ANN_NQ), emb, ANN_K)
+    },
+
+    // ---- IVF-style ANN: probe only the query's coarse cell (label).
+    QueryDef(
+      "p09_ann_ivf",
+      s"""WITH pairs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${sqlMicroCos("q.embedding", "c.embedding")} AS sim_micro
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.label = c.label AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $ANN_NQ
+         |)
+         |SELECT query_id, neighbor_id, sim_micro, rank FROM (
+         |  SELECT query_id, neighbor_id, sim_micro,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim_micro DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM pairs
+         |) WHERE rank <= $IVF_K""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Ann.ivfTopK(emb.filter(col("vec_id") < ANN_NQ), emb, "label", IVF_K)
+    },
+
+    // ---- multimodal decode plumbing: binary payload + mapPartitions
+    // batch decode (deterministic stub), oracle-verified end to end.
+    QueryDef(
+      "p10_multimodal_decode",
+      Multimodal.sqlDecodeFragment("doc_id", "text") + "\nFROM documents") {
+      (s, dir) =>
+        Multimodal.decodeAssets(
+          Multimodal.assetsFromDocuments(t(s, dir, "documents"))).toDF()
+    }
+  )
+}

@@ -239,16 +239,21 @@ object Relational {
     },
 
     // ---- collect_set equivalent with deterministic ordering (SURVEY A1:
-    // the neighbor-aggregation shape used all over the reference).
+    // the neighbor-aggregation shape used all over the reference). The set
+    // is emitted as a joined string: the driver's pandas comparator can't
+    // hash array cells (round-1 q14 failure). The DuckDB list() aggregate
+    // keeps NULL elements while collect_set drops them, hence the FILTER.
     QueryDef(
       "q14_collect_sorted_set",
-      """SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments,
+      """SELECT c_nationkey,
+        |  array_to_string(list_sort(list(DISTINCT c_mktsegment)
+        |    FILTER (WHERE c_mktsegment IS NOT NULL)), ',') AS segments,
         |  COUNT(DISTINCT c_mktsegment) AS num_segments
         |FROM customer GROUP BY c_nationkey""".stripMargin) { (s, dir) =>
       t(s, dir, "customer")
         .groupBy(col("c_nationkey"))
         .agg(
-          sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+          array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segments"),
           countDistinct(col("c_mktsegment")).as("num_segments"))
     },
 
