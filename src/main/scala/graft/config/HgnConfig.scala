@@ -1,0 +1,113 @@
+package graft.config
+
+import scala.io.Source
+import graft.graph.HgnParams
+
+/** Run configuration for the HGN CLI, mirroring the reference's YAML
+  * sections (`configuration/yml_schema.json`: input / run_options /
+  * output / spark) with the same keys and defaults
+  * (`confs/quakers.yml:30-70`).
+  *
+  * Parsing: a deliberately small reader for the flat
+  * `section.key: value` subset this engine needs (no external YAML jar
+  * exists in the offline build environment). Two formats are accepted:
+  * two-level indented YAML (section header line + indented `key: value`
+  * pairs) and flat `section.key=value` properties. `!ENV ${VAR}`-style
+  * environment interpolation is supported as `${VAR}` anywhere in a value
+  * (`configuration/configuration.py:70-117`).
+  */
+final case class HgnConfig(
+    nodesPath: String,
+    edgesPath: String,
+    featureNames: Seq[String],
+    featuresToCheck: Seq[String],
+    nodesDelimiter: String = ",",
+    edgesDelimiter: String = ",",
+    nodesHasHeader: Boolean = true,
+    edgesHasHeader: Boolean = true,
+    edgesHaveWeights: Boolean = false,
+    params: HgnParams = HgnParams(),
+    outputDir: String = "output",
+    saveCommunities: Boolean = true) {
+  require(nodesPath.nonEmpty, "input.nodes_path is required")
+  require(edgesPath.nonEmpty, "input.edges_path is required")
+  require(featureNames.nonEmpty, "input.feature_names is required")
+  require(featuresToCheck.forall(featureNames.contains),
+    "run_options.features_to_check must be a subset of input.feature_names")
+}
+
+object HgnConfig {
+
+  /** Parse the config text; see class docs for the accepted subset. */
+  def parse(text: String): HgnConfig = {
+    val kv = scala.collection.mutable.Map[String, String]()
+    var section = ""
+    for (raw <- text.linesIterator) {
+      val line = raw.replaceAll("#.*$", "")
+      if (line.trim.nonEmpty) {
+        val indented = line.head == ' ' || line.head == '\t'
+        val t = line.trim
+        if (t.contains(":") || t.contains("=")) {
+          val sep = if (t.contains(":")) ":" else "="
+          val Array(k, rest @ _*) = t.split(sep, 2)
+          val v = rest.headOption.getOrElse("").trim
+          if (!indented && v.isEmpty) section = k.trim
+          else {
+            val key = if (indented && section.nonEmpty) s"$section.${k.trim}"
+                      else k.trim
+            kv(key) = interpolate(v)
+          }
+        }
+      }
+    }
+    build(kv.toMap)
+  }
+
+  def fromFile(path: String): HgnConfig = {
+    val src = Source.fromFile(path)
+    try parse(src.mkString) finally src.close()
+  }
+
+  private def interpolate(v: String): String =
+    "\\$\\{([A-Za-z0-9_]+)\\}".r.replaceAllIn(v,
+      m => java.util.regex.Matcher.quoteReplacement(
+        sys.env.getOrElse(m.group(1), "")))
+
+  private def build(kv: Map[String, String]): HgnConfig = {
+    def str(k: String, dflt: String = ""): String = kv.getOrElse(k, dflt)
+    def bool(k: String, dflt: Boolean): Boolean =
+      kv.get(k).map(_.toLowerCase == "true").getOrElse(dflt)
+    def dbl(k: String, dflt: Double): Double = kv.get(k).map(_.toDouble).getOrElse(dflt)
+    def int(k: String, dflt: Int): Int = kv.get(k).map(_.toInt).getOrElse(dflt)
+    def list(k: String): Seq[String] =
+      kv.get(k).map(_.stripPrefix("[").stripSuffix("]")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+    val features = list("input.feature_names")
+    val toCheck = list("run_options.features_to_check") match {
+      case Nil => features
+      case s => s
+    }
+    HgnConfig(
+      nodesPath = str("input.nodes_path"),
+      edgesPath = str("input.edges_path"),
+      featureNames = features,
+      featuresToCheck = toCheck,
+      nodesDelimiter = str("input.nodes_delimiter", ","),
+      edgesDelimiter = str("input.edges_delimiter", ","),
+      nodesHasHeader = bool("input.nodes_has_header", dflt = true),
+      edgesHasHeader = bool("input.edges_has_header", dflt = true),
+      edgesHaveWeights = bool("input.edges_have_weights", dflt = false),
+      params = HgnParams(
+        featureMinAvg = dbl("run_options.feature_min_avg", 0.33),
+        rLvl1Thres = dbl("run_options.r_lvl1_thres", 0.50),
+        rLvl2Thres = dbl("run_options.r_lvl2_thres", 0.85),
+        maxEdgeWeight = dbl("run_options.max_edge_weight", 0.50),
+        betweennessThres = dbl("run_options.betweenness_thres", 10.0),
+        maxSpLength = int("run_options.max_sp_length", 2),
+        maxSteps = int("run_options.max_steps", 30),
+        minCompSize = int("run_options.min_comp_size", 10)),
+      outputDir = str("output.dir", "output"),
+      saveCommunities = bool("output.save_communities_to_csvs", dflt = true))
+  }
+}

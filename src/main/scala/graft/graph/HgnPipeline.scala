@@ -102,7 +102,13 @@ object HgnPipeline {
       val (next, deleted) = iterate(g, similarities, betweenness, params)
       if (deleted == 0) converged = true
       else g = PropertyGraph(
-        next.vertices.localCheckpoint(), next.edges.localCheckpoint())
+        next.vertices.localCheckpoint(),
+        // The keepit re-add (deleteEdges) can duplicate an edge that was
+        // both not-deleted and keep-worthy — faithful to the reference's
+        // union (main.py:201-207), but left alone the edge table doubles
+        // per iteration. Canonicalize between iterations: the algorithm
+        // treats edges as a set throughout.
+        next.edges.distinct().localCheckpoint())
     }
     g
   }

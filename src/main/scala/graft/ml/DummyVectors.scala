@@ -32,9 +32,15 @@ object DummyVectors {
         .setOutputCol(s"${f}_idx")
         .setHandleInvalid("keep") // reference: spark_manager.py:164
     }
+    // dropLast=false, deviating from the reference's default-dropLast
+    // encoder: every category keeps an explicit bit, so each feature
+    // contributes exactly one active component and cosine(u, v) equals
+    // (#equal features)/F. dropLast exists to break affine redundancy for
+    // linear models; for similarity it only distorts the last category.
     val encoder = new OneHotEncoder()
       .setInputCols(featuresToCheck.map(f => s"${f}_idx").toArray)
       .setOutputCols(featuresToCheck.map(f => s"${f}_vec").toArray)
+      .setDropLast(false)
     val assembler = new VectorAssembler()
       .setInputCols(featuresToCheck.map(f => s"${f}_vec").toArray)
       .setOutputCol("features")

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.graph.{Communities, PropertyGraph}
+
+/** Sinks and persistence helpers (SURVEY §2.1 S3-S7).
+  *
+  * The reference wrote every intermediate to parquet and read it back as
+  * its lineage-truncation device (`spark_manager/spark_manager.py:215-283`);
+  * the Spark-4 engine checkpoints instead ([[graft.graph.HgnPipeline]]),
+  * keeping parquet persistence only for durable resume points
+  * (`cached_init_step`, `main.py:243-245`) and final outputs.
+  */
+object Sinks {
+
+  /** S3/S4/S5: write a named intermediate and read it back persisted — the
+    * reference's `reload_df` (`spark_manager.py:215-231`), for durable
+    * resume points. Unlike the reference, no `repartition(1)`: the write
+    * stays parallel and readers see the natural split.
+    */
+  def reload(df: DataFrame, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+    df.sparkSession.read.parquet(path).persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** S6: compact appended batches — read, dedup, overwrite — the
+    * reference's `clean_and_reload_df` (`spark_manager.py:192-213`).
+    */
+  def compact(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val pre = s"$dir/${name}_pre.parquet"
+    val fin = s"$dir/$name.parquet"
+    spark.read.parquet(pre).dropDuplicates()
+      .write.mode(SaveMode.Overwrite).parquet(fin)
+    spark.read.parquet(fin)
+  }
+
+  /** S7: community CSV sink. The reference collected the graph into
+    * NetworkX on the driver and wrote one `community_<i>.csv` per
+    * component (`spark_manager/spark_manager.py:335-368`) — a driver
+    * bottleneck that cannot survive scale. Here the components are
+    * computed distributed (GraphX) and written with `partitionBy`, giving
+    * `community=<id>/part-*.csv` per component: same information, fully
+    * parallel, any cluster size.
+    */
+  def saveCommunitiesCsv(g: PropertyGraph, outDir: String)(
+      implicit spark: SparkSession): DataFrame = {
+    val components = Communities.connectedComponents(g)
+    val out = g.vertices.join(components, Seq("id"))
+    out.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("component")
+      .option("header", "true")
+      .csv(outDir)
+    out
+  }
+}

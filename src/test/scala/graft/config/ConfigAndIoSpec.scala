@@ -1,0 +1,78 @@
+package graft.config
+
+import graft.SparkSpec
+import graft.sources.{GraphCsv, Sinks}
+import graft.graph.PropertyGraph
+
+import java.nio.file.Files
+
+class ConfigAndIoSpec extends SparkSpec {
+
+  test("config parses the two-level yaml subset with env interpolation") {
+    val text =
+      """# comment
+        |input:
+        |  nodes_path: /data/nodes.csv
+        |  edges_path: ${GRAFT_TEST_EDGES_UNSET}/edges.csv
+        |  feature_names: [id, religion, gender]
+        |run_options:
+        |  features_to_check: [religion]
+        |  r_lvl1_thres: 0.6
+        |  max_steps: 7
+        |output:
+        |  dir: /tmp/out
+        |""".stripMargin
+    val c = HgnConfig.parse(text)
+    assert(c.nodesPath == "/data/nodes.csv")
+    assert(c.edgesPath == "/edges.csv") // unset env var -> empty
+    assert(c.featureNames == Seq("id", "religion", "gender"))
+    assert(c.featuresToCheck == Seq("religion"))
+    assert(c.params.rLvl1Thres == 0.6 && c.params.maxSteps == 7)
+    assert(c.params.rLvl2Thres == 0.85) // default preserved
+    assert(c.outputDir == "/tmp/out")
+  }
+
+  test("config rejects features_to_check outside feature_names") {
+    intercept[IllegalArgumentException] {
+      HgnConfig.parse(
+        """input:
+          |  nodes_path: a
+          |  edges_path: b
+          |  feature_names: [x]
+          |run_options:
+          |  features_to_check: [y]
+          |""".stripMargin)
+    }
+  }
+
+  test("csv graph sources apply explicit schemas") {
+    val dir = Files.createTempDirectory("graftcsv")
+    val nodesCsv = dir.resolve("nodes.csv")
+    Files.writeString(nodesCsv, "id,religion\n1,Quaker\n2,Sojourner\n")
+    val edgesCsv = dir.resolve("edges.csv")
+    Files.writeString(edgesCsv, "src|dst\n1|2\n")
+    val nodes = GraphCsv.loadNodes(spark, nodesCsv.toString, Seq("religion"))
+    assert(nodes.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("id", "long"), ("religion", "string")))
+    assert(nodes.count() == 2)
+    val edges = GraphCsv.loadEdges(spark, edgesCsv.toString,
+      hasWeights = false, delimiter = "|")
+    assert(edges.schema.fieldNames.toSeq == Seq("src", "dst"))
+    assert(edges.head().getLong(0) == 1L)
+    assert(GraphCsv.edgesSchema(hasWeights = true).fieldNames.toSeq ==
+      Seq("src", "dst", "weight"))
+  }
+
+  test("community csv sink partitions by component") {
+    import spark.implicits._
+    implicit val s = spark
+    val g = PropertyGraph(
+      Seq((1L, "a"), (2L, "b"), (7L, "c")).toDF("id", "feat"),
+      Seq((1L, 2L)).toDF("src", "dst"))
+    val out = Files.createTempDirectory("graftcomm").toString + "/comm"
+    Sinks.saveCommunitiesCsv(g, out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(dirs.toSeq == Seq("component=1", "component=7"))
+  }
+}

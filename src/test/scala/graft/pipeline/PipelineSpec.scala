@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("text stats: counts and ratios") {
+    val d = docs((1L, "the cat sat on the mat"))
+    val r = d.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.stopwordCount(col("text")).as("sw"),
+      TextAnalysis.stopwordRatio(col("text")).as("swr"),
+      TextAnalysis.meanTokenLen(col("text")).as("mtl"),
+      TextAnalysis.subwordCount(col("text")).as("sub")).head()
+    assert(r.getAs[Long]("n") == 6)
+    assert(r.getAs[Long]("sw") == 3) // the, on, the
+    assert(r.getAs[Double]("swr") == 0.5)
+    assert(r.getAs[Double]("mtl") == 17.0 / 6) // 3+3+3+2+3+3 chars
+    assert(r.getAs[Long]("sub") == 6)
+  }
+
+  test("shingles: n-grams, short-doc fallback, distinctness") {
+    val sh = docs((1L, "a b c d"), (2L, "a b"))
+      .select(col("doc_id"),
+        Shingles.wordShingles(TextAnalysis.tokens(col("text")), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(sh(1L) == Set("a b c", "b c d"))
+    assert(sh(2L) == Set("a b")) // shorter than n: whole doc
+  }
+
+  test("exact dedup: canonical id and group size") {
+    val d = docs((5L, "same text"), (3L, "same text"), (9L, "Other"))
+    val r = Dedup.exact(d).collect()
+      .map(r => r.getAs[Long]("canonical_id") -> r.getAs[Long]("group_size")).toMap
+    assert(r == Map(3L -> 2L, 9L -> 1L))
+  }
+
+  test("jaccard pairs: exact overlap via inverted index") {
+    // doc1/doc2 share 2 of their trigram shingles; doc3 disjoint.
+    val d = docs(
+      (1L, "w x y z q"), // shingles: wxy xyz yzq
+      (2L, "w x y z k"), // shingles: wxy xyz yzk
+      (3L, "m n o p r"))
+    val pairs = Dedup.jaccardPairs(d, 3, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0.5))) // 2 / (3+3-2)
+  }
+
+  test("minhash pairs find the same near-dups as exact jaccard") {
+    val d = docs(
+      (1L, "w x y z q a b c d e"),
+      (2L, "w x y z q a b c d f"),
+      (3L, "m n o p r s t u v w"))
+    val exact = Dedup.jaccardPairs(d, 3, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minHashPairs(d, 3, 24, 2, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L)))
+    assert(mh == exact) // 24 bands x 2 rows: catch probability ~1 at J~0.6
+  }
+
+  test("simhash: identical docs collide, disjoint docs differ") {
+    val d = docs(
+      (1L, "w x y z q a b c"), (2L, "w x y z q a b c"), (3L, "m n o p r s t u"))
+    val sh = Dedup.simHash(d, 48, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(3L))
+    assert(sh.values.forall(_ >= 0)) // 48-bit: sign-safe
+    val pairs = Dedup.simHashPairs(d, 48, 4, 0, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)))
+  }
+
+  test("ann: brute-force ranks by cosine with id tie-break") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Ann.bruteForceTopK(emb.filter(col("vec_id") === 0), emb, 3)
+      .collect().map(r => r.getAs[Long]("rank") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    assert(top(1L) == 3L) // identical vector (cos 1)
+    assert(top(2L) == 1L) // close
+    assert(top(3L) == 2L) // orthogonal
+  }
+
+  test("ann: ivf restricts to the coarse cell") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 1), // better match but other cell
+      (2L, Array(0.0f, 1.0f), 0)).toDF("vec_id", "embedding", "label")
+    val top = Ann.ivfTopK(emb.filter(col("vec_id") === 0), emb, "label", 2)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(top == Set(2L)) // only the same-cell vector
+  }
+
+  test("multimodal: decode plumbing preserves rows and derives metadata") {
+    val d = docs((1L, "hello world"), (2L, "abc"))
+    val out = Multimodal.decodeAssets(Multimodal.assetsFromDocuments(
+      d.withColumn("doc_id", col("doc_id")))).collect()
+      .map(a => a.asset_id -> a).toMap
+    assert(out(1L).n_bytes == 11 && out(2L).n_bytes == 3)
+    assert(out(1L).width >= 32 && out(1L).width < 256)
+    // deterministic: same id -> same fake geometry
+    assert(out(1L).width == 32L + Hashing.h60("1") % 224L)
+  }
+
+  test("hashing: scala-side h60 agrees with the Spark expression") {
+    import spark.implicits._
+    val fromExpr = Seq("abc", "1", "hello world").toDF("s")
+      .select(Hashing.h60(col("s"))).collect().map(_.getLong(0))
+    val fromScala = Seq("abc", "1", "hello world").map(Hashing.h60)
+    assert(fromExpr.toSeq == fromScala)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("streaming dedup drops in-window duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val deduped = StreamingOps.dedupStream(
+      input.toDF().toDF("event_id", "ts"), "ts", "10 seconds", Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, ts(1)), (1L, ts(1)), (2L, ts(2)), (1L, ts(1)))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("windowed stats aggregate per tumbling window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val stats = StreamingOps.windowedStats(
+      input.toDF().toDF("ts", "k", "value"), "ts", "k", "10 seconds", "5 seconds")
+    val q = stats.writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData((ts(1), "a", 1.0), (ts(2), "a", 2.0), (ts(11), "a", 5.0),
+        (ts(3), "b", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select(col("k"), col("n"), col("total_value")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(("a", 2L, 3.0), ("a", 1L, 5.0), ("b", 1L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-key totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.KeyedEvent]
+    val stats = StreamingOps.runningStats(input.toDS())
+    val q = stats.writeStream.format("memory").queryName("state_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(StreamingOps.KeyedEvent("a", 1.0), StreamingOps.KeyedEvent("a", 2.0))
+      q.processAllAvailable()
+      input.addData(StreamingOps.KeyedEvent("a", 4.0))
+      q.processAllAvailable()
+      val last = spark.table("state_out").filter(col("key") === "a")
+        .orderBy(col("n").desc).head()
+      assert(last.getAs[Long]("n") == 3 && last.getAs[Double]("total") == 7.0)
+    } finally q.stop()
+  }
+}
