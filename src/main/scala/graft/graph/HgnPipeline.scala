@@ -74,6 +74,7 @@ object HgnPipeline {
       .localCheckpoint() // lineage cut, replacing the reference's parquet
                          // round-trips (`spark_manager.py:215-231`, SURVEY §7.1)
     val weights = EdgeWeights.run(edgesR, similarities, params.featureMinAvg)
+      .localCheckpoint() // referenced by both orientation joins below
     val toDelete = edgesToDelete(
       weights, betweenness, params.maxEdgeWeight, params.betweennessThres)
       .localCheckpoint()

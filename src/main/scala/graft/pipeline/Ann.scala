@@ -85,23 +85,66 @@ object Ann {
     topK(pairs, k)
   }
 
-  /** Random-hyperplane LSH bucketing: `planes` deterministic pseudo-random
-    * hyperplanes (components derived from [[Hashing.h60]], in [-1, 1)),
-    * bucket = the sign-bit string of the projections. Pairs landing in the
-    * same bucket are ANN candidates; callers re-rank with [[cosine]].
-    * Deterministic, so oracle-checkable like everything else.
+  /** Random-hyperplane LSH: `tables` independent hash tables of `planes`
+    * sign bits each; a pair is an ANN candidate if it collides in ANY
+    * table (the standard L-tables trade-off: per-table precision from k
+    * planes, recall from L tables). Plane coefficients are deterministic
+    * pseudo-random integers in [-1000, 1000] from a linear-congruential
+    * formula over (table, plane, dim) — pure integer arithmetic that the
+    * DuckDB oracle evaluates inline, and exact against the quantized
+    * vectors, so bucketing is bit-identical across engines.
+    *
+    * Returns an array of `tables` bucket ids; explode + equi-join on
+    * (table index, bucket) for candidate generation — the scale path that
+    * replaces the all-pairs cross product.
     */
-  def hyperplaneBucket(v: Column, dim: Int, planes: Int): Column = {
+  def lshBuckets(v: Column, dim: Int, planes: Int, tables: Int): Column = {
     require(planes <= 60)
     val qv = quantized(v)
-    val bits = (0 until planes).map { p =>
-      // plane[p][i] in [-1000, 1000): exact integers, exact dot product.
-      val proj = (0 until dim).map { i =>
-        val c = (Hashing.h60(s"plane:$p:$i") % 2000L) - 1000L
-        qv(i) * lit(c)
+    val buckets = (0 until tables).map { t =>
+      (0 until planes).map { p =>
+        val base = (t * planes + p) * dim
+        val proj = aggregate(
+          zip_with(qv, sequence(lit(0), lit(dim - 1)),
+            (x, i) => x * ((lit(1103515245L) * (lit(base.toLong) + i)
+              + lit(12345L)) % 2001L - 1000L)),
+          lit(0L), (acc, x) => acc + x)
+        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    array(buckets: _*)
+  }
+
+  /** DuckDB fragment for [[lshBuckets]]'s bucket of table `t` (`t` may be
+    * a SQL variable, e.g. a range lambda binding).
+    */
+  def sqlLshBucket(v: String, dim: Int, planes: Int, t: String): String =
+    s"""CAST(list_sum(list_transform(range(0, $planes), p ->
+       |  CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), i ->
+       |      CAST(floor(CAST($v[CAST(i AS INT)] AS DOUBLE) * 1000) AS BIGINT) *
+       |      ((1103515245 * ((($t * $planes + p) * $dim) + (i - 1)) + 12345) % 2001 - 1000))) >= 0
+       |    THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  /** Near-duplicate vector pairs: LSH-bucket candidates (any-table
+    * collision), verified by exact fixed-point cosine ≥ `minMicroCos`
+    * (micro-cosine units). Output `(id_a, id_b, sim_micro)`, id_a < id_b.
+    */
+  def embeddingDedup(corpus: DataFrame, dim: Int, planes: Int, tables: Int,
+      minMicroCos: Long): DataFrame = {
+    val withBuckets = corpus.select(col("vec_id"),
+        posexplode(lshBuckets(col("embedding"), dim, planes, tables))
+          .as(Seq("tbl", "bucket")))
+    val candidates = withBuckets.as("a")
+      .join(withBuckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .dropDuplicates()
+    val ea = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val eb = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    candidates.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        microCosine(col("va"), col("vb")).as("sim_micro"))
+      .filter(col("sim_micro") >= minMicroCos)
   }
 }

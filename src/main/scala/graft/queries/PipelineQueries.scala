@@ -277,6 +277,34 @@ object PipelineQueries {
       Ann.ivfTopK(emb.filter(col("vec_id") < ANN_NQ), emb, "label", IVF_K)
     },
 
+    // ---- embedding-cosine near-dup: hyperplane-LSH candidates (4 tables
+    // x 8 planes, any-table collision) verified by exact fixed-point
+    // cosine — the vector-side dedup operator. The oracle replays the
+    // identical LSH pipeline (inline integer plane coefficients), so the
+    // compare is exact.
+    QueryDef(
+      "p11_embedding_dedup",
+      s"""WITH buck AS (
+         |  SELECT vec_id, CAST(t AS BIGINT) AS tbl,
+         |    ${Ann.sqlLshBucket("embedding", 64, 8, "t")} AS bucket
+         |  FROM embeddings, range(0, 4) tt(t)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM buck a JOIN buck b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |)
+         |SELECT id_a, id_b, sim_micro FROM (
+         |  SELECT id_a, id_b,
+         |    ${sqlMicroCos("ea.embedding", "eb.embedding")} AS sim_micro
+         |  FROM cand
+         |  JOIN embeddings ea ON ea.vec_id = id_a
+         |  JOIN embeddings eb ON eb.vec_id = id_b
+         |) WHERE sim_micro >= 400000""".stripMargin) { (s, dir) =>
+      Ann.embeddingDedup(t(s, dir, "embeddings"), dim = 64, planes = 8,
+        tables = 4, minMicroCos = 400000L)
+    },
+
     // ---- multimodal decode plumbing: binary payload + mapPartitions
     // batch decode (deterministic stub), oracle-verified end to end.
     QueryDef(

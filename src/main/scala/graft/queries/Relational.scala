@@ -106,11 +106,14 @@ object Relational {
         |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         |  GROUP BY c_custkey
         |) GROUP BY c_count""".stripMargin) { (s, dir) =>
+      // Scale-safe plan (VERDICT r1): pre-aggregate the fact table by its
+      // join key so orders shuffles ONCE (to the ~|customer|-sized count
+      // table) instead of through both the join and the re-aggregation.
+      val perCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"),
-          "left_outer")
-        .groupBy(col("c_custkey"))
-        .agg(count(col("o_orderkey")).as("c_count"))
+        .join(perCust, col("o_custkey") === col("c_custkey"), "left_outer")
+        .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
         .groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
     },
@@ -231,11 +234,23 @@ object Relational {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment, l_returnflag""".stripMargin) { (s, dir) =>
-      t(s, dir, "lineitem")
+      // Scale-safe plan (VERDICT r1): Catalyst won't push an aggregate
+      // through a join, so pre-aggregate lineitem to one row per
+      // (orderkey, returnflag) before joining — the big table crosses the
+      // shuffle once, pre-reduced ~4x, and the partial sums stay in exact
+      // DECIMAL so the final cast matches the oracle bit-for-bit.
+      import org.apache.spark.sql.types.DecimalType
+      val pre = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_returnflag"))
+        .agg(
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("rev_part"),
+          count(lit(1)).as("n_part"))
+      pre
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"), col("l_returnflag"))
-        .agg(dsum(col("l_extendedprice")).as("rev"), count(lit(1)).as("n"))
+        .agg(sum(col("rev_part")).cast("double").as("rev"),
+          sum(col("n_part")).as("n"))
     },
 
     // ---- collect_set equivalent with deterministic ordering (SURVEY A1:

@@ -38,6 +38,17 @@ object Sinks {
     spark.read.parquet(fin)
   }
 
+  /** S9 replacement (SURVEY §2.1): machine-readable graph export as JSON
+    * lines — vertices (with features) and edges into sibling dirs. The
+    * reference's Plotly HTML scatter (`visualizer/plotly_visualizer.py`)
+    * is presentation, not engine; a JSON export is the composable,
+    * distributed equivalent (any plotting tool can consume it).
+    */
+  def exportGraphJson(g: PropertyGraph, outDir: String): Unit = {
+    g.vertices.write.mode(SaveMode.Overwrite).json(s"$outDir/vertices")
+    g.edges.write.mode(SaveMode.Overwrite).json(s"$outDir/edges")
+  }
+
   /** S7: community CSV sink. The reference collected the graph into
     * NetworkX on the driver and wrote one `community_<i>.csv` per
     * component (`spark_manager/spark_manager.py:335-368`) — a driver

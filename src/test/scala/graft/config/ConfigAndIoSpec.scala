@@ -63,6 +63,18 @@ class ConfigAndIoSpec extends SparkSpec {
       Seq("src", "dst", "weight"))
   }
 
+  test("graph json export round-trips") {
+    import spark.implicits._
+    val g = PropertyGraph(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "feat"),
+      Seq((1L, 2L)).toDF("src", "dst"))
+    val out = Files.createTempDirectory("graftjson").toString + "/g"
+    Sinks.exportGraphJson(g, out)
+    assert(spark.read.json(s"$out/vertices").count() == 2)
+    val e = spark.read.json(s"$out/edges").select("src", "dst").head()
+    assert((e.getLong(0), e.getLong(1)) == (1L, 2L))
+  }
+
   test("community csv sink partitions by component") {
     import spark.implicits._
     implicit val s = spark
