@@ -149,7 +149,10 @@ object PipelineQueries {
          |  JOIN hsh sa ON sa.doc_id = id_a
          |  JOIN hsh sb ON sb.doc_id = id_b
          |) WHERE j >= $JACCARD_T""".stripMargin) { (s, dir) =>
-      Dedup.jaccardPairs(t(s, dir, "documents"), SHINGLE_N, JACCARD_T)
+      // Prefix-filtered plan (skew-free candidates, differential-tested
+      // equal to the inverted-index plan); the oracle computes the same
+      // exact result the simple way.
+      Dedup.jaccardPairsPrefix(t(s, dir, "documents"), SHINGLE_N, JACCARD_T)
     },
 
     // ---- MinHash-LSH near-dup: shingle → minhash sig → band buckets →

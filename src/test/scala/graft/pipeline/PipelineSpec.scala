@@ -52,6 +52,24 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 0.5))) // 2 / (3+3-2)
   }
 
+  test("prefix-filtered jaccard equals the inverted-index exact jaccard") {
+    import spark.implicits._
+    // Include docs with shared common shingles and distinct rare ones.
+    val d = docs(
+      (1L, "w x y z q a b c d e"),
+      (2L, "w x y z q a b c d f"),
+      (3L, "w x y z k l m n o p"),
+      (4L, "m n o p r s t u v w"),
+      (5L, "w x y z q a b c d e"))
+    for (tau <- Seq(0.2, 0.4, 0.8)) {
+      val exact = Dedup.jaccardPairs(d, 3, tau).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.jaccardPairsPrefix(d, 3, tau).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref == exact, s"tau $tau")
+    }
+  }
+
   test("minhash pairs find the same near-dups as exact jaccard") {
     val d = docs(
       (1L, "w x y z q a b c d e"),
