@@ -280,6 +280,82 @@ object PipelineQueries {
       Ann.ivfTopK(emb.filter(col("vec_id") < ANN_NQ), emb, "label", IVF_K)
     },
 
+    // ---- per-source corpus report: the aggregation pass a curation
+    // pipeline runs over every shard (counts, distinct content, quality
+    // yield, token volume) — one groupBy, map-side combinable.
+    QueryDef(
+      "p12_corpus_stats",
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, text, string_split(lower(text), ' ') AS tokens
+         |  FROM documents
+         |), per_doc AS (
+         |  SELECT source,
+         |    ${Hashing.sqlH60("lower(text)")} AS text_hash,
+         |    CAST(len(tokens) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(tokens, w -> list_contains($STOPLIST, w))) AS BIGINT)
+         |      / CAST(len(tokens) AS DOUBLE) AS stop_ratio,
+         |    CAST(list_sum(list_transform(tokens, w -> length(w))) AS DOUBLE)
+         |      / CAST(len(tokens) AS DOUBLE) AS mean_tok_len
+         |  FROM toks
+         |)
+         |SELECT source,
+         |  COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT text_hash) AS n_distinct,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(CASE WHEN n_tokens BETWEEN 5 AND 100000
+         |    AND mean_tok_len <= 15.0 AND stop_ratio >= 0.01
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+         |FROM per_doc GROUP BY source""".stripMargin) { (s, dir) =>
+      val txt = col("text")
+      t(s, dir, "documents")
+        .select(col("source"),
+          Hashing.h60(lower(txt)).as("text_hash"),
+          TextAnalysis.tokenCount(txt).as("n_tokens"),
+          TextAnalysis.qualityOk(txt).as("ok"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("text_hash")).as("n_distinct"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_quality"))
+    },
+
+    // ---- training-set yield: quality gate -> exact dedup -> per-lang
+    // yield, the canonical filter+dedup composition of a data pipeline.
+    QueryDef(
+      "p13_training_yield",
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, text, string_split(lower(text), ' ') AS tokens
+         |  FROM documents
+         |), survivors AS (
+         |  SELECT lang, ${Hashing.sqlH60("lower(text)")} AS text_hash,
+         |    CAST(len(tokens) AS BIGINT) AS n_tokens
+         |  FROM toks
+         |  WHERE len(tokens) BETWEEN 5 AND 100000
+         |    AND CAST(list_sum(list_transform(tokens, w -> length(w))) AS DOUBLE)
+         |      / CAST(len(tokens) AS DOUBLE) <= 15.0
+         |    AND CAST(len(list_filter(tokens, w -> list_contains($STOPLIST, w))) AS BIGINT)
+         |      / CAST(len(tokens) AS DOUBLE) >= 0.01
+         |), deduped AS (
+         |  SELECT lang, text_hash, MIN(n_tokens) AS n_tokens
+         |  FROM survivors GROUP BY lang, text_hash
+         |)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM deduped GROUP BY lang""".stripMargin) { (s, dir) =>
+      val txt = col("text")
+      t(s, dir, "documents")
+        .filter(TextAnalysis.qualityOk(txt))
+        .select(col("lang"),
+          Hashing.h60(lower(txt)).as("text_hash"),
+          TextAnalysis.tokenCount(txt).as("n_tokens"))
+        .groupBy("lang", "text_hash")
+        .agg(min(col("n_tokens")).as("n_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+    },
+
     // ---- embedding-cosine near-dup: hyperplane-LSH candidates (4 tables
     // x 8 planes, any-table collision) verified by exact fixed-point
     // cosine — the vector-side dedup operator. The oracle replays the
