@@ -6,15 +6,23 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * Measurement integrity (VERDICT round 1, "What's wrong" #2/#3):
+  * Measurement integrity (VERDICT rounds 1-2):
   *   - one warmup execution per query (JIT/codegen/parquet footer caches
   *     warm; the measured pass reflects steady-state plan cost, not
   *     first-use overhead);
+  *   - each query is then measured `RUNS` (3) times and reported as the
+  *     MEDIAN, with the per-query minimum in a sibling `min_queries`
+  *     object. One contended VM slice (CPU steal, page-cache eviction)
+  *     previously inflated single-shot numbers up to 30x (round-2
+  *     BENCH_r02 289 s vs a clean 54 s re-run); a median of three absorbs
+  *     one bad slice entirely and two partially;
   *   - results are fully materialized via a `noop`-style foreach write
   *     (`count()` lets Catalyst prune the final projection for
   *     scan-shaped queries);
   *   - a query that throws is reported in an `errors` object and its slot
   *     excluded from the total, never silently timed as a success;
+  *   - JSON numbers are formatted under Locale.ROOT (a comma-decimal
+  *     default locale would emit invalid JSON);
   *   - the legacy-parquet session flag is set once at session build, not
   *     inside the per-query loader.
   */
@@ -40,27 +48,35 @@ object Bench {
     spark.sparkContext.setCheckpointDir(
       java.nio.file.Files.createTempDirectory("bench-ckpt").toString)
 
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     for (name <- names) {
       val fn = SparkEntry.queries(name)
       try {
         runOnce(spark, fn, sfDir) // warmup
-        val t0 = System.nanoTime()
-        runOnce(spark, fn, sfDir)
-        times(name) = (System.nanoTime() - t0) / 1e9
+        val samples = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          runOnce(spark, fn, sfDir)
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        times(name) = samples(samples.length / 2)
+        mins(name) = samples.head
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\n\\r\\t]", " ").take(200)
       }
     }
-    def jnum(d: Double): String = f"$d%.3f"
-    val qs = times.map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
+    def jnum(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    def jmap(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = times.values.sum
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${jmap(times)},"min_queries":${jmap(mins)},"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
