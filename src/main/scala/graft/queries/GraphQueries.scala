@@ -128,8 +128,9 @@ object GraphQueries {
 
   // ---------------------------------------------------------------- oracle SQL
 
-  /** Shared DuckDB prelude mirroring the derivations above. */
-  private val EDGES = """
+  /** Shared DuckDB prelude mirroring the derivations above (shared with
+    * [[SourceMlQueries]] for the sink-roundtrip oracles). */
+  private[queries] val EDGES = """
     |edges AS (
     |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
     |  FROM lineitem a JOIN lineitem b

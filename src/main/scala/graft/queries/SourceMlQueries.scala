@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.functions.vector_to_array
+
+import graft.graph.PropertyGraph
+import graft.ml.DummyVectors
+import graft.sources.{GraphCsv, Sinks}
+
+/** Oracle-checked coverage of the source/sink (SURVEY §2.1 S1-S7) and ML
+  * encoding (§2.8 M1-M4) families (VERDICT round 2, "Next round" #1): the
+  * operators previously covered only by ScalaTest specs now each have a
+  * DuckDB-verified CORRECTNESS row.
+  *
+  *   - s01: the schema-driven CSV scans (S1/S2) over the reference's own
+  *     Quakers dataset, composed with the closed-form one-hot cosine
+  *     numerator (F1) — DuckDB re-reads the same CSVs with `read_csv`.
+  *   - s02: parquet write→append→compact→reload (S3/S4/S5/S6) — the
+  *     roundtrip must be lossless, so an aggregate over the reloaded data
+  *     must equal the same aggregate DuckDB computes on the original table.
+  *   - s03: the distributed community CSV sink (S7) — written with
+  *     `partitionBy(component)`, read back from the partition-directory
+  *     layout, and the recovered component sizes compared against the
+  *     recursive-CTE components oracle.
+  *   - m01: StringIndexer→OneHotEncoder→VectorAssembler (M1-M4): Spark's
+  *     frequency-desc, ties-alphabetic vocabulary order and the dropLast
+  *     =false block layout are SQL-expressible, so the active one-hot
+  *     indices are recomputed in DuckDB with window-function ranking.
+  *
+  * Scale notes: s01/s02/s03 are scans + one map-side-combinable aggregate
+  * each (the sinks write with the data's natural parallelism — no
+  * repartition(1) driver funnels); m01's fit stage is one pass per
+  * indexed column and its transform is a narrow map.
+  */
+object SourceMlQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** The reference's own test dataset (read-only). */
+  private val QuakersDir = "/root/reference/data/input_graphs/Quakers"
+  private val NodeFeatures = Seq("significance", "gender", "birth", "death", "internal_id")
+
+  /** Per-(session, sf-dir) scratch dir for the sink roundtrips — stable so
+    * repeated runs overwrite rather than accumulate.
+    */
+  private def scratch(dir: String, name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${name}_${Integer.toHexString(dir.hashCode)}"
+
+  private val NODES_SQL = s"""
+    |nodes AS (
+    |  SELECT * FROM read_csv('$QuakersDir/quakers_nodelist.csv2',
+    |    header=true, delim=',',
+    |    columns={'id': 'BIGINT', 'significance': 'VARCHAR', 'gender': 'VARCHAR',
+    |             'birth': 'VARCHAR', 'death': 'VARCHAR', 'internal_id': 'VARCHAR'})
+    |),
+    |qedges AS (
+    |  SELECT * FROM read_csv('$QuakersDir/quakers_edgelist.csv2',
+    |    header=true, delim=',', columns={'src': 'BIGINT', 'dst': 'BIGINT'})
+    |)""".stripMargin
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ---- S1/S2 + F1 closed form: schema-driven CSV node+edge scans over
+    // the reference's Quakers dataset; per-edge count of equal features =
+    // the numerator of the one-hot cosine (dropLast=false ⇒ cos = eq/F).
+    // Null-safe equality: schema'd CSV reads turn empty fields into NULLs
+    // in both engines.
+    QueryDef(
+      "s01_csv_scan",
+      s"""WITH $NODES_SQL
+         |SELECT e.src, e.dst,
+         |  CAST((CASE WHEN a.significance IS NOT DISTINCT FROM b.significance THEN 1 ELSE 0 END)
+         |     + (CASE WHEN a.gender IS NOT DISTINCT FROM b.gender THEN 1 ELSE 0 END)
+         |     + (CASE WHEN a.birth IS NOT DISTINCT FROM b.birth THEN 1 ELSE 0 END)
+         |     + (CASE WHEN a.death IS NOT DISTINCT FROM b.death THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS eq_features,
+         |  a.significance AS src_significance,
+         |  b.gender AS dst_gender
+         |FROM qedges e
+         |JOIN nodes a ON a.id = e.src
+         |JOIN nodes b ON b.id = e.dst""".stripMargin) { (s, dir) =>
+      val nodes = GraphCsv.loadNodes(s, s"$QuakersDir/quakers_nodelist.csv2",
+        NodeFeatures)
+      val edges = GraphCsv.loadEdges(s, s"$QuakersDir/quakers_edgelist.csv2")
+      def eq(f: String) =
+        when(col(s"a.$f") <=> col(s"b.$f"), 1).otherwise(0)
+      edges
+        .join(nodes.as("a"), col("a.id") === col("src"))
+        .join(nodes.as("b"), col("b.id") === col("dst"))
+        .select(col("src"), col("dst"),
+          Seq("significance", "gender", "birth", "death")
+            .map(eq).reduce(_ + _).cast("long").as("eq_features"),
+          col("a.significance").as("src_significance"),
+          col("b.gender").as("dst_gender"))
+    },
+
+    // ---- S3/S4/S5/S6: parquet write → duplicate append → compact (dedup
+    // + overwrite) → reload (persisted read-back), then aggregate. The
+    // oracle aggregates the original table: the roundtrip must be lossless
+    // and the compaction must collapse the append-induced duplicates.
+    QueryDef(
+      "s02_sink_roundtrip",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM (SELECT DISTINCT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |      FROM lineitem)
+        |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val base = scratch(dir, "s02")
+      val sel = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      sel.write.mode(SaveMode.Overwrite).parquet(s"$base/li_pre.parquet")
+      sel.write.mode(SaveMode.Append).parquet(s"$base/li_pre.parquet")
+      val compacted = Sinks.compact(s, base, "li")
+      val reloaded = Sinks.reload(compacted, base, "li_reloaded")
+      reloaded.groupBy("l_returnflag")
+        .agg(graft.Exact.dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+    },
+
+    // ---- S7 + G4: distributed community CSV sink. Components of the
+    // derived graph are written as `component=<id>/part-*.csv` and read
+    // back from that layout; the recovered sizes must match the
+    // recursive-CTE component oracle.
+    QueryDef(
+      "s03_community_csv",
+      s"""WITH RECURSIVE ${GraphQueries.EDGES},
+         |verts AS (SELECT DISTINCT src AS id FROM sym),
+         |reach AS (
+         |  SELECT id, id AS r FROM verts
+         |  UNION
+         |  SELECT s.dst AS id, r.r FROM reach r JOIN sym s ON s.src = r.id
+         |)
+         |SELECT component, CAST(count(*) AS BIGINT) AS size FROM (
+         |  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+         |) GROUP BY component""".stripMargin) { (s, dir) =>
+      implicit val spark: SparkSession = s
+      val e = GraphQueries.derivedEdges(s, dir)
+      val v = e.select(explode(array(col("src"), col("dst"))).as("id")).distinct()
+      val out = scratch(dir, "s03")
+      Sinks.saveCommunitiesCsv(PropertyGraph(v, e), out)
+      s.read.option("header", "true").csv(out)
+        .select(col("component").cast("long").as("component"))
+        .groupBy("component")
+        .agg(count(lit(1)).as("size"))
+    },
+
+    // ---- M1-M4: StringIndexer (frequencyDesc, ties alphabetic, SPARK
+    // docs) → OneHotEncoder(dropLast=false) → VectorAssembler. The active
+    // one-hot indices of each part are fully determined by the per-feature
+    // vocabularies: index(v) = rank of v by (count DESC, value ASC), the
+    // second feature's block offset = |brand vocabulary| + 1 — the +1 is
+    // the "__unknown" slot handleInvalid="keep" appends to the indexer's
+    // column metadata, which widens each encoded block by one (verified
+    // against Spark 4.1). DuckDB recomputes exactly that with window
+    // functions.
+    QueryDef(
+      "m01_dummy_vectors",
+      """WITH bc AS (SELECT p_brand AS v, count(*) AS c FROM part GROUP BY 1),
+        |bi AS (SELECT v, row_number() OVER (ORDER BY c DESC, v ASC) - 1 AS idx FROM bc),
+        |cc AS (SELECT p_type AS v, count(*) AS c FROM part GROUP BY 1),
+        |ci AS (SELECT v, row_number() OVER (ORDER BY c DESC, v ASC) - 1 AS idx FROM cc),
+        |nb AS (SELECT count(*) + 1 AS n FROM bi)
+        |SELECT p.p_partkey AS id,
+        |  CAST(bi.idx AS VARCHAR) || ',' || CAST(nb.n + ci.idx AS VARCHAR) AS active_idx
+        |FROM part p
+        |JOIN bi ON bi.v = p.p_brand
+        |JOIN ci ON ci.v = p.p_type
+        |CROSS JOIN nb""".stripMargin) { (s, dir) =>
+      val parts = t(s, dir, "part")
+        .select(col("p_partkey").as("id"), col("p_brand"), col("p_type"))
+      val dv = DummyVectors.create(parts, Seq("p_brand", "p_type"))
+      val arr = vector_to_array(col("features"))
+      val active = filter(
+        transform(arr, (x, i) => when(x > lit(0.5), i).otherwise(lit(-1))),
+        x => x >= 0)
+      dv.select(col("id"),
+        concat_ws(",", transform(active, _.cast("string"))).as("active_idx"))
+    }
+  )
+}
