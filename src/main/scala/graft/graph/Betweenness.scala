@@ -35,8 +35,18 @@ import org.apache.spark.sql.functions._
   *
   * Betweenness of a directed edge struct `(src,dst)` = number of chosen
   * shortest paths it appears in, over all ordered vertex pairs at distance
-  * ≤ `maxLen` (`graph_tools/graph_tools.py:270-286`). By symmetry of the
-  * deterministic tie-break, betweenness(u,v) == betweenness(v,u).
+  * ≤ `maxLen` (`graph_tools/graph_tools.py:270-286`). For `maxLen` ≤ 2
+  * (one intermediate) the lexicographic-min tie-break picks the same
+  * intermediate in both directions, so betweenness(u,v) ==
+  * betweenness(v,u); for `maxLen` ≥ 3 the min over FORWARD mid sequences
+  * is not reversal-invariant and per-orientation counts may differ on
+  * graphs with tied shortest paths.
+  *
+  * Hub-skew: all intermediate expansion joins take the `maxMidDegree`-
+  * capped adjacency ([[Skew.cappedMidAdjacency]]) — with a cap, paths
+  * THROUGH hubs above it are excluded from both the distance table and
+  * path enumeration (consistently, so no pair is assigned a path longer
+  * than its capped distance). `None` is bit-identical to exact.
   */
 object Betweenness {
 
@@ -45,15 +55,19 @@ object Betweenness {
     * each round extends the frontier by one adjacency join and anti-joins
     * out pairs already seen at a shorter distance.
     */
-  def boundedDistances(adj: DataFrame, maxLen: Int): DataFrame = {
+  def boundedDistances(adj: DataFrame, maxLen: Int,
+      maxMidDegree: Option[Long] = None): DataFrame = {
     require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    // Extension steps go THROUGH the frontier's endpoint, so they use the
+    // capped adjacency; the first hop (direct edges) is never capped.
+    val midAdj = Skew.cappedMidAdjacency(adj, maxMidDegree)
     var known = adj.select(col("src").as("a"), col("dst").as("z"))
       .withColumn("distance", lit(1))
     var frontier = known
     for (d <- 2 to maxLen) {
       val extended = frontier
         .select(col("a"), col("z").as("mid"))
-        .join(adj.select(col("src").as("mid"), col("dst").as("z")), Seq("mid"))
+        .join(midAdj.select(col("src").as("mid"), col("dst").as("z")), Seq("mid"))
         .select(col("a"), col("z"))
         .filter(col("a") =!= col("z"))
         .distinct()
@@ -71,15 +85,17 @@ object Betweenness {
     * shortest length). Fan-out is degree^len — callers keep `len` small
     * (the reference default `max_sp_length` is 2, `confs/quakers.yml:64`).
     */
-  def enumeratePaths(adj: DataFrame, len: Int): DataFrame = {
+  def enumeratePaths(adj: DataFrame, len: Int,
+      maxMidDegree: Option[Long] = None): DataFrame = {
     require(len >= 1, s"len must be >= 1, got $len")
+    val midAdj = Skew.cappedMidAdjacency(adj, maxMidDegree)
     var p = adj.select(
       col("src").as("a"), col("dst").as("z"),
       array().cast("array<bigint>").as("mids"),
       array(struct(col("src"), col("dst"))).as("path"))
     for (_ <- 2 to len) {
       p = p.select(col("a"), col("z").as("mid"), col("mids"), col("path"))
-        .join(adj.select(col("src").as("mid"), col("dst").as("nxt")), Seq("mid"))
+        .join(midAdj.select(col("src").as("mid"), col("dst").as("nxt")), Seq("mid"))
         .select(
           col("a"), col("nxt").as("z"),
           concat(col("mids"), array(col("mid"))).as("mids"),
@@ -92,12 +108,13 @@ object Betweenness {
   /** One deterministic shortest path per ordered pair at distance ≤
     * `maxLen`: `(a, z, path)`.
     */
-  def shortestPaths(g: PropertyGraph, maxLen: Int): DataFrame = {
+  def shortestPaths(g: PropertyGraph, maxLen: Int,
+      maxMidDegree: Option[Long] = None): DataFrame = {
     val adj = g.adjacency
-    val dist = boundedDistances(adj, maxLen)
+    val dist = boundedDistances(adj, maxLen, maxMidDegree)
     val candidates = (1 to maxLen).map { len =>
       // J4: keep only walks whose endpoints are at exactly this distance.
-      enumeratePaths(adj, len)
+      enumeratePaths(adj, len, maxMidDegree)
         .join(dist.filter(col("distance") === len).select("a", "z"),
           Seq("a", "z"), "left_semi")
     }.reduce(_ unionByName _)
@@ -114,8 +131,9 @@ object Betweenness {
     * output schema (`graph_tools/graph_tools.py:281-285`), consumed by the
     * struct-field-key joins in edge deletion (`main.py:130-134`).
     */
-  def run(g: PropertyGraph, maxLen: Int)(implicit spark: SparkSession): DataFrame =
-    shortestPaths(g, maxLen)
+  def run(g: PropertyGraph, maxLen: Int, maxMidDegree: Option[Long] = None)(
+      implicit spark: SparkSession): DataFrame =
+    shortestPaths(g, maxLen, maxMidDegree)
       .select(explode(col("path")).as("edges"))
       .groupBy("edges")
       .agg(count(lit(1)).as("betweenness"))

@@ -18,23 +18,31 @@ import org.apache.spark.sql.functions._
   * The reference enumerated hops with GraphFrames motifs; here each hop is
   * one self-join of the adjacency DataFrame — same result, plain Catalyst
   * joins (shuffle on the join key; at scale AQE handles skew). Level-2
-  * fan-out is O(sum of squared degrees): fine for the HGN-style graphs
-  * this targets, and the join is still fully distributed.
+  * fan-out is O(sum of squared degrees); on power-law graphs callers pass
+  * `maxMidDegree` to cap hub fan-out ([[Skew.cappedMidAdjacency]] —
+  * documented approximation: vertices above the cap contribute no 2-hop
+  * expansion THROUGH themselves; their own rows and level-1 edges are
+  * untouched. `None` (default) is bit-identical to the exact operator.
   */
 object Neighborhoods {
 
   /** Neighbor pairs `(id, nb)` within ≤ `level` hops, distinct,
     * self-excluded. `level` must be 1 or 2.
     */
-  def neighborPairs(g: PropertyGraph, level: Int): DataFrame = {
+  def neighborPairs(g: PropertyGraph, level: Int,
+      maxMidDegree: Option[Long] = None): DataFrame = {
     require(level == 1 || level == 2, s"level must be 1 or 2, got $level")
     val adj = g.adjacency // (src, dst), distinct, no self-loops
     val lvl1 = adj.select(col("src").as("id"), col("dst").as("nb"))
     val pairs = level match {
       case 1 => lvl1
       case 2 =>
+        // The mid side of the expansion is the capped adjacency: a hub
+        // above the cap never occurs as `mid`, bounding fan-out to cap²
+        // per mid. Hubs still appear as `id` and `nb`.
+        val midAdj = Skew.cappedMidAdjacency(adj, maxMidDegree)
         val hop2 = adj.select(col("src").as("id"), col("dst").as("mid"))
-          .join(adj.select(col("src").as("mid"), col("dst").as("nb")), Seq("mid"))
+          .join(midAdj.select(col("src").as("mid"), col("dst").as("nb")), Seq("mid"))
           .select(col("id"), col("nb"))
         hop2.unionByName(lvl1) // lvl-2 includes lvl-1 (reference line 349-350)
     }
@@ -44,8 +52,9 @@ object Neighborhoods {
   /** Per-vertex neighbor set + degree with isolated-vertex backfill:
     * `(id, count, neighbors)` for EVERY vertex of `g`.
     */
-  def neighbors(g: PropertyGraph, level: Int): DataFrame = {
-    val agged = neighborPairs(g, level)
+  def neighbors(g: PropertyGraph, level: Int,
+      maxMidDegree: Option[Long] = None): DataFrame = {
+    val agged = neighborPairs(g, level, maxMidDegree)
       .groupBy("id")
       .agg(collect_set(col("nb")).as("nbs"), count(lit(1)).as("cnt"))
     g.vertices.select("id")

