@@ -16,9 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object Hashing {
 
-  /** 60-bit hash of a string column. */
+  /** 60-bit hash of a string column (ORACLE mode: md5-derived, DuckDB can
+    * replay it — see [[sqlH60]]).
+    */
   def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit hash of a string column (ENGINE mode): xxHash64 truncated to
+    * the top 60 bits — non-negative, same range as [[h60]]. ~10× cheaper
+    * per byte than md5 (no crypto rounds, no hex-string round-trip;
+    * VERDICT round 2 "What's wrong" #3) but NOT reproducible in DuckDB
+    * SQL, so oracle-checked queries keep [[h60]]; production dedup runs
+    * that don't need cross-engine parity pass `Hashing.fast60` as the
+    * `hash` argument of the [[Dedup]] / [[TextAnalysis]] operators
+    * (differential-tested equal pair sets in HashModeSpec).
+    */
+  def fast60(c: Column): Column =
+    shiftrightunsigned(xxhash64(c), 4)
 
   /** DuckDB SQL fragment computing the same value. */
   def sqlH60(expr: String): String =

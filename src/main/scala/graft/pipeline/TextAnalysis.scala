@@ -85,8 +85,9 @@ object TextAnalysis {
     * the word `n`-shingles (a 1-perm MinHash). Equal fingerprints ⇒ the
     * docs share their minimizing shingle.
     */
-  def shingleFingerprint(text: Column, n: Int = 3): Column =
-    array_min(transform(Shingles.wordShingles(tokens(text), n), s => Hashing.h60(s)))
+  def shingleFingerprint(text: Column, n: Int = 3,
+      hash: Column => Column = Hashing.h60): Column =
+    array_min(transform(Shingles.wordShingles(tokens(text), n), s => hash(s)))
 }
 
 /** Word n-gram shingling shared by fingerprinting and the dedup family. */
