@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.config.HgnConfig
-import graft.graph.{HgnPipeline, PropertyGraph}
+import graft.graph.{Betweenness, HgnPipeline, PropertyGraph}
 import graft.ml.{Cosine, DummyVectors}
 import graft.sources.{GraphCsv, Sinks}
 
@@ -36,14 +36,33 @@ object Hgn {
       conf.edgesDelimiter, conf.edgesHasHeader)
     val g = PropertyGraph(nodes, edges)
 
-    // Init step (main.py:242-258): encode features, per-edge similarities.
-    val vectors = DummyVectors.create(g.vertices, conf.featuresToCheck)
-    val sims = Cosine.edgeSimilarities(g.edges, vectors)
-      .select("src", "dst", "similarity")
-      .localCheckpoint()
+    // Init step (main.py:242-258): encode features, per-edge similarities,
+    // betweenness. With `cached_init_step` (main.py:243-245), a previous
+    // run's persisted init tables under `output.dir/init` are reused —
+    // on a big graph the init betweenness is the most expensive stage,
+    // and a resumed run skips the ML fit and path enumeration entirely.
+    val initDir = s"${conf.outputDir}/init"
+    def initPath(name: String) = new org.apache.hadoop.fs.Path(s"$initDir/$name.parquet")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val (sims, btw) =
+      if (conf.cachedInitStep &&
+          fs.exists(initPath("similarities")) && fs.exists(initPath("betweenness"))) {
+        (spark.read.parquet(initPath("similarities").toString),
+         spark.read.parquet(initPath("betweenness").toString))
+      } else {
+        val vectors = DummyVectors.create(g.vertices, conf.featuresToCheck)
+        val s0 = Cosine.edgeSimilarities(g.edges, vectors)
+          .select("src", "dst", "similarity")
+        val b0 = Betweenness.run(g, conf.params.maxSpLength)
+        if (conf.cachedInitStep)
+          (Sinks.reload(s0, initDir, "similarities"),
+           Sinks.reload(b0, initDir, "betweenness"))
+        else (s0.localCheckpoint(), b0)
+      }
 
-    // Main loop (betweenness init + iterate handled inside).
-    val result = HgnPipeline.run(g, sims, conf.params)
+    // Main loop (iterations handled inside; betweenness init supplied).
+    val result = HgnPipeline.run(g, sims, conf.params, Some(btw))
 
     if (conf.saveCommunities)
       Sinks.saveCommunitiesCsv(result, s"${conf.outputDir}/communities")

@@ -28,7 +28,8 @@ final case class HgnConfig(
     edgesHaveWeights: Boolean = false,
     params: HgnParams = HgnParams(),
     outputDir: String = "output",
-    saveCommunities: Boolean = true) {
+    saveCommunities: Boolean = true,
+    cachedInitStep: Boolean = false) {
   require(nodesPath.nonEmpty, "input.nodes_path is required")
   require(edgesPath.nonEmpty, "input.edges_path is required")
   require(featureNames.nonEmpty, "input.feature_names is required")
@@ -43,13 +44,18 @@ object HgnConfig {
     val kv = scala.collection.mutable.Map[String, String]()
     var section = ""
     for (raw <- text.linesIterator) {
-      val line = raw.replaceAll("#.*$", "")
+      // YAML comment rules: '#' starts a comment only at line start or
+      // after whitespace, so values containing '#' (paths, URLs) survive.
+      val line = raw.replaceAll("(^|\\s)#.*$", "")
       if (line.trim.nonEmpty) {
         val indented = line.head == ' ' || line.head == '\t'
         val t = line.trim
         if (t.contains(":") || t.contains("=")) {
-          val sep = if (t.contains(":")) ":" else "="
-          val Array(k, rest @ _*) = t.split(sep, 2)
+          // Separator = whichever of ':' / '=' appears FIRST, so a
+          // properties-style `key=a:b` keeps its ':' inside the value.
+          val ci = t.indexOf(':'); val ei = t.indexOf('=')
+          val sep = if (ei < 0 || (ci >= 0 && ci < ei)) ":" else "="
+          val Array(k, rest @ _*) = t.split(java.util.regex.Pattern.quote(sep), 2)
           val v = rest.headOption.getOrElse("").trim
           if (!indented && v.isEmpty) section = k.trim
           else {
@@ -108,6 +114,7 @@ object HgnConfig {
         maxSteps = int("run_options.max_steps", 30),
         minCompSize = int("run_options.min_comp_size", 10)),
       outputDir = str("output.dir", "output"),
-      saveCommunities = bool("output.save_communities_to_csvs", dflt = true))
+      saveCommunities = bool("output.save_communities_to_csvs", dflt = true),
+      cachedInitStep = bool("run_options.cached_init_step", dflt = false))
   }
 }

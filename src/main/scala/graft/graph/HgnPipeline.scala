@@ -88,12 +88,18 @@ object HgnPipeline {
     * `similarities` is the per-edge similarity table from the init step
     * (cosine over encoded features — [[graft.ml.DummyVectors]] +
     * [[graft.ml.Cosine]] — or any user-supplied `(src, dst, similarity)`).
+    * `initBetweenness` short-circuits the betweenness init with a
+    * previously persisted table (`cached_init_step`, `main.py:243-245`).
     */
   def run(
       initial: PropertyGraph,
       similarities: DataFrame,
-      params: HgnParams)(implicit spark: SparkSession): PropertyGraph = {
-    val betweenness = Betweenness.run(initial, params.maxSpLength).localCheckpoint()
+      params: HgnParams,
+      initBetweenness: Option[DataFrame] = None)(
+      implicit spark: SparkSession): PropertyGraph = {
+    val betweenness = initBetweenness
+      .getOrElse(Betweenness.run(initial, params.maxSpLength))
+      .localCheckpoint()
     var g = PropertyGraph(
       initial.vertices.localCheckpoint(), initial.edges.localCheckpoint())
     var step = 0

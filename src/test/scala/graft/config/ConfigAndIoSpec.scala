@@ -32,6 +32,20 @@ class ConfigAndIoSpec extends SparkSpec {
     assert(c.outputDir == "/tmp/out")
   }
 
+  test("config keeps '#' inside values and ':' inside '='-format values") {
+    val c = HgnConfig.parse(
+      """input:
+        |  nodes_path: /data/run#3/nodes.csv  # trailing comment stripped
+        |  edges_path: /data/edges.csv
+        |  feature_names: [id, f]
+        |run_options.cached_init_step=true
+        |output.dir=/tmp/a:b
+        |""".stripMargin)
+    assert(c.nodesPath == "/data/run#3/nodes.csv")
+    assert(c.cachedInitStep)
+    assert(c.outputDir == "/tmp/a:b")
+  }
+
   test("config rejects features_to_check outside feature_names") {
     intercept[IllegalArgumentException] {
       HgnConfig.parse(
