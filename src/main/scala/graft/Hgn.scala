@@ -31,7 +31,7 @@ object Hgn {
 
   def run(conf: HgnConfig)(implicit spark: SparkSession): PropertyGraph = {
     val nodes = GraphCsv.loadNodes(spark, conf.nodesPath, conf.featureNames,
-      conf.nodesDelimiter, conf.nodesHasHeader)
+      conf.nodesDelimiter, conf.nodesHasHeader, conf.nodesEncoding)
     val edges = GraphCsv.loadEdges(spark, conf.edgesPath, conf.edgesHaveWeights,
       conf.edgesDelimiter, conf.edgesHasHeader)
     val g = PropertyGraph(nodes, edges)
@@ -51,14 +51,18 @@ object Hgn {
         (spark.read.parquet(initPath("similarities").toString),
          spark.read.parquet(initPath("betweenness").toString))
       } else {
+        val t0 = System.nanoTime()
         val vectors = DummyVectors.create(g.vertices, conf.featuresToCheck)
         val s0 = Cosine.edgeSimilarities(g.edges, vectors)
           .select("src", "dst", "similarity")
         val b0 = Betweenness.run(g, conf.params.maxSpLength)
-        if (conf.cachedInitStep)
-          (Sinks.reload(s0, initDir, "similarities"),
-           Sinks.reload(b0, initDir, "betweenness"))
-        else (s0.localCheckpoint(), b0)
+        val out =
+          if (conf.cachedInitStep)
+            (Sinks.reload(s0, initDir, "similarities"),
+             Sinks.reload(b0, initDir, "betweenness"))
+          else (graft.plans.Lineage.cut(s0), graft.plans.Lineage.cut(b0))
+        println(f"[hgn] init step (similarities + betweenness): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        out
       }
 
     // Main loop (iterations handled inside; betweenness init supplied).

