@@ -49,6 +49,53 @@ object Sinks {
     g.edges.write.mode(SaveMode.Overwrite).json(s"$outDir/edges")
   }
 
+  /** S9 parity: GraphML export — one well-formed XML document consumable
+    * directly by Gephi/NetworkX/yEd (the consumers of the reference's
+    * visualizer output). GraphML is a single rooted document, so the
+    * final write necessarily funnels through one task (`coalesce(1)`);
+    * that is inherent to the FORMAT, and this sink is meant for the
+    * end-of-pipeline, already-community-filtered graph (the node/edge
+    * line RENDERING still runs distributed before the coalesce). For
+    * machine-to-machine handoff at scale use [[exportGraphJson]].
+    */
+  def exportGraphML(g: PropertyGraph, outDir: String): Unit = {
+    val features = g.vertices.columns.filterNot(_ == "id").toSeq
+    def esc(c: org.apache.spark.sql.Column) = {
+      // XML entity escaping; ampersand first.
+      Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;", "\"" -> "&quot;")
+        .foldLeft(c) { case (acc, (from, to)) =>
+          regexp_replace(acc, java.util.regex.Pattern.quote(from), to)
+        }
+    }
+    val header =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<graphml xmlns="http://graphml.graphdrawing.org/xmlns">""".stripMargin +
+        features.zipWithIndex.map { case (f, i) =>
+          s"""\n  <key id="d$i" for="node" attr.name="$f" attr.type="string"/>"""
+        }.mkString +
+        "\n  <graph id=\"G\" edgedefault=\"undirected\">"
+    val nodeData = features.zipWithIndex.map { case (f, i) =>
+      when(col(f).isNotNull,
+        concat(lit(s"""<data key="d$i">"""), esc(col(f).cast("string")), lit("</data>")))
+        .otherwise(lit(""))
+    }
+    val nodeLines = g.vertices.select(
+      concat((lit("    <node id=\"n") +: col("id").cast("string") +: lit("\">") +:
+        nodeData :+ lit("</node>")): _*).as("line"))
+    val edgeLines = g.edges.select(
+      concat(lit("    <edge source=\"n"), col("src").cast("string"),
+        lit("\" target=\"n"), col("dst").cast("string"), lit("\"/>")).as("line"))
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val doc = Seq((0, header)).toDF("ord", "line")
+      .unionByName(nodeLines.select(lit(1).as("ord"), col("line")))
+      .unionByName(edgeLines.select(lit(2).as("ord"), col("line")))
+      .unionByName(Seq((3, "  </graph>\n</graphml>")).toDF("ord", "line"))
+    doc.coalesce(1).sortWithinPartitions("ord")
+      .select("line")
+      .write.mode(SaveMode.Overwrite).text(outDir)
+  }
+
   /** S7: community CSV sink. The reference collected the graph into
     * NetworkX on the driver and wrote one `community_<i>.csv` per
     * component (`spark_manager/spark_manager.py:335-368`) — a driver

@@ -16,16 +16,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
-  /** Streaming exact dedup on `idCols` with a watermark on `tsCol`:
-    * late duplicates beyond `delayThreshold` age out of the state store
-    * instead of growing it forever — the required pattern for unbounded
-    * streams.
+  /** Streaming exact dedup on `idCols` ALONE (a duplicate id with a
+    * different event time is still a duplicate), with a watermark on
+    * `tsCol` bounding the state store: `dropDuplicatesWithinWatermark`
+    * (Spark 3.5+) keeps a key's state only until the watermark passes its
+    * first-seen event time, so late duplicates beyond `delayThreshold`
+    * age out instead of growing state forever — the required pattern for
+    * unbounded streams.
     */
   def dedupStream(stream: DataFrame, tsCol: String, delayThreshold: String,
       idCols: Seq[String]): DataFrame =
     stream
       .withWatermark(tsCol, delayThreshold)
-      .dropDuplicates(idCols :+ tsCol)
+      .dropDuplicatesWithinWatermark(idCols)
 
   /** Watermarked tumbling-window aggregation (the streaming equivalent of
     * q12's batch day-bucketing): counts + sum per (window, key).

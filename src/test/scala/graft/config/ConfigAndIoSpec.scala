@@ -89,6 +89,26 @@ class ConfigAndIoSpec extends SparkSpec {
     assert((e.getLong(0), e.getLong(1)) == (1L, 2L))
   }
 
+  test("graphml export is one well-formed document Gephi could load") {
+    import spark.implicits._
+    val g = PropertyGraph(
+      Seq((1L, "a<b&c"), (2L, "plain"), (3L, null.asInstanceOf[String]))
+        .toDF("id", "label"),
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
+    val dir = Files.createTempDirectory("graphml").toString
+    Sinks.exportGraphML(g, dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val xml = new String(Files.readAllBytes(file.toPath), "UTF-8")
+    // JDK parser accepts it => well-formed (escaping correct)
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+    assert(doc.getElementsByTagName("node").getLength == 3)
+    assert(doc.getElementsByTagName("edge").getLength == 2)
+    assert(xml.contains("a&lt;b&amp;c"))
+  }
+
   test("community csv sink partitions by component") {
     import spark.implicits._
     implicit val s = spark

@@ -20,7 +20,9 @@ class StreamingSpec extends SparkSpec {
     val q = deduped.writeStream.format("memory").queryName("dedup_out")
       .outputMode(OutputMode.Append).start()
     try {
-      input.addData((1L, ts(1)), (1L, ts(1)), (2L, ts(2)), (1L, ts(1)))
+      // id 1 recurs with a DIFFERENT event time: still a duplicate —
+      // dedup is on the id alone (dropDuplicatesWithinWatermark).
+      input.addData((1L, ts(1)), (1L, ts(1)), (2L, ts(2)), (1L, ts(3)))
       q.processAllAvailable()
       val got = spark.table("dedup_out").select("event_id")
         .collect().map(_.getLong(0)).sorted
