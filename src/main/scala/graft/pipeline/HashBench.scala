@@ -21,22 +21,28 @@ object HashBench {
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
-    def time(label: String)(make: (Column => Column) => org.apache.spark.sql.DataFrame,
-        hash: Column => Column): Unit = {
-      make(hash).write.mode("overwrite").format("noop").save() // warmup
+    def time(label: String)(make: Hashing.HashMode => org.apache.spark.sql.DataFrame,
+        mode: Hashing.HashMode): Unit = {
+      make(mode).write.mode("overwrite").format("noop").save() // warmup
       val t0 = System.nanoTime()
-      make(hash).write.mode("overwrite").format("noop").save()
+      make(mode).write.mode("overwrite").format("noop").save()
       println(f"[hashbench] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    val fingerprints = (h: Column => Column) =>
+    val fingerprints = (m: Hashing.HashMode) =>
       docs.select(col("doc_id"),
-        TextAnalysis.shingleFingerprint(col("text"), 3, h).as("fp"))
-    val simhash = (h: Column => Column) =>
-      Dedup.simHash(docs, 48, 3, hash = h)
-    time("fingerprint md5")(fingerprints, Hashing.h60)
-    time("fingerprint xxh")(fingerprints, Hashing.fast60)
-    time("simhash md5")(simhash, Hashing.h60)
-    time("simhash xxh")(simhash, Hashing.fast60)
+        TextAnalysis.shingleFingerprint(col("text"), 3, m).as("fp"))
+    val simhash = (m: Hashing.HashMode) =>
+      Dedup.simHash(docs, 48, 3, mode = m)
+    val hofFingerprints = (m: Hashing.HashMode) =>
+      docs.select(col("doc_id"), array_min(transform(
+        Shingles.wordShingles(TextAnalysis.tokens(col("text")), 3),
+        s => m(s))).as("fp"))
+    time("fingerprint md5 (native)")(fingerprints, Hashing.HashMode.Oracle)
+    time("fingerprint xxh (native)")(fingerprints, Hashing.HashMode.Fast)
+    time("fingerprint md5 (HOF)")(hofFingerprints, Hashing.HashMode.Oracle)
+    time("fingerprint xxh (HOF)")(hofFingerprints, Hashing.HashMode.Fast)
+    time("simhash md5 (native)")(simhash, Hashing.HashMode.Oracle)
+    time("simhash xxh (native)")(simhash, Hashing.HashMode.Fast)
     spark.stop()
   }
 }

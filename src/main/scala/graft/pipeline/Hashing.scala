@@ -34,6 +34,23 @@ object Hashing {
   def fast60(c: Column): Column =
     shiftrightunsigned(xxhash64(c), 4)
 
+  /** Hash-mode selector for the dedup/fingerprint operators. The two
+    * standard modes are routed through the single-pass native expression
+    * [[graft.functions.HashedShingles]] when shingling; a custom function
+    * keeps the higher-order fallback composite.
+    */
+  sealed trait HashMode { def apply(c: Column): Column }
+  object HashMode {
+    /** md5-derived [[h60]] — DuckDB-replayable; the correctness default. */
+    case object Oracle extends HashMode { def apply(c: Column): Column = h60(c) }
+    /** xxHash64 [[fast60]] — the production engine mode. */
+    case object Fast extends HashMode { def apply(c: Column): Column = fast60(c) }
+    /** Any per-shingle column function (no native fast path). */
+    final case class Custom(f: Column => Column) extends HashMode {
+      def apply(c: Column): Column = f(c)
+    }
+  }
+
   /** DuckDB SQL fragment computing the same value. */
   def sqlH60(expr: String): String =
     s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"

@@ -86,8 +86,8 @@ object TextAnalysis {
     * docs share their minimizing shingle.
     */
   def shingleFingerprint(text: Column, n: Int = 3,
-      hash: Column => Column = Hashing.h60): Column =
-    array_min(transform(Shingles.wordShingles(tokens(text), n), s => hash(s)))
+      mode: Hashing.HashMode = Hashing.HashMode.Oracle): Column =
+    array_min(Shingles.hashedWordShingles(text, n, mode))
 }
 
 /** Word n-gram shingling shared by fingerprinting and the dedup family. */
@@ -103,6 +103,23 @@ object Shingles {
       i => concat_ws(" ", slice(tokens, i, lit(n))))
     array_distinct(grams)
   }
+
+  /** Distinct word `n`-shingles of `text`, hashed to 60 bits in the given
+    * mode. Oracle/Fast run the whole lower→split→n-gram→distinct→hash
+    * chain as ONE codegen'd native expression
+    * ([[graft.functions.HashedShingles]] — differential-tested equal to
+    * the composite); Custom keeps the higher-order composite with the
+    * caller's hash.
+    */
+  def hashedWordShingles(text: Column, n: Int, mode: Hashing.HashMode): Column =
+    mode match {
+      case Hashing.HashMode.Oracle =>
+        graft.functions.HashedShingles(text, n, fast = false)
+      case Hashing.HashMode.Fast =>
+        graft.functions.HashedShingles(text, n, fast = true)
+      case Hashing.HashMode.Custom(f) =>
+        transform(wordShingles(TextAnalysis.tokens(text), n), s => f(s))
+    }
 
   /** DuckDB fragment computing the same shingle list from a token-list
     * expression (1-based list slicing mirrors Spark's `slice`).

@@ -32,18 +32,18 @@ class HashModeSpec extends SparkSpec {
   }
 
   test("exact dedup: identical group structure under both hashes") {
-    def groups(hash: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-      Dedup.exact(docs, hash = hash)
+    def groups(mode: Hashing.HashMode) =
+      Dedup.exact(docs, mode = mode)
         .select(col("canonical_id"), col("group_size"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(groups(Hashing.h60) == groups(Hashing.fast60))
+    assert(groups(Hashing.HashMode.Oracle) == groups(Hashing.HashMode.Fast))
   }
 
   test("minhash-LSH: same verified pair set at the catalog thresholds") {
     val slow = pairs(Dedup.minHashPairs(docs, n = 3, numBands = 24,
-      rowsPerBand = 2, threshold = 0.5, hash = Hashing.h60))
+      rowsPerBand = 2, threshold = 0.5, mode = Hashing.HashMode.Oracle))
     val fast = pairs(Dedup.minHashPairs(docs, n = 3, numBands = 24,
-      rowsPerBand = 2, threshold = 0.5, hash = Hashing.fast60))
+      rowsPerBand = 2, threshold = 0.5, mode = Hashing.HashMode.Fast))
     assert(slow == fast, s"slow-only=${slow -- fast} fast-only=${fast -- slow}")
   }
 
@@ -62,11 +62,11 @@ class HashModeSpec extends SparkSpec {
     // on Dedup.simHash. Both modes show it equally; it is not a hash-mode
     // difference.)
     val truth = pairs(Dedup.jaccardPairsPrefix(docs, n = 3, threshold = 0.8))
-    val modes: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
-      Seq(Hashing.h60, Hashing.fast60)
-    for (hash <- modes) {
+    val modes: Seq[Hashing.HashMode] =
+      Seq(Hashing.HashMode.Oracle, Hashing.HashMode.Fast)
+    for (mode <- modes) {
       val found = pairs(Dedup.simHashPairs(docs, bits = 48, numBands = 4,
-        maxHamming = 12, hash = hash))
+        maxHamming = 12, mode = mode))
       val recall = (truth & found).size.toDouble / truth.size
       assert(recall >= 0.85, s"recall $recall, missed ${truth -- found}")
     }
