@@ -115,7 +115,7 @@ object SourceMlQueries {
       sel.write.mode(SaveMode.Overwrite).parquet(s"$base/li_pre.parquet")
       sel.write.mode(SaveMode.Append).parquet(s"$base/li_pre.parquet")
       val compacted = Sinks.compact(s, base, "li")
-      val reloaded = Sinks.reload(compacted, base, "li_reloaded")
+      val reloaded = Sinks.reload(compacted, base, "li_reloaded", persist = false)
       reloaded.groupBy("l_returnflag")
         .agg(graft.Exact.dsum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("cnt"))

@@ -21,10 +21,15 @@ object Sinks {
     * resume points. Unlike the reference, no `repartition(1)`: the write
     * stays parallel and readers see the natural split.
     */
-  def reload(df: DataFrame, dir: String, name: String): DataFrame = {
+  def reload(df: DataFrame, dir: String, name: String,
+      persist: Boolean = true): DataFrame = {
     val path = s"$dir/$name.parquet"
     df.write.mode(SaveMode.Overwrite).parquet(path)
-    df.sparkSession.read.parquet(path).persist(StorageLevel.MEMORY_AND_DISK)
+    val back = df.sparkSession.read.parquet(path)
+    // persist=false for one-shot readers (e.g. the bench harness, which
+    // re-runs a query several times — repeated persists would pile
+    // cached copies into executor memory and distort later measurements)
+    if (persist) back.persist(StorageLevel.MEMORY_AND_DISK) else back
   }
 
   /** S6: compact appended batches — read, dedup, overwrite — the
