@@ -42,10 +42,14 @@ object Ann {
   }
 
   /** Micro-cosine: floor(cos * 1e6) — the integer rank key the oracle can
-    * reproduce bit-for-bit.
+    * reproduce bit-for-bit. Computed by the native single-pass
+    * [[graft.functions.MicroCosine]] expression (bit-equal to
+    * `floor(cosine(a,b)*1e6)` — differential-tested in VectorOpsSpec);
+    * the zip_with/aggregate composite is kept as [[cosine]] for
+    * reference and custom callers.
     */
   def microCosine(a: Column, b: Column): Column =
-    floor(cosine(a, b) * 1000000).cast("long")
+    graft.functions.MicroCosine(a, b)
 
   private def topK(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
@@ -98,22 +102,8 @@ object Ann {
     * (table index, bucket) for candidate generation — the scale path that
     * replaces the all-pairs cross product.
     */
-  def lshBuckets(v: Column, dim: Int, planes: Int, tables: Int): Column = {
-    require(planes <= 60)
-    val qv = quantized(v)
-    val buckets = (0 until tables).map { t =>
-      (0 until planes).map { p =>
-        val base = (t * planes + p) * dim
-        val proj = aggregate(
-          zip_with(qv, sequence(lit(0), lit(dim - 1)),
-            (x, i) => x * ((lit(1103515245L) * (lit(base.toLong) + i)
-              + lit(12345L)) % 2001L - 1000L)),
-          lit(0L), (acc, x) => acc + x)
-        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
-    array(buckets: _*)
-  }
+  def lshBuckets(v: Column, dim: Int, planes: Int, tables: Int): Column =
+    graft.functions.LshBuckets(v, dim, planes, tables)
 
   /** DuckDB fragment for [[lshBuckets]]'s bucket of table `t` (`t` may be
     * a SQL variable, e.g. a range lambda binding).
