@@ -67,6 +67,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(df.filter(not(col("native") === col("hof"))).count() == 0)
   }
 
+  test("extensions expose the native expressions to plain SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  hashed_shingles('a b c d', 2, false) AS hs,
+        |  micro_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |               array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS mc,
+        |  lsh_buckets(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 2, 4, 2) AS lb,
+        |  minhash_sig(array(CAST(5 AS BIGINT), CAST(9 AS BIGINT)), 3) AS sig
+        |""".stripMargin).collect()(0)
+    assert(r.getSeq[Long](0).length == 3) // 'a b','b c','c d'
+    assert(r.getLong(1) == 1000000L)      // identical unit vectors
+    assert(r.getSeq[Long](2).length == 2)
+    assert(r.getSeq[Long](3).length == 3)
+  }
+
   test("MinHashSig equals the k array_min composites, incl. empty array") {
     import spark.implicits._
     val hs = Seq(
