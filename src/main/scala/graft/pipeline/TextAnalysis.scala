@@ -88,6 +88,22 @@ object TextAnalysis {
   def shingleFingerprint(text: Column, n: Int = 3,
       mode: Hashing.HashMode = Hashing.HashMode.Oracle): Column =
     array_min(Shingles.hashedWordShingles(text, n, mode))
+
+  /** Deterministic content-hash train/val/test assignment: bucket =
+    * hash(lower(text)) mod 100, `train` below `trainPct`, `val` in the
+    * next `valPct`, `test` above. Hash-of-content (not of id) keeps the
+    * assignment stable across re-ingestion and keeps EXACT duplicates in
+    * the same split (no train/test leakage from copies); near-dups need
+    * group-level assignment via [[Dedup.resolveDupGroups]] first.
+    */
+  def splitAssign(text: Column, trainPct: Int = 80, valPct: Int = 10,
+      mode: Hashing.HashMode = Hashing.HashMode.Oracle): Column = {
+    require(trainPct + valPct <= 100)
+    val bucket = mode(lower(text)) % 100
+    when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
 }
 
 /** Word n-gram shingling shared by fingerprinting and the dedup family. */

@@ -19,6 +19,7 @@ object PipelineQueries {
 
   private val SHINGLE_N = 3
   private val JACCARD_T = 0.3
+  private val DUP_T = 0.8
   private val MH_BANDS = 24
   private val MH_ROWS = 2
   private val MH_T = 0.5
@@ -392,6 +393,70 @@ object PipelineQueries {
       (s, dir) =>
         Multimodal.decodeAssets(
           Multimodal.assetsFromDocuments(t(s, dir, "documents"))).toDF()
+    },
+
+    // ---- near-dup GROUP resolution: exact-Jaccard pairs at 0.8 →
+    // union-find (connected components over the pair graph) → one
+    // canonical (min-id) survivor per transitive group; docs in no pair
+    // map to themselves. The oracle recomputes the pairs the simple way
+    // and resolves groups with a recursive CTE.
+    QueryDef(
+      "p14_dup_groups",
+      s"""WITH RECURSIVE $DOCS,
+         |post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b,
+         |      ${sqlJaccard("common", "sa.n_sh", "sb.n_sh")} AS j
+         |    FROM inter
+         |    JOIN hsh sa ON sa.doc_id = id_a
+         |    JOIN hsh sb ON sb.doc_id = id_b
+         |  ) WHERE j >= $DUP_T
+         |),
+         |sym AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
+         |),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS r FROM sym
+         |  UNION
+         |  SELECT s.dst AS id, r.r FROM reach r JOIN sym s ON s.src = r.id
+         |),
+         |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+         |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin) {
+      (s, dir) =>
+        val docs = t(s, dir, "documents")
+        Dedup.resolveDupGroups(docs,
+          Dedup.jaccardPairsPrefix(docs, SHINGLE_N, DUP_T))
+    },
+
+    // ---- deterministic content-hash train/val/test split: stable under
+    // re-ingestion, exact duplicates land in one split (no leakage from
+    // copies). Emits per-split doc and token totals.
+    QueryDef(
+      "p15_train_split",
+      s"""WITH toks AS (
+         |  SELECT doc_id, text, string_split(lower(text), ' ') AS tokens FROM documents
+         |)
+         |SELECT
+         |  CASE WHEN ${Hashing.sqlH60("lower(text)")} % 100 < 80 THEN 'train'
+         |       WHEN ${Hashing.sqlH60("lower(text)")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(len(tokens)) AS BIGINT) AS n_tokens
+         |FROM toks GROUP BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          TextAnalysis.splitAssign(col("text")).as("split"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
     }
   )
 }

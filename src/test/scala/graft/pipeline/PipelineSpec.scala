@@ -41,6 +41,30 @@ class PipelineSpec extends SparkSpec {
     assert(r == Map(3L -> 2L, 9L -> 1L))
   }
 
+  test("dup group resolution is transitive with min-id survivor") {
+    import spark.implicits._
+    val d = docs((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (7L, "e"))
+    // pairs 1~3 and 3~4 (transitive {1,3,4}); 2 alone in a pair with 7
+    val pairs = Seq((1L, 3L), (3L, 4L), (2L, 7L)).toDF("id_a", "id_b")
+    val got = Dedup.resolveDupGroups(d, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 3L -> 1L, 4L -> 1L, 2L -> 2L, 7L -> 2L))
+  }
+
+  test("split assignment is deterministic, content-keyed, and complete") {
+    val d = docs((1L, "some doc"), (2L, "some doc"), (3L, "zz"), (4L, "q r"))
+    val s1 = TextAnalysis.splitAssign(col("text"))
+    val rows = d.select(col("doc_id"), s1.as("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exact duplicates land in the same split (content hash, not id)
+    assert(rows(1L) == rows(2L))
+    assert(rows.values.forall(Set("train", "val", "test")))
+    // stable across evaluations
+    val again = d.select(col("doc_id"), s1.as("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == rows)
+  }
+
   test("jaccard pairs: exact overlap via inverted index") {
     // doc1/doc2 share 2 of their trigram shingles; doc3 disjoint.
     val d = docs(
