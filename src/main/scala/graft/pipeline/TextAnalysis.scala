@@ -89,6 +89,20 @@ object TextAnalysis {
       mode: Hashing.HashMode = Hashing.HashMode.Oracle): Column =
     array_min(Shingles.hashedWordShingles(text, n, mode))
 
+  /** Fraction of REPEATED word `n`-grams in a document (Gopher-style
+    * repetition quality signal): 1 − |distinct n-grams| / |n-grams|.
+    * High values flag boilerplate/spam (repeated headers, keyword
+    * stuffing) that near-dup detection across documents cannot see.
+    * Distinct count comes from the native hashed-shingle pass; total is
+    * arithmetic on the token count — no second shingling.
+    */
+  def repetitionRatio(text: Column, n: Int = 3,
+      mode: Hashing.HashMode = Hashing.HashMode.Oracle): Column = {
+    val total = greatest(size(tokens(text)) - (n - 1), lit(1)).cast("long")
+    val distinctGrams = size(Shingles.hashedWordShingles(text, n, mode)).cast("long")
+    lit(1.0) - distinctGrams.cast("double") / total.cast("double")
+  }
+
   /** Deterministic content-hash train/val/test assignment: bucket =
     * hash(lower(text)) mod 100, `train` below `trainPct`, `val` in the
     * next `valPct`, `test` above. Hash-of-content (not of id) keeps the

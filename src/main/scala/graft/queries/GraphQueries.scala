@@ -127,13 +127,18 @@ object GraphQueries {
     * filter query).
     */
   def supportEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+    // Pre-distinct (order, part): an order listing the same part on two
+    // line items would otherwise duplicate its pair rows through the
+    // self-join. With unique (ok, src, dst) rows the support count is a
+    // plain count(*) — one aggregation instead of a distinct-inside-agg
+    // pass over the joined pairs. Same result as count(DISTINCT ok).
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("src"))
     val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("dst"))
     a.join(b, Seq("ok"))
       .filter(col("src") < col("dst") && col("src") % 10 === col("dst") % 10)
       .groupBy("src", "dst")
-      .agg(countDistinct(col("ok")).as("sup"))
+      .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= SUPPORT)
       .select("src", "dst")
   }

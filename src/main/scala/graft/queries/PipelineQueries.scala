@@ -20,6 +20,7 @@ object PipelineQueries {
   private val SHINGLE_N = 3
   private val JACCARD_T = 0.3
   private val DUP_T = 0.8
+  private val STRAT_K = 25
   private val MH_BANDS = 24
   private val MH_ROWS = 2
   private val MH_T = 0.5
@@ -457,6 +458,60 @@ object PipelineQueries {
           TextAnalysis.tokenCount(col("text")).as("n_tokens"))
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    },
+
+    // ---- intra-document repetition (Gopher-style quality signal):
+    // fraction of repeated word n-grams — catches boilerplate/keyword
+    // stuffing that cross-document dedup cannot see.
+    QueryDef(
+      "p16_repetition",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |    CAST(greatest(len(tokens) - ${SHINGLE_N - 1}, 1) AS BIGINT) AS total_grams,
+         |    CAST(len(${Shingles.sqlWordShingles("tokens", SHINGLE_N)}) AS BIGINT)
+         |      AS distinct_grams
+         |  FROM toks
+         |)
+         |SELECT doc_id, total_grams, distinct_grams,
+         |  1.0 - CAST(distinct_grams AS DOUBLE) / CAST(total_grams AS DOUBLE)
+         |    AS rep_ratio
+         |FROM g""".stripMargin) { (s, dir) =>
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        greatest(size(TextAnalysis.tokens(txt)) - (SHINGLE_N - 1), lit(1))
+          .cast("long").as("total_grams"),
+        size(Shingles.hashedWordShingles(txt, SHINGLE_N,
+          Hashing.HashMode.Oracle)).cast("long").as("distinct_grams"),
+        TextAnalysis.repetitionRatio(txt, SHINGLE_N).as("rep_ratio"))
+    },
+
+    // ---- stratified per-language cap (quota sampling for corpus
+    // balancing): keep the K longest docs per language, deterministic
+    // (n_tokens DESC, doc_id) ranking — the window top-k shape on the
+    // pipeline side.
+    QueryDef(
+      "p17_stratified_cap",
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, string_split(lower(text), ' ') AS tokens FROM documents
+         |), ranked AS (
+         |  SELECT lang, doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY len(tokens) DESC, doc_id) AS rank
+         |  FROM toks
+         |)
+         |SELECT lang, doc_id, n_tokens, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= $STRAT_K""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= STRAT_K)
     }
   )
 }
