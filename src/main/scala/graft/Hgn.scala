@@ -55,7 +55,8 @@ object Hgn {
         val vectors = DummyVectors.create(g.vertices, conf.featuresToCheck)
         val s0 = Cosine.edgeSimilarities(g.edges, vectors)
           .select("src", "dst", "similarity")
-        val b0 = Betweenness.run(g, conf.params.maxSpLength)
+        val b0 = Betweenness.run(g, conf.params.maxSpLength,
+          conf.params.maxMidDegree)
         val out =
           if (conf.cachedInitStep)
             (Sinks.reload(s0, initDir, "similarities"),

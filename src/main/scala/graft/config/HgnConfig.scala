@@ -122,7 +122,8 @@ object HgnConfig {
         betweennessThres = dbl("run_options.betweenness_thres", 10.0),
         maxSpLength = int("run_options.max_sp_length", 2),
         maxSteps = int("run_options.max_steps", 30),
-        minCompSize = int("run_options.min_comp_size", 10)),
+        minCompSize = int("run_options.min_comp_size", 10),
+        maxMidDegree = kv.get("run_options.max_mid_degree").map(_.toLong)),
       outputDir = str("output.dir", "output"),
       saveCommunities = bool("output.save_communities_to_csvs", dflt = true),
       cachedInitStep = bool("run_options.cached_init_step", dflt = false))

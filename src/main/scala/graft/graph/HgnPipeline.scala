@@ -16,7 +16,11 @@ final case class HgnParams(
     betweennessThres: Double = 10.0,
     maxSpLength: Int = 2,
     maxSteps: Int = 30,
-    minCompSize: Int = 10)
+    minCompSize: Int = 10,
+    // Hub-degree cap for every 2-hop expansion (None = exact; see
+    // graph/Skew.scala for the approximation semantics) — the knob that
+    // keeps power-law graphs tractable at scale.
+    maxMidDegree: Option[Long] = None)
 
 /** The HGN main loop (SURVEY §2.9 G8): iteration =
   * r-metrics → edge weights → edges-to-delete → anti-join deletion →
@@ -74,7 +78,8 @@ object HgnPipeline {
       params: HgnParams): (PropertyGraph, Long) = {
     // Lineage.cut, not bare localCheckpoint: the loop compounds checkpoint
     // origin-stats double-exponentially otherwise (see graft.plans.Lineage).
-    val edgesR = Lineage.cut(RMetrics.run(g, params.rLvl1Thres, params.rLvl2Thres))
+    val edgesR = Lineage.cut(RMetrics.run(g, params.rLvl1Thres,
+      params.rLvl2Thres, params.maxMidDegree))
                          // replaces the reference's parquet round-trips
                          // (`spark_manager.py:215-231`, SURVEY §7.1)
     val weights = Lineage.cut(
@@ -102,7 +107,7 @@ object HgnPipeline {
       initBetweenness: Option[DataFrame] = None)(
       implicit spark: SparkSession): PropertyGraph = {
     val betweenness = Lineage.cut(initBetweenness
-      .getOrElse(Betweenness.run(initial, params.maxSpLength)))
+      .getOrElse(Betweenness.run(initial, params.maxSpLength, params.maxMidDegree)))
     var g = PropertyGraph(
       Lineage.cut(initial.vertices), Lineage.cut(initial.edges))
     var step = 0

@@ -85,10 +85,14 @@ object RMetrics {
       col("r21") > rLvl2Thres || col("r22") > rLvl2Thres)
   }
 
-  /** Convenience: compute both neighborhood levels and the metrics. */
-  def run(g: PropertyGraph, rLvl1Thres: Double, rLvl2Thres: Double): DataFrame =
+  /** Convenience: compute both neighborhood levels and the metrics.
+    * `maxMidDegree` caps the level-2 hub fan-out
+    * ([[Skew.cappedMidAdjacency]]; `None` = exact).
+    */
+  def run(g: PropertyGraph, rLvl1Thres: Double, rLvl2Thres: Double,
+      maxMidDegree: Option[Long] = None): DataFrame =
     edgesWithMetrics(g,
       Neighborhoods.neighbors(g, 1),
-      Neighborhoods.neighbors(g, 2),
+      Neighborhoods.neighbors(g, 2, maxMidDegree),
       rLvl1Thres, rLvl2Thres)
 }

@@ -46,6 +46,18 @@ class ConfigAndIoSpec extends SparkSpec {
     assert(c.outputDir == "/tmp/a:b")
   }
 
+  test("config parses the optional hub-degree cap") {
+    val base =
+      """input:
+        |  nodes_path: a
+        |  edges_path: b
+        |  feature_names: [x]
+        |""".stripMargin
+    assert(HgnConfig.parse(base).params.maxMidDegree.isEmpty)
+    assert(HgnConfig.parse(base + "run_options.max_mid_degree: 500\n")
+      .params.maxMidDegree.contains(500L))
+  }
+
   test("config rejects features_to_check outside feature_names") {
     intercept[IllegalArgumentException] {
       HgnConfig.parse(
