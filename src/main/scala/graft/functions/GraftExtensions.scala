@@ -38,7 +38,10 @@ object GraftExtensions {
   }
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      /* arguments */ "", /* examples */ "", /* note */ "",
+      /* group */ "misc_funcs", /* since */ "0.1.0", /* deprecated */ "",
+      /* source */ "built-in")
 
   val injections: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("hashed_shingles",
