@@ -43,32 +43,13 @@ object GraphQueries {
 
   // Session-scoped cache of the derived-graph intermediates shared by
   // g03-g07 (each would otherwise recompute the 2-hop neighborhood chain
-  // from scratch — measured 4x slower end to end at sf0.1). Entries are
-  // localCheckpoint()ed, so they are owned by their SparkSession; keying
-  // by session keeps Verify/Bench/test sessions apart. A session's
-  // entries are evicted when its SparkContext ends (listener below), so
-  // a long-lived multi-session JVM doesn't pin dead sessions' checkpoint
-  // blocks (VERDICT round 2, "What's wrong" #4).
-  private val cache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
-  private val hooked =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
-  private[queries] def evict(s: SparkSession): Unit =
-    cache.keysIterator.filter(_._1 eq s).foreach(cache.remove)
+  // from scratch — measured 4x slower end to end at sf0.1). Storage and
+  // eviction live in [[SessionCache]] (shared with the pipeline catalog).
+  private[queries] def evict(s: SparkSession): Unit = SessionCache.evict(s)
   private def cached(s: SparkSession, dir: String, key: String)(
-      f: => DataFrame): DataFrame = {
-    if (hooked.add(s))
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          evict(s); hooked.remove(s)
-        }
-      })
-    cache.getOrElseUpdate((s, dir, key), f.localCheckpoint())
-  }
+      f: => DataFrame): DataFrame = SessionCache(s, dir, key)(f)
   private[queries] def cachedEntryCount(s: SparkSession): Int =
-    cache.keysIterator.count(_._1 eq s)
+    SessionCache.entryCount(s)
 
   // ---------------------------------------------------------------- Spark side
 

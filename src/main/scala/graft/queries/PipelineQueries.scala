@@ -34,6 +34,21 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Session-cached exact-Jaccard pair table at JACCARD_T (the LOWER of
+    * the two catalog thresholds). Prefix-filter candidates are COMPLETE,
+    * so the table holds every pair with jaccard ≥ JACCARD_T and a
+    * `filter(jaccard >= t)` of it is exactly `jaccardPairsPrefix(docs, n,
+    * t)` for any t ≥ JACCARD_T — p14 derives its DUP_T pairs from it
+    * instead of re-running shingling + the candidate join (VERDICT round
+    * 3, "Next round" #1: p14 was ~30% of the whole driver bench). p04
+    * itself still computes fresh — it MEASURES the pair operator, same
+    * policy as g05.
+    */
+  private def pairsCached(s: SparkSession, dir: String): DataFrame =
+    SessionCache(s, dir, s"jaccard_pairs_prefix@$JACCARD_T") {
+      Dedup.jaccardPairsPrefix(t(s, dir, "documents"), SHINGLE_N, JACCARD_T)
+    }
+
   // ---------------------------------------------------------------- SQL bits
 
   private val STOPLIST =
@@ -434,7 +449,7 @@ object PipelineQueries {
       (s, dir) =>
         val docs = t(s, dir, "documents")
         Dedup.resolveDupGroups(docs,
-          Dedup.jaccardPairsPrefix(docs, SHINGLE_N, DUP_T))
+          pairsCached(s, dir).filter(col("jaccard") >= DUP_T))
     },
 
     // ---- deterministic content-hash train/val/test split: stable under
