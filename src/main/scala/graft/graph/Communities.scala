@@ -62,20 +62,50 @@ object Communities {
       .distinct()
   }
 
-  /** `(count, xxhash-sum, v-sum)` — the cheap fixed-point signature: the
-    * alternation converged iff the edge multiset stopped changing (star
-    * graphs are fixed points of both rounds).
+  /** `(count, hash-xor, hash-xor')` — the cheap fixed-point signature: the
+    * alternation converged iff the edge set stopped changing (star graphs
+    * are fixed points of both rounds). `bit_xor` is carry-free, so unlike
+    * `sum` it can never hit Spark 4's default-ANSI long overflow
+    * (round-4 regression: `sum(xxhash64)` threw `ARITHMETIC_OVERFLOW` on
+    * any graph with ≥2 edges of opposite-sign hashes); it is also
+    * order-independent, which is all a set signature needs. Two
+    * independently-keyed hashes keep the collision probability ~2^-128.
+    *
+    * The check is probabilistic: a collision where the edge set changed
+    * but both xors and the count matched would terminate the loop early
+    * with wrong labels — astronomically unlikely (and the labeling step
+    * still only reads the edges actually computed, so a FALSE-negative
+    * merely costs one extra round).
     */
   private def signature(e: DataFrame): (Long, Any, Any) = {
-    val r = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v"))), sum(col("v")))
+    val r = e.agg(count(lit(1)),
+        bit_xor(xxhash64(col("u"), col("v"))),
+        bit_xor(xxhash64(col("v"), col("u"))))
       .collect()(0)
     (r.getLong(0), r.get(1), r.get(2))
   }
 
   /** `(id, component)` for every vertex of `g` (isolated vertices form
     * their own singleton components); `component` = min member id.
+    *
+    * Vertices that appear only as edge endpoints (no `vertices` row) are
+    * labeled too: real inputs contain such danglers (Hamsterster ships
+    * two edge endpoints with no node row), the reference includes them —
+    * its community sink builds NetworkX FROM THE EDGE LIST and backfills
+    * attributes with "UNKNOWN" (`spark_manager/spark_manager.py:327,
+    * 364-366`) — and GraphX's `Graph(v, e)` adds them implicitly, so the
+    * differential stays apples-to-apples. Hence the final join is FULL
+    * outer: vertex-only ids get singleton labels, edge-only ids keep
+    * their computed component.
+    *
+    * @param maxRounds hard cap on large-star/small-star rounds; the
+    *   alternation needs O(log² n) (≤3 on every test graph), so hitting
+    *   the cap means something is deeply wrong — the function THROWS
+    *   rather than silently emitting labels from a non-converged edge set
+    *   (which would merge/split components incorrectly).
     */
-  def connectedComponents(g: PropertyGraph)(implicit spark: SparkSession): DataFrame = {
+  def connectedComponents(g: PropertyGraph, maxRounds: Int = 64)(
+      implicit spark: SparkSession): DataFrame = {
     val verts = g.vertices.select(col("id").cast("long").as("id"))
     var e = Lineage.cut(
       g.edges.select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
@@ -86,19 +116,23 @@ object Communities {
     var prev = signature(e)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 64) {
+    while (!converged && rounds < maxRounds) {
       e = Lineage.cut(smallStar(largeStar(e)))
       val sig = signature(e)
       converged = sig == prev
       prev = sig
       rounds += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: large-star/small-star did not reach a fixed " +
+        s"point within $maxRounds rounds — refusing to emit labels from a " +
+        s"non-converged edge set")
     // Converged state: a union of stars, every non-root has exactly one
     // edge to its component's minimum id; roots label themselves.
     val labels = e.select(col("u").as("id"), col("v").as("component"))
       .union(e.select(col("v").as("id"), col("v").as("component")))
       .groupBy("id").agg(min(col("component")).as("component"))
-    verts.join(labels, Seq("id"), "left")
+    verts.join(labels, Seq("id"), "full")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 

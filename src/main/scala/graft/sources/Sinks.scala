@@ -112,7 +112,15 @@ object Sinks {
   def saveCommunitiesCsv(g: PropertyGraph, outDir: String)(
       implicit spark: SparkSession): DataFrame = {
     val components = Communities.connectedComponents(g)
-    val out = g.vertices.join(components, Seq("id"))
+    // Components drive the join: edge endpoints with no vertex row are
+    // still community members, written with "UNKNOWN" string attributes —
+    // exactly the reference's backfill for attribute-less NetworkX nodes
+    // (`spark_manager/spark_manager.py:364-366`).
+    val joined = components.join(g.vertices, Seq("id"), "left")
+    val out = g.vertices.schema.fields
+      .filter(f => f.name != "id" && f.dataType == org.apache.spark.sql.types.StringType)
+      .foldLeft(joined)((df, f) =>
+        df.withColumn(f.name, coalesce(col(f.name), lit("UNKNOWN"))))
     out.write
       .mode(SaveMode.Overwrite)
       .partitionBy("component")

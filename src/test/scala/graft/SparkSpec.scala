@@ -21,6 +21,10 @@ object SparkSpec {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // ANSI mode is the Spark 4 default; pin it so a future conf drift
+      // can't mask ANSI-only failures (round-4 regression: sum() long
+      // overflow in the CC convergence signature threw only under ANSI).
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

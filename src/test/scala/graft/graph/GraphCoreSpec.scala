@@ -140,6 +140,45 @@ class GraphCoreSpec extends SparkSpec {
       == Set(1L, 2L, 3L, 4L))
   }
 
+  test("connected components: DF-native vs GraphX differential, 100 random-id edges") {
+    import spark.implicits._
+    implicit val s = spark
+    // Deterministic full-spread 47-bit ids — with 100 edges the round-4
+    // sum(xxhash64) signature overflowed a long with ~certainty under
+    // ANSI mode; this test locks in the carry-free bit_xor signature.
+    def vid(i: Int): Long = {
+      var x = i.toLong * 0x9E3779B97F4A7C15L
+      x ^= (x >>> 33)
+      x & 0x7FFFFFFFFFFFL
+    }
+    // 10 chains of 11 vertices each -> exactly 10 components, 100 edges.
+    val edges = (for (c <- 0 until 10; k <- 0 until 10)
+      yield (vid(c * 100 + k), vid(c * 100 + k + 1))).toDF("src", "dst")
+    val verts = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val big = PropertyGraph(verts, edges)
+    val native = Communities.connectedComponents(big).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val graphx = Communities.connectedComponentsGraphX(big).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native == graphx)
+    assert(native.map(_._2).size == 10)
+    assert(native.size == 110)
+  }
+
+  test("connected components throws instead of emitting non-converged labels") {
+    import spark.implicits._
+    implicit val s = spark
+    // A 20-vertex path needs >1 large-star/small-star round; with the cap
+    // forced to 1 the guard must fire, never silently mislabel.
+    val edges = (0 until 19).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    val path = PropertyGraph((0 until 20).map(_.toLong).toDF("id"), edges)
+    val ex = intercept[IllegalStateException] {
+      Communities.connectedComponents(path, maxRounds = 1)
+    }
+    assert(ex.getMessage.contains("did not reach a fixed point"))
+  }
+
   test("full pipeline run converges on the toy graph") {
     import spark.implicits._
     implicit val s = spark
