@@ -78,5 +78,13 @@ object Bench {
     val total = times.values.sum
     println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${jmap(times)},"min_queries":${jmap(mins)},"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
+    // Regression loudness (VERDICT round 4 #3): an erroring query must
+    // fail the run, not just fill a JSON field nobody diffs. The JSON
+    // line above is already on stdout for the driver either way.
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] FAILURE: ${errors.size} of " +
+        s"${names.size} queries threw: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -2,7 +2,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Regression loudness (VERDICT round 4 #3): a round-4 one-liner silently
+  * shrank the correctness file 45 → 41 entries because per-query failures
+  * were stderr-only and the run still exited 0. Now a failed query, or a
+  * catalog that lost names vs the latest `CORRECTNESS_r*.json`, prints a
+  * FAILURE banner and exits nonzero (after writing all surviving outputs
+  * and the oracle JSON, so a partial run still yields its artifacts).
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -15,10 +23,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -38,5 +48,28 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+
+    // Catalog-shrink guard: every query name present in the latest
+    // CORRECTNESS_r*.json must still exist in the catalog. Top-level names
+    // are exactly the keys whose value is an object, so the `"name": {`
+    // regex cannot match the flat per-query fields inside.
+    val prevRound = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .flatMap(f => "^CORRECTNESS_r(\\d+)\\.json$".r
+        .findFirstMatchIn(f.getName).map(m => (m.group(1).toInt, f)))
+      .sortBy(_._1).lastOption
+    val lost = prevRound.toSeq.flatMap { case (_, f) =>
+      val keys = "\"(\\w+)\"\\s*:\\s*\\{".r
+        .findAllMatchIn(Files.readString(f.toPath)).map(_.group(1)).toSet
+      (keys -- SparkEntry.queries.keySet).toSeq.sorted
+    }
+    if (failed.nonEmpty || lost.nonEmpty) {
+      if (failed.nonEmpty) System.err.println(
+        s"[verify] FAILURE: ${failed.size} of ${SparkEntry.queries.size} " +
+          s"queries threw: ${failed.sorted.mkString(", ")}")
+      if (lost.nonEmpty) System.err.println(
+        s"[verify] FAILURE: catalog lost ${lost.size} queries present in " +
+          s"${prevRound.get._2.getName}: ${lost.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
