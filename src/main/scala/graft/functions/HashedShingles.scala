@@ -1,12 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.Shim
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression computing the distinct hashed word
@@ -39,9 +39,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * `Hashing.fast60`.
   */
 case class HashedShingles(child: Expression, n: Int, fast: Boolean)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(n >= 1, s"n must be >= 1, got $n")
 
+  override def inputTypes: Seq[Shim.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hashed_shingles"
 

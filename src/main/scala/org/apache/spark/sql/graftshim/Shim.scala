@@ -19,4 +19,11 @@ object Shim {
 
   def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  // `AbstractDataType`/`TypeCollection` are `private[sql]`, but they are
+  // the only vocabulary `ExpectsInputTypes.inputTypes` speaks — any
+  // extension declaring input-type contracts needs these two names.
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+  def typeCollection(ts: org.apache.spark.sql.types.AbstractDataType*): AbstractType =
+    org.apache.spark.sql.types.TypeCollection(ts: _*)
 }

@@ -83,6 +83,40 @@ class VectorOpsSpec extends SparkSpec {
     assert(r.getSeq[Long](3).length == 3)
   }
 
+  test("type contracts: array<double> SQL inputs compute natively, not misread") {
+    GraftExtensions.register(spark)
+    // Round 4: these silently misread 8-byte slots as floats. The vector
+    // kernels now branch on the element width declared at analysis time.
+    val r = spark.sql(
+      """SELECT
+        |  micro_cosine(CAST(array(1.0, 0.0) AS ARRAY<DOUBLE>),
+        |               CAST(array(1.0, 0.0) AS ARRAY<DOUBLE>)) AS mc,
+        |  lsh_buckets(CAST(array(0.5, -0.5) AS ARRAY<DOUBLE>), 2, 4, 2) AS lb,
+        |  minhash_sig(array(5, 9), 3) AS sig
+        |""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 1000000L) // identical unit vectors
+    // On exactly-representable components the double path must agree
+    // bit-for-bit with the float path.
+    val lbF = spark.sql(
+      "SELECT lsh_buckets(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 2, 4, 2)")
+      .collect()(0).getSeq[Long](0)
+    assert(r.getSeq[Long](1) == lbF)
+    val sigL = spark.sql(
+      "SELECT minhash_sig(array(CAST(5 AS BIGINT), CAST(9 AS BIGINT)), 3)")
+      .collect()(0).getSeq[Long](0)
+    assert(r.getSeq[Long](2) == sigL) // array<int> widened by analysis
+  }
+
+  test("type contracts: uncastable inputs fail analysis, never run") {
+    GraftExtensions.register(spark)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT micro_cosine(1, 2)").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_sig(map(1, 2), 3)").collect()
+    }
+  }
+
   test("MinHashSig equals the k array_min composites, incl. empty array") {
     import spark.implicits._
     val hs = Seq(
