@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.config.HgnConfig
 import graft.graph.{Betweenness, HgnPipeline, PropertyGraph}
@@ -29,6 +29,51 @@ object Hgn {
     spark
   }
 
+  /** The init-cache key: every parameter the persisted init tables depend
+    * on. A warm start whose fingerprint differs recomputes instead of
+    * silently reusing tables built under other params (similarities
+    * depend on the feature set; betweenness on the path bound and the
+    * hub-degree cap).
+    */
+  private[graft] def paramsFingerprint(conf: HgnConfig): String = {
+    val feats = conf.featuresToCheck.mkString("[\"", "\",\"", "\"]")
+    s"""{"max_sp_length":${conf.params.maxSpLength},""" +
+      s""""max_mid_degree":${conf.params.maxMidDegree.getOrElse(-1L)},""" +
+      s""""features_to_check":$feats}"""
+  }
+
+  /** `Some((sims, btw))` iff both init tables and a matching params
+    * fingerprint exist under `initDir`. The FileSystem is resolved FROM
+    * THE PATH (not the environment default), so an `hdfs://`/`s3a://`
+    * output dir works from a session whose default FS differs.
+    */
+  private[graft] def cachedInit(initDir: String, fingerprint: String)(
+      implicit spark: SparkSession): Option[(DataFrame, DataFrame)] = {
+    val dir = new org.apache.hadoop.fs.Path(initDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(name: String) = new org.apache.hadoop.fs.Path(dir, name)
+    val fpMatches = fs.exists(p("params.json")) && {
+      val in = fs.open(p("params.json"))
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) == fingerprint
+      finally in.close()
+    }
+    if (fpMatches && fs.exists(p("similarities.parquet")) &&
+        fs.exists(p("betweenness.parquet")))
+      Some((spark.read.parquet(p("similarities.parquet").toString),
+        spark.read.parquet(p("betweenness.parquet").toString)))
+    else None
+  }
+
+  private def writeFingerprint(initDir: String, fingerprint: String)(
+      implicit spark: SparkSession): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$initDir/params.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   def run(conf: HgnConfig)(implicit spark: SparkSession): PropertyGraph = {
     val nodes = GraphCsv.loadNodes(spark, conf.nodesPath, conf.featureNames,
       conf.nodesDelimiter, conf.nodesHasHeader, conf.nodesEncoding)
@@ -42,15 +87,9 @@ object Hgn {
     // on a big graph the init betweenness is the most expensive stage,
     // and a resumed run skips the ML fit and path enumeration entirely.
     val initDir = s"${conf.outputDir}/init"
-    def initPath(name: String) = new org.apache.hadoop.fs.Path(s"$initDir/$name.parquet")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val (sims, btw) =
-      if (conf.cachedInitStep &&
-          fs.exists(initPath("similarities")) && fs.exists(initPath("betweenness"))) {
-        (spark.read.parquet(initPath("similarities").toString),
-         spark.read.parquet(initPath("betweenness").toString))
-      } else {
+    val fingerprint = paramsFingerprint(conf)
+    val (sims, btw) = (if (conf.cachedInitStep) cachedInit(initDir, fingerprint)
+      else None).getOrElse {
         val t0 = System.nanoTime()
         val vectors = DummyVectors.create(g.vertices, conf.featuresToCheck)
         val s0 = Cosine.edgeSimilarities(g.edges, vectors)
@@ -58,10 +97,12 @@ object Hgn {
         val b0 = Betweenness.run(g, conf.params.maxSpLength,
           conf.params.maxMidDegree)
         val out =
-          if (conf.cachedInitStep)
-            (Sinks.reload(s0, initDir, "similarities"),
-             Sinks.reload(b0, initDir, "betweenness"))
-          else (graft.plans.Lineage.cut(s0), graft.plans.Lineage.cut(b0))
+          if (conf.cachedInitStep) {
+            val persisted = (Sinks.reload(s0, initDir, "similarities"),
+              Sinks.reload(b0, initDir, "betweenness"))
+            writeFingerprint(initDir, fingerprint)
+            persisted
+          } else (graft.plans.Lineage.cut(s0), graft.plans.Lineage.cut(b0))
         println(f"[hgn] init step (similarities + betweenness): ${(System.nanoTime() - t0) / 1e9}%.1f s")
         out
       }

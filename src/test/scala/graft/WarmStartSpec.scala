@@ -75,5 +75,35 @@ class WarmStartSpec extends SparkSpec {
     // Run 3 (cold): recomputes init from features, ignores the poison.
     val r3 = Hgn.run(confFor(dir, nodes, edges, cached = false))
     assert(r3.edges.count() == 7, "cold run recomputes real similarities")
+
+    // Run 4 (warm flag, poisoned cache, CHANGED params): the fingerprint
+    // (max_sp_length 2 → 3) must invalidate the cache — init recomputed
+    // from features, poison ignored, cache + fingerprint rewritten.
+    val changed = confFor(dir, nodes, edges, cached = true)
+    val changedParams = changed.copy(params = changed.params.copy(maxSpLength = 3))
+    val r4 = Hgn.run(changedParams)
+    assert(r4.edges.count() == 7,
+      "changed params must invalidate the poisoned cache")
+
+    // The rewritten cache must resolve through the PATH's own filesystem,
+    // not the environment default (round-4 ADVICE low: FileSystem.get).
+    // mockfs:// is a local FS registered under a non-default scheme; the
+    // old FileSystem.get(conf) code threw `Wrong FS` on such a path.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockfs.impl", classOf[MockFs].getName)
+    val viaMockFs = Hgn.cachedInit(s"mockfs:$dir/init",
+      Hgn.paramsFingerprint(changedParams))
+    assert(viaMockFs.isDefined, "cache must be found via a non-default scheme")
+    assert(viaMockFs.get._1.count() > 0)
+    // ...and a fingerprint mismatch through the same scheme misses.
+    assert(Hgn.cachedInit(s"mockfs:$dir/init",
+      Hgn.paramsFingerprint(confFor(dir, nodes, edges, cached = true))).isEmpty)
   }
+}
+
+/** A local filesystem under a non-default URI scheme, for testing that
+  * path-dependent FileSystem resolution really follows the path.
+  */
+class MockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mockfs:///")
 }
