@@ -110,8 +110,15 @@ object Hgn {
     // Main loop (iterations handled inside; betweenness init supplied).
     val result = HgnPipeline.run(g, sims, conf.params, Some(btw))
 
-    if (conf.saveCommunities)
-      Sinks.saveCommunitiesCsv(result, s"${conf.outputDir}/communities")
+    if (conf.saveCommunities || conf.jdbc.isDefined) {
+      val communities =
+        if (conf.saveCommunities)
+          Sinks.saveCommunitiesCsv(result, s"${conf.outputDir}/communities")
+        else Sinks.communitiesTable(result)
+      conf.jdbc.foreach(j => graft.sources.JdbcStore.write(
+        communities, j, conf.jdbcCommunitiesTable,
+        org.apache.spark.sql.SaveMode.Overwrite))
+    }
     result
   }
 

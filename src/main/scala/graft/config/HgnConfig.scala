@@ -30,7 +30,12 @@ final case class HgnConfig(
     params: HgnParams = HgnParams(),
     outputDir: String = "output",
     saveCommunities: Boolean = true,
-    cachedInitStep: Boolean = false) {
+    cachedInitStep: Boolean = false,
+    // S10: optional relational datastore (reference `datastore` YAML
+    // section) — when present, the final communities table is also
+    // written through the JDBC passthrough ([[graft.sources.JdbcStore]]).
+    jdbc: Option[graft.sources.JdbcConfig] = None,
+    jdbcCommunitiesTable: String = "communities") {
   require(nodesPath.nonEmpty, "input.nodes_path is required")
   require(edgesPath.nonEmpty, "input.edges_path is required")
   require(featureNames.nonEmpty, "input.feature_names is required")
@@ -126,6 +131,17 @@ object HgnConfig {
         maxMidDegree = kv.get("run_options.max_mid_degree").map(_.toLong)),
       outputDir = str("output.dir", "output"),
       saveCommunities = bool("output.save_communities_to_csvs", dflt = true),
-      cachedInitStep = bool("run_options.cached_init_step", dflt = false))
+      cachedInitStep = bool("run_options.cached_init_step", dflt = false),
+      // Either a full JDBC url, or the reference's mysql host/db/port
+      // triple (`configuration/yml_schema.json` datastore section).
+      jdbc = kv.get("datastore.url").map(u =>
+        graft.sources.JdbcConfig(unquote(u), str("datastore.username"),
+          str("datastore.password"), kv.get("datastore.driver").map(unquote)))
+        .orElse(kv.get("datastore.hostname").map(h =>
+          graft.sources.JdbcConfig(
+            s"jdbc:mysql://${unquote(h)}:${int("datastore.port", 3306)}/" +
+              str("datastore.db_name"),
+            str("datastore.username"), str("datastore.password")))),
+      jdbcCommunitiesTable = str("datastore.communities_table", "communities"))
   }
 }

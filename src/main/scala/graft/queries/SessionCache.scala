@@ -11,8 +11,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Entries are `localCheckpoint()`ed, so their blocks are owned by their
   * SparkSession; keying by session keeps Verify/Bench/test sessions
   * apart. Eviction (VERDICT round 2 #4 + round-3 ADVICE):
-  *   - entries of any STOPPED context are dropped lazily on every access
-  *     (covers sessions discarded while sharing a long-lived JVM);
+  *   - entries whose CONTEXT has stopped are dropped lazily on every
+  *     access. Eviction granularity is the context, not the session: a
+  *     discarded SparkSession on a still-running shared context keeps its
+  *     entries (pinned checkpoint blocks + one listener) until the
+  *     context stops — call [[evict]] explicitly when abandoning a
+  *     session on a shared context. Every shipped entry point (Verify,
+  *     Bench, Hgn, the test factory) runs one session per context, where
+  *     context-scoped eviction is exact;
   *   - an `onApplicationEnd` listener evicts a session's entries when its
   *     context ends;
   *   - a per-session entry cap bounds pinned checkpoint blocks — once at

@@ -101,6 +101,69 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).text(outDir)
   }
 
+  /** S9 parity, presentation half: a self-contained HTML page rendering
+    * the graph on a canvas (deterministic circle-seeded spring layout,
+    * hover shows the vertex's feature JSON). The reference's Plotly
+    * visualizer collected the whole graph into NetworkX on the driver
+    * (`visualizer/plotly_visualizer.py:75-210`); here node/edge JSON is
+    * RENDERED distributed and only funneled for the single-document write
+    * (same inherent `coalesce(1)` as [[exportGraphML]]). `maxNodes` caps
+    * the page (a browser cannot draw 100 TB anyway) — the cap keeps the
+    * semi-joined edge set consistent, and is a LIMIT, not a collect.
+    */
+  def exportGraphHtml(g: PropertyGraph, outDir: String, maxNodes: Int = 5000): Unit = {
+    val v = g.vertices.limit(maxNodes)
+    val kept = v.select(col("id"))
+    val e = g.edges
+      .join(kept.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(kept.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+    val nodeLines = v.select(concat(lit("    "),
+      to_json(struct(v.columns.map(col): _*)), lit(",")).as("line"))
+    val edgeLines = e.select(concat(lit("    "),
+      to_json(struct(col("src"), col("dst"))), lit(",")).as("line"))
+    val header =
+      """<!DOCTYPE html><html><head><meta charset="utf-8">
+        |<title>graft graph</title></head><body style="margin:0">
+        |<canvas id="c" width="1280" height="960"></canvas><script>
+        |const nodes=[""".stripMargin
+    val mid = "];\nconst edges=["
+    val footer =
+      """];
+        |const W=1280,H=960,R=Math.min(W,H)/2-40;
+        |const idx=new Map(nodes.map((n,i)=>[n.id,i]));
+        |const pos=nodes.map((n,i)=>{const a=2*Math.PI*i/nodes.length;
+        |  return [W/2+R*Math.cos(a),H/2+R*Math.sin(a)];});
+        |for(let it=0;it<60;it++){const f=pos.map(()=>[0,0]);
+        |  for(const e of edges){const s=idx.get(e.src),d=idx.get(e.dst);
+        |    if(s===undefined||d===undefined)continue;
+        |    const dx=pos[d][0]-pos[s][0],dy=pos[d][1]-pos[s][1];
+        |    f[s][0]+=.02*dx;f[s][1]+=.02*dy;f[d][0]-=.02*dx;f[d][1]-=.02*dy;}
+        |  for(let i=0;i<nodes.length;i++){
+        |    f[i][0]+=.002*(W/2-pos[i][0]);f[i][1]+=.002*(H/2-pos[i][1]);
+        |    pos[i][0]+=f[i][0];pos[i][1]+=f[i][1];}}
+        |const x=document.getElementById('c').getContext('2d');
+        |x.strokeStyle='#bbb';
+        |for(const e of edges){const s=idx.get(e.src),d=idx.get(e.dst);
+        |  if(s===undefined||d===undefined)continue;
+        |  x.beginPath();x.moveTo(pos[s][0],pos[s][1]);
+        |  x.lineTo(pos[d][0],pos[d][1]);x.stroke();}
+        |x.fillStyle='#1f77b4';
+        |for(const p of pos){x.beginPath();x.arc(p[0],p[1],3,0,7);x.fill();}
+        |document.getElementById('c').title=nodes.length+' nodes, '
+        |  +edges.length+' edges';
+        |</script></body></html>""".stripMargin
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val doc = Seq((0, header)).toDF("ord", "line")
+      .unionByName(nodeLines.select(lit(1).as("ord"), col("line")))
+      .unionByName(Seq((2, mid)).toDF("ord", "line"))
+      .unionByName(edgeLines.select(lit(3).as("ord"), col("line")))
+      .unionByName(Seq((4, footer)).toDF("ord", "line"))
+    doc.coalesce(1).sortWithinPartitions("ord")
+      .select("line")
+      .write.mode(SaveMode.Overwrite).text(outDir)
+  }
+
   /** S7: community CSV sink. The reference collected the graph into
     * NetworkX on the driver and wrote one `community_<i>.csv` per
     * component (`spark_manager/spark_manager.py:335-368`) — a driver
@@ -109,18 +172,25 @@ object Sinks {
     * `community=<id>/part-*.csv` per component: same information, fully
     * parallel, any cluster size.
     */
-  def saveCommunitiesCsv(g: PropertyGraph, outDir: String)(
+  /** `(id, features…, component)` for every community member. Components
+    * drive the join: edge endpoints with no vertex row are still
+    * community members, carried with "UNKNOWN" string attributes —
+    * exactly the reference's backfill for attribute-less NetworkX nodes
+    * (`spark_manager/spark_manager.py:364-366`).
+    */
+  def communitiesTable(g: PropertyGraph)(
       implicit spark: SparkSession): DataFrame = {
     val components = Communities.connectedComponents(g)
-    // Components drive the join: edge endpoints with no vertex row are
-    // still community members, written with "UNKNOWN" string attributes —
-    // exactly the reference's backfill for attribute-less NetworkX nodes
-    // (`spark_manager/spark_manager.py:364-366`).
     val joined = components.join(g.vertices, Seq("id"), "left")
-    val out = g.vertices.schema.fields
+    g.vertices.schema.fields
       .filter(f => f.name != "id" && f.dataType == org.apache.spark.sql.types.StringType)
       .foldLeft(joined)((df, f) =>
         df.withColumn(f.name, coalesce(col(f.name), lit("UNKNOWN"))))
+  }
+
+  def saveCommunitiesCsv(g: PropertyGraph, outDir: String)(
+      implicit spark: SparkSession): DataFrame = {
+    val out = communitiesTable(g)
     out.write
       .mode(SaveMode.Overwrite)
       .partitionBy("component")

@@ -121,6 +121,27 @@ class ConfigAndIoSpec extends SparkSpec {
     assert(xml.contains("a&lt;b&amp;c"))
   }
 
+  test("html export renders a self-contained page with the graph embedded") {
+    import spark.implicits._
+    val g = PropertyGraph(
+      Seq((1L, "a\"quote"), (2L, "b"), (3L, "c")).toDF("id", "label"),
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
+    val dir = Files.createTempDirectory("graphhtml").toString
+    Sinks.exportGraphHtml(g, dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val html = new String(Files.readAllBytes(file.toPath), "UTF-8")
+    assert(html.startsWith("<!DOCTYPE html>") && html.trim.endsWith("</html>"))
+    assert(html.contains("""{"id":1,"label":"a\"quote"}"""), "to_json escaping")
+    assert(html.contains("""{"src":2,"dst":3}"""))
+    // maxNodes caps nodes AND keeps the edge set consistent (semi-join).
+    val small = Files.createTempDirectory("graphhtml2").toString
+    Sinks.exportGraphHtml(g, small, maxNodes = 1)
+    val h2 = new String(Files.readAllBytes(new java.io.File(small).listFiles()
+      .filter(_.getName.startsWith("part-")).head.toPath), "UTF-8")
+    assert(!h2.contains("""{"src":2,"dst":3}"""))
+  }
+
   test("community csv sink partitions by component") {
     import spark.implicits._
     implicit val s = spark
