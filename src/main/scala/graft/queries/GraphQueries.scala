@@ -87,6 +87,19 @@ object GraphQueries {
       t(s, dir, "part").select(col("p_partkey").as("id")),
       derivedEdges(s, dir))
 
+  /** Cached components of the derived edge graph. g08 computes CC fresh
+    * (it MEASURES that operator); sink-side consumers (s03) reuse this,
+    * the same shared-intermediate pattern as `edgesRCached`/`pairsCached`.
+    */
+  private[queries] def componentsCached(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    cached(s, dir, "components") {
+      val e = derivedEdges(s, dir)
+      val v = e.select(explode(array(col("src"), col("dst"))).as("id")).distinct()
+      Communities.connectedComponents(PropertyGraph(v, e))
+    }
+  }
+
   /** Per-edge similarity: fraction of equal part features (closed-form
     * one-hot cosine; see [[Cosine.featureMatchRatio]]).
     */

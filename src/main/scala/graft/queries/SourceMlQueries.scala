@@ -141,7 +141,10 @@ object SourceMlQueries {
       val e = GraphQueries.derivedEdges(s, dir)
       val v = e.select(explode(array(col("src"), col("dst"))).as("id")).distinct()
       val out = scratch(dir, "s03")
-      Sinks.saveCommunitiesCsv(PropertyGraph(v, e), out)
+      // s03 measures the SINK; the components come from the session cache
+      // (g08 measures the CC operator itself, fresh).
+      Sinks.saveCommunitiesCsv(PropertyGraph(v, e), out,
+        Some(GraphQueries.componentsCached(s, dir)))
       s.read.option("header", "true").csv(out)
         .select(col("component").cast("long").as("component"))
         .groupBy("component")

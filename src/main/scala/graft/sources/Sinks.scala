@@ -178,9 +178,10 @@ object Sinks {
     * exactly the reference's backfill for attribute-less NetworkX nodes
     * (`spark_manager/spark_manager.py:364-366`).
     */
-  def communitiesTable(g: PropertyGraph)(
+  def communitiesTable(g: PropertyGraph,
+      precomputed: Option[DataFrame] = None)(
       implicit spark: SparkSession): DataFrame = {
-    val components = Communities.connectedComponents(g)
+    val components = precomputed.getOrElse(Communities.connectedComponents(g))
     val joined = components.join(g.vertices, Seq("id"), "left")
     g.vertices.schema.fields
       .filter(f => f.name != "id" && f.dataType == org.apache.spark.sql.types.StringType)
@@ -188,9 +189,10 @@ object Sinks {
         df.withColumn(f.name, coalesce(col(f.name), lit("UNKNOWN"))))
   }
 
-  def saveCommunitiesCsv(g: PropertyGraph, outDir: String)(
+  def saveCommunitiesCsv(g: PropertyGraph, outDir: String,
+      precomputed: Option[DataFrame] = None)(
       implicit spark: SparkSession): DataFrame = {
-    val out = communitiesTable(g)
+    val out = communitiesTable(g, precomputed)
     out.write
       .mode(SaveMode.Overwrite)
       .partitionBy("component")
