@@ -83,6 +83,40 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: DF-native CC equals GraphX and labels with the min id") {
+    implicit val s = spark
+    import graft.graph.Communities
+    // Bigger, sparser-id graphs than genEdges: up to 60 edges over ids
+    // spread across the full positive long range, so the convergence
+    // signature and multi-round alternation are both exercised.
+    val genBig: Gen[List[(Long, Long)]] =
+      Gen.listOfN(60,
+        for {
+          a <- Gen.choose(1L, 30L)
+          b <- Gen.choose(1L, 30L).suchThat(_ != a)
+        } yield (a * 0x9E3779B97F4A7CL, b * 0x9E3779B97F4A7CL))
+    for (seed <- seeds) {
+      val edges = genBig.apply(Gen.Parameters.default, Seed(seed))
+        .getOrElse(Nil).filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val g = graphOf(edges)
+        val native = Communities.connectedComponents(g).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val graphx = Communities.connectedComponentsGraphX(g).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(native == graphx, s"seed $seed")
+        // Component label = minimum member id.
+        native.groupBy(_._2).foreach { case (comp, members) =>
+          assert(members.map(_._1).min == comp, s"seed $seed comp $comp")
+        }
+        // Both endpoints of every edge share a label.
+        val label = native.toMap
+        for ((a, b) <- edges)
+          assert(label(a) == label(b), s"seed $seed edge ($a,$b)")
+      }
+    }
+  }
+
   test("betweenness generalizes to maxLen=3: 4-chain counts by hand") {
     import spark.implicits._
     implicit val s = spark
