@@ -89,6 +89,45 @@ object Ann {
     topK(pairs, k)
   }
 
+  /** Probed IVF top-`k`: each query scans its `nprobe` nearest cells —
+    * the standard IVF recall lever over [[ivfTopK]]'s probe=1 (cell-
+    * boundary neighbors are only reachable with nprobe > 1). Cell
+    * proximity is micro-cosine to a DETERMINISTIC per-cell representative
+    * (the minimum-id member), which keeps the operator oracle-
+    * reproducible; swapping in k-means centroids changes the assignment
+    * quality, not the operator's shape.
+    *
+    * Scale: the representative table is one row per cell — broadcast; the
+    * query×cells assignment is the standard IVF probe cost (cells ≈
+    * √corpus); the corpus is never replicated, each corpus row keeps its
+    * single cell, so probing more cells fans out only the (tiny) query
+    * side and no dedup is needed before the top-k.
+    */
+  def ivfTopKProbed(queries: DataFrame, corpus: DataFrame, cellCol: String,
+      nprobe: Int, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), col(cellCol).as("cell"))
+    val reps = c.select(col("cell"), col("cv").as("rep"),
+        row_number().over(
+          Window.partitionBy(col("cell")).orderBy(col("neighbor_id"))).as("rn"))
+      .filter(col("rn") === 1).drop("rn")
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val probed = q.crossJoin(broadcast(reps))
+      .select(col("query_id"), col("qv"), col("cell"),
+        microCosine(col("qv"), col("rep")).as("cell_sim"))
+      .select(col("query_id"), col("qv"), col("cell"),
+        row_number().over(probeW).as("prb"))
+      .filter(col("prb") <= nprobe)
+      .drop("prb")
+    val pairs = probed.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        microCosine(col("qv"), col("cv")).as("sim_micro"))
+    topK(pairs, k)
+  }
+
   /** Random-hyperplane LSH: `tables` independent hash tables of `planes`
     * sign bits each; a pair is an ANN candidate if it collides in ANY
     * table (the standard L-tables trade-off: per-table precision from k

@@ -30,6 +30,7 @@ object PipelineQueries {
   private val ANN_K = 10
   private val ANN_NQ = 10
   private val IVF_K = 5
+  private val NPROBE = 2
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -295,6 +296,43 @@ object PipelineQueries {
          |) WHERE rank <= $IVF_K""".stripMargin) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Ann.ivfTopK(emb.filter(col("vec_id") < ANN_NQ), emb, "label", IVF_K)
+    },
+
+    // ---- probed IVF: each query scans its NPROBE nearest cells (by
+    // micro-cosine to the cell's min-id representative) — the recall
+    // lever probe=1 lacks at cell boundaries. Deterministic end to end,
+    // so DuckDB reproduces cell choice and ranking bit-for-bit.
+    QueryDef(
+      "p18_ann_ivf_probed",
+      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $ANN_NQ),
+         |reps AS (
+         |  SELECT label, embedding AS rep FROM (
+         |    SELECT label, embedding,
+         |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM embeddings) WHERE rn = 1
+         |),
+         |probed AS (
+         |  SELECT query_id, label FROM (
+         |    SELECT q.vec_id AS query_id, r.label,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${sqlMicroCos("q.embedding", "r.rep")} DESC, r.label) AS prb
+         |    FROM q CROSS JOIN reps r) WHERE prb <= $NPROBE
+         |),
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${sqlMicroCos("q.embedding", "c.embedding")} AS sim_micro
+         |  FROM q JOIN probed p ON p.query_id = q.vec_id
+         |  JOIN embeddings c ON c.label = p.label AND c.vec_id <> q.vec_id
+         |)
+         |SELECT query_id, neighbor_id, sim_micro, rank FROM (
+         |  SELECT query_id, neighbor_id, sim_micro,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim_micro DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM pairs
+         |) WHERE rank <= $IVF_K""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Ann.ivfTopKProbed(emb.filter(col("vec_id") < ANN_NQ), emb, "label",
+        NPROBE, IVF_K)
     },
 
     // ---- per-source corpus report: the aggregation pass a curation

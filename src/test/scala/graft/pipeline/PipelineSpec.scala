@@ -146,6 +146,30 @@ class PipelineSpec extends SparkSpec {
     assert(top == Set(2L)) // only the same-cell vector
   }
 
+  test("ann: probed ivf recovers cross-cell neighbors, converges to brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    // 40 vectors in 4 cells; cell assignment intentionally NOT aligned
+    // with direction, so probe=1 misses true neighbors.
+    val emb = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1), (i % 4).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val queries = emb.filter(col("vec_id") < 5)
+    def hits(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = hits(Ann.bruteForceTopK(queries, emb, 3))
+    val recall = (1 to 4).map(p =>
+      (exact intersect hits(Ann.ivfTopKProbed(queries, emb, "label", p, 3))).size)
+    // Monotone recall in nprobe; probing every cell IS brute force.
+    assert(recall.sliding(2).forall(w => w(0) <= w(1)), recall.toString)
+    assert(hits(Ann.ivfTopKProbed(queries, emb, "label", 4, 3)) == exact)
+    // probe=1 equals the unprobed ivf when the query's own cell wins:
+    // query 0's representative-nearest cell is its own (it IS rep of 0).
+    val p1 = Ann.ivfTopKProbed(emb.filter(col("vec_id") === 0), emb, "label", 1, 3)
+    val unprobed = Ann.ivfTopK(emb.filter(col("vec_id") === 0), emb, "label", 3)
+    assert(hits(p1) == hits(unprobed))
+  }
+
   test("multimodal: decode plumbing preserves rows and derives metadata") {
     val d = docs((1L, "hello world"), (2L, "abc"))
     val out = Multimodal.decodeAssets(Multimodal.assetsFromDocuments(
