@@ -66,6 +66,61 @@ object StreamingOps {
       }
   }
 
+  /** Event for [[sessionize]]. */
+  final case class SessionEvent(user: String, ts: java.sql.Timestamp)
+
+  /** Open-session state kept per key between triggers. */
+  final case class OpenSession(start: Long, end: Long, n: Long)
+
+  /** A closed session. */
+  final case class Session(user: String, start: java.sql.Timestamp,
+      end: java.sql.Timestamp, n_events: Long)
+
+  /** Gap-based sessionization — the canonical `flatMapGroupsWithState`
+    * operator: events of a key belong to one session while consecutive
+    * gaps stay ≤ `gapSeconds`; a session is emitted when a later event
+    * opens the next one (in-batch gap) or when the EVENT-TIME TIMEOUT
+    * fires (watermark passed `end + gap`, so no further event can extend
+    * it). State per key is one `OpenSession` — constant size, watermark-
+    * bounded lifetime; sessions close exactly once, in Append mode.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapSeconds: Long,
+      delayThreshold: String): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000
+    events
+      .withWatermark("ts", delayThreshold)
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: String, rows: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n))
+          } else {
+            val times = rows.map(_.ts.getTime).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer[Session]()
+            var cur = state.getOption
+            for (t <- times) cur = cur match {
+              case None => Some(OpenSession(t, t, 1))
+              case Some(s) if t - s.end <= gapMs =>
+                Some(OpenSession(s.start, math.max(s.end, t), s.n + 1))
+              case Some(s) =>
+                closed += Session(user, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.end), s.n)
+                Some(OpenSession(t, t, 1))
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Write a streaming DataFrame to parquet with checkpointing — the
     * durable sink shape (`writeStream.format("parquet")` + checkpoint
     * location, append mode).

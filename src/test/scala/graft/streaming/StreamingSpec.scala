@@ -49,6 +49,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize closes sessions on in-batch gaps and event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.SessionEvent]
+    val sessions = StreamingOps.sessionize(input.toDS(),
+      gapSeconds = 5, delayThreshold = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    def got() = spark.table("sess_out").collect()
+      .map(r => (r.getAs[String]("user"),
+        r.getAs[Timestamp]("start").getTime / 1000,
+        r.getAs[Timestamp]("end").getTime / 1000,
+        r.getAs[Long]("n_events"))).toSet
+    try {
+      // One batch: events at 1,2,3 then a gap to 100 — the first session
+      // closes in-batch when 100 opens the next one.
+      input.addData(
+        StreamingOps.SessionEvent("a", ts(1)), StreamingOps.SessionEvent("a", ts(2)),
+        StreamingOps.SessionEvent("a", ts(3)), StreamingOps.SessionEvent("a", ts(100)))
+      q.processAllAvailable()
+      assert(got() == Set(("a", 1L, 3L, 3L)))
+      // Advance the watermark far past 100+gap via another key, then one
+      // more trigger fires the event-time timeout for a's open session.
+      input.addData(StreamingOps.SessionEvent("b", ts(1000)))
+      q.processAllAvailable()
+      input.addData(StreamingOps.SessionEvent("b", ts(1001)))
+      q.processAllAvailable()
+      assert(got().contains(("a", 100L, 100L, 1L)), got().toString)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-key totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
