@@ -65,6 +65,13 @@ object Hgn {
     else None
   }
 
+  private def invalidateFingerprint(initDir: String)(
+      implicit spark: SparkSession): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$initDir/params.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
   private def writeFingerprint(initDir: String, fingerprint: String)(
       implicit spark: SparkSession): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$initDir/params.json")
@@ -98,6 +105,10 @@ object Hgn {
           conf.params.maxMidDegree)
         val out =
           if (conf.cachedInitStep) {
+            // Invalidate BEFORE overwriting the tables: a crash between
+            // the two reloads must leave a cache that misses, never one
+            // where an old fingerprint validates mixed-params tables.
+            invalidateFingerprint(initDir)
             val persisted = (Sinks.reload(s0, initDir, "similarities"),
               Sinks.reload(b0, initDir, "betweenness"))
             writeFingerprint(initDir, fingerprint)

@@ -52,8 +52,12 @@ object Verify {
     // Catalog-shrink guard: every query name present in the latest
     // CORRECTNESS_r*.json must still exist in the catalog. Top-level names
     // are exactly the keys whose value is an object, so the `"name": {`
-    // regex cannot match the flat per-query fields inside.
-    val prevRound = Option(new java.io.File(".").listFiles()).toSeq.flatten
+    // regex cannot match the flat per-query fields inside. The round files
+    // live in the repo root — resolved via SPARK_GRAFT_REPO_DIR when the
+    // process cwd is elsewhere (a cwd with no round files would silently
+    // skip the very check this guard exists for).
+    val repoDir = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", ".")
+    val prevRound = Option(new java.io.File(repoDir).listFiles()).toSeq.flatten
       .flatMap(f => "^CORRECTNESS_r(\\d+)\\.json$".r
         .findFirstMatchIn(f.getName).map(m => (m.group(1).toInt, f)))
       .sortBy(_._1).lastOption

@@ -112,13 +112,20 @@ object Sinks {
     * semi-joined edge set consistent, and is a LIMIT, not a collect.
     */
   def exportGraphHtml(g: PropertyGraph, outDir: String, maxNodes: Int = 5000): Unit = {
-    val v = g.vertices.limit(maxNodes)
+    // localCheckpoint pins ONE evaluation of the (unordered) limit: the
+    // node array and the edge semi-join below must see the same subset,
+    // and a re-evaluated GlobalLimit may pick different rows per subtree.
+    val v = g.vertices.limit(maxNodes).localCheckpoint()
     val kept = v.select(col("id"))
     val e = g.edges
       .join(kept.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(kept.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+    // "<" is JSON-escaped so no feature value can contain "</script>"
+    // (or open a tag) inside the inline script block.
+    def scriptSafe(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "<", "\\\\u003c")
     val nodeLines = v.select(concat(lit("    "),
-      to_json(struct(v.columns.map(col): _*)), lit(",")).as("line"))
+      scriptSafe(to_json(struct(v.columns.map(col): _*))), lit(",")).as("line"))
     val edgeLines = e.select(concat(lit("    "),
       to_json(struct(col("src"), col("dst"))), lit(",")).as("line"))
     val header =

@@ -105,12 +105,24 @@ object StreamingOps {
             var cur = state.getOption
             for (t <- times) cur = cur match {
               case None => Some(OpenSession(t, t, 1))
-              case Some(s) if t - s.end <= gapMs =>
-                Some(OpenSession(s.start, math.max(s.end, t), s.n + 1))
-              case Some(s) =>
+              case Some(s) if t > s.end + gapMs =>
+                // Gap after the open session: close it, open the next.
                 closed += Session(user, new java.sql.Timestamp(s.start),
                   new java.sql.Timestamp(s.end), s.n)
                 Some(OpenSession(t, t, 1))
+              case Some(s) if t < s.start - gapMs =>
+                // Cross-batch late event disjoint from (strictly more than
+                // one gap BEFORE) the open session: it belongs to an
+                // already-gone session window, so emit it as its own
+                // closed singleton rather than silently absorbing it into
+                // a session it is not within a gap of (best-effort late
+                // handling; exact merging would need unbounded state).
+                closed += Session(user, new java.sql.Timestamp(t),
+                  new java.sql.Timestamp(t), 1)
+                Some(s)
+              case Some(s) =>
+                // Within one gap of the session (either side): extend.
+                Some(OpenSession(math.min(s.start, t), math.max(s.end, t), s.n + 1))
             }
             cur.foreach { s =>
               state.update(s)

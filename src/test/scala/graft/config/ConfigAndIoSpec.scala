@@ -124,7 +124,7 @@ class ConfigAndIoSpec extends SparkSpec {
   test("html export renders a self-contained page with the graph embedded") {
     import spark.implicits._
     val g = PropertyGraph(
-      Seq((1L, "a\"quote"), (2L, "b"), (3L, "c")).toDF("id", "label"),
+      Seq((1L, "a\"quote"), (2L, "x</script><b>"), (3L, "c")).toDF("id", "label"),
       Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
     val dir = Files.createTempDirectory("graphhtml").toString
     Sinks.exportGraphHtml(g, dir)
@@ -133,6 +133,9 @@ class ConfigAndIoSpec extends SparkSpec {
     val html = new String(Files.readAllBytes(file.toPath), "UTF-8")
     assert(html.startsWith("<!DOCTYPE html>") && html.trim.endsWith("</html>"))
     assert(html.contains("""{"id":1,"label":"a\"quote"}"""), "to_json escaping")
+    // A feature value must not be able to close the script block.
+    assert(!html.contains("x</script>"), "script-safe escaping")
+    assert(html.contains("x\\u003c/script>\\u003cb>"), "escaped form present")
     assert(html.contains("""{"src":2,"dst":3}"""))
     // maxNodes caps nodes AND keeps the edge set consistent (semi-join).
     val small = Files.createTempDirectory("graphhtml2").toString

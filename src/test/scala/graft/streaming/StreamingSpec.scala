@@ -80,6 +80,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize handles cross-batch out-of-order events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.SessionEvent]
+    // Long delay keeps the watermark behind, so late events reach the
+    // operator instead of being dropped upstream.
+    val sessions = StreamingOps.sessionize(input.toDS(),
+      gapSeconds = 5, delayThreshold = "1000 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess_ooo")
+      .outputMode(OutputMode.Append).start()
+    def got() = spark.table("sess_ooo").collect()
+      .map(r => (r.getAs[String]("user"),
+        r.getAs[Timestamp]("start").getTime / 1000,
+        r.getAs[Timestamp]("end").getTime / 1000,
+        r.getAs[Long]("n_events"))).toSet
+    try {
+      input.addData(StreamingOps.SessionEvent("a", ts(100)))
+      q.processAllAvailable()
+      // 92 is more than one gap before the open session's start: its own
+      // closed singleton, NOT absorbed. 98 is within a gap of the start:
+      // extends the session backwards (start becomes 98).
+      input.addData(StreamingOps.SessionEvent("a", ts(92)),
+        StreamingOps.SessionEvent("a", ts(98)))
+      q.processAllAvailable()
+      assert(got() == Set(("a", 92L, 92L, 1L)), got().toString)
+      input.addData(StreamingOps.SessionEvent("a", ts(200)))
+      q.processAllAvailable()
+      assert(got() == Set(("a", 92L, 92L, 1L), ("a", 98L, 100L, 2L)), got().toString)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-key totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
