@@ -151,6 +151,40 @@ object SourceMlQueries {
         .agg(count(lit(1)).as("size"))
     },
 
+    // ---- §2.10: streaming ingest with a BATCH oracle. The q12 windowed
+    // aggregation re-expressed as a Structured Streaming query (file
+    // source → watermark → tumbling 1-day window → Trigger.AvailableNow),
+    // drained to completion inside the fn. On bounded input streaming and
+    // batch must agree exactly, so the Complete-mode result hash-matches
+    // DuckDB's batch answer — this upgrades the streaming family from
+    // spec-only to oracle-gated. The memory sink holds ~150 aggregate
+    // rows (not the stream) — driver-safe by construction.
+    QueryDef(
+      "s04_streaming_ingest",
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema // ts: nanos-as-long
+      // The streaming file source wants a DIRECTORY; the sf dir holds one
+      // file per table, so scope the listing with a glob filter.
+      val agg = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), graft.Exact.dsum(col("value")).as("total_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"), col("total_value"))
+      val q = agg.writeStream.format("memory").queryName("s04_stream_out")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("s04_stream_out")
+    },
+
     // ---- M1-M4: StringIndexer (frequencyDesc, ties alphabetic, SPARK
     // docs) → OneHotEncoder(dropLast=false) → VectorAssembler. The active
     // one-hot indices of each part are fully determined by the per-feature
