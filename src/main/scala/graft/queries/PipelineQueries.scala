@@ -31,6 +31,7 @@ object PipelineQueries {
   private val ANN_NQ = 10
   private val IVF_K = 5
   private val NPROBE = 2
+  private val PACK_BUDGET = 512L
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -565,6 +566,63 @@ object PipelineQueries {
           TextAnalysis.tokenCount(col("text")).as("n_tokens"))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= STRAT_K)
+    },
+
+    // ---- benchmark decontamination: fraction of each doc's hashed
+    // shingles occurring in the "benchmark" subset (doc_id % 20 == 0 —
+    // a stand-in eval suite). Broadcast semi-join on 8-byte keys; the
+    // standard pre-training contamination gate.
+    QueryDef(
+      "p19_contamination",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM documents
+         |), sh AS (
+         |  SELECT doc_id, ${Shingles.sqlWordShingles("tokens", SHINGLE_N)} AS shingles
+         |  FROM toks
+         |), hsh AS (
+         |  SELECT doc_id, list_transform(shingles, s -> ${Hashing.sqlH60("s")}) AS hs
+         |  FROM sh
+         |), bench AS (
+         |  SELECT list(DISTINCT h) AS bl
+         |  FROM (SELECT unnest(hs) AS h FROM hsh WHERE doc_id % 20 = 0)
+         |)
+         |SELECT doc_id, n_sh, n_hits,
+         |  CAST(n_hits AS DOUBLE) / CAST(n_sh AS DOUBLE) AS contamination
+         |FROM (
+         |  SELECT h.doc_id, CAST(len(h.hs) AS BIGINT) AS n_sh,
+         |    CAST(len(list_filter(h.hs, x -> list_contains(b.bl, x))) AS BIGINT) AS n_hits
+         |  FROM hsh h CROSS JOIN bench b
+         |  WHERE h.doc_id % 20 <> 0
+         |)""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Curation.contaminationScores(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), SHINGLE_N)
+    },
+
+    // ---- sequence packing: concatenate-then-chunk per shard (source),
+    // PACK_BUDGET-token context windows; per-bin doc/token totals. The
+    // window cumsum partitions by shard, so it parallelizes instead of
+    // forcing a global order through one task.
+    QueryDef(
+      "p20_seq_packing",
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, string_split(lower(text), ' ') AS tokens FROM documents
+         |), td AS (
+         |  SELECT source AS shard, doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens FROM toks
+         |), off AS (
+         |  SELECT shard, doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+         |  FROM td
+         |)
+         |SELECT shard, CAST(start_offset // $PACK_BUDGET AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+         |FROM off GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Curation.packSequences(t(s, dir, "documents"), PACK_BUDGET)
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
     }
   )
 }

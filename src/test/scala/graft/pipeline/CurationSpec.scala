@@ -1,0 +1,41 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed cases for the curation operators. */
+class CurationSpec extends SparkSpec {
+
+  test("contamination: overlap fraction against the benchmark shingle set") {
+    import spark.implicits._
+    // 2-shingles: doc 1 = {a b, b c}; doc 2 = {x y}; benchmark = {b c, c d}.
+    val docs = Seq((1L, "a b c"), (2L, "x y")).toDF("doc_id", "text")
+    val bench = Seq((100L, "b c d")).toDF("doc_id", "text")
+    val got = Curation.contaminationScores(docs, bench, 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_sh"), r.getAs[Long]("n_hits"),
+          r.getAs[Double]("contamination"))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((1L, 0L, 0.0))) // zero-overlap docs still reported
+  }
+
+  test("sequence packing: start-offset bins per shard") {
+    import spark.implicits._
+    // Shard s1 in doc_id order: 3, 4, 2 tokens; budget 5 →
+    // offsets 0, 3, 7 → bins 0, 0, 1. Shard s2 independent: offset 0.
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "d e f g", "s1"), (3L, "h i", "s1"),
+      (4L, "z z z z z z", "s2")).toDF("doc_id", "text", "source")
+    val got = Curation.packSequences(docs, budget = 5L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("shard"), r.getAs[Long]("start_offset"),
+          r.getAs[Long]("bin"))).toMap
+    assert(got(1L) == (("s1", 0L, 0L)))
+    assert(got(2L) == (("s1", 3L, 0L)))
+    assert(got(3L) == (("s1", 7L, 1L)))
+    assert(got(4L) == (("s2", 0L, 0L)))
+    // Every token is in exactly one bin: totals preserved.
+    val packed = Curation.packSequences(docs, 5L)
+    assert(packed.agg(sum("n_tokens")).collect()(0).getLong(0) == 15L)
+  }
+}
