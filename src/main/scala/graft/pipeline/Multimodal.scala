@@ -75,6 +75,51 @@ object Multimodal {
     }
   }
 
+  /** Resized geometry: source dims preserved, output dims fit `maxDim`
+    * with aspect ratio kept (floor integer scaling — deterministic).
+    */
+  final case class ResizedAsset(
+      asset_id: Long, src_w: Long, src_h: Long, out_w: Long, out_h: Long)
+
+  /** The resize pass — same per-partition shape as [[decodeAssets]] (a
+    * real implementation transforms the pixel buffer here; the geometry
+    * arithmetic below is the part both real and fake versions share, and
+    * what the oracle verifies).
+    */
+  def resizeAssets(decoded: Dataset[DecodedAsset], maxDim: Long): Dataset[ResizedAsset] = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.mapPartitions { rows =>
+      rows.map { d =>
+        val m = math.max(d.width, d.height)
+        if (m <= maxDim) ResizedAsset(d.asset_id, d.width, d.height, d.width, d.height)
+        else ResizedAsset(d.asset_id, d.width, d.height,
+          d.width * maxDim / m, d.height * maxDim / m)
+      }
+    }
+  }
+
+  /** One sampled frame of a (fake-)video asset. */
+  final case class SampledFrame(asset_id: Long, frame_idx: Long)
+
+  /** Frame sampling: every `stride`-th frame of each asset. The fake
+    * frame count is `n_bytes / 100 + 1` (a real container demuxer opens
+    * once per partition and seeks — the flatMap-over-partition-iterator
+    * shape is exactly what that needs; output fan-out is frames, not a
+    * shuffle).
+    */
+  def sampleFrames(assets: Dataset[Asset], stride: Int): Dataset[SampledFrame] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { rows =>
+      rows.flatMap { a =>
+        val nFrames = a.payload.length / 100 + 1
+        (0 until nFrames by stride).iterator
+          .map(i => SampledFrame(a.asset_id, i.toLong))
+      }
+    }
+  }
+
   /** DuckDB SQL computing [[FakeDecoder.decode]]'s output from the same
     * source table (for the oracle): `idExpr`/`textExpr` are column exprs.
     */

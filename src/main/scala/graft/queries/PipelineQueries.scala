@@ -32,6 +32,8 @@ object PipelineQueries {
   private val IVF_K = 5
   private val NPROBE = 2
   private val PACK_BUDGET = 512L
+  private val MM_MAXDIM = 96L
+  private val MM_STRIDE = 4
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -448,6 +450,40 @@ object PipelineQueries {
       (s, dir) =>
         Multimodal.decodeAssets(
           Multimodal.assetsFromDocuments(t(s, dir, "documents"))).toDF()
+    },
+
+    // ---- multimodal resize + frame-sample plumbing: decode → aspect-
+    // preserving integer resize to MAXDIM, and every-4th-frame sampling
+    // of the fake container (n_bytes/100+1 frames) — both per-partition
+    // passes, geometry/indexing arithmetic oracle-verified.
+    QueryDef(
+      "p21_multimodal_resize",
+      s"""WITH dec AS (
+         |  ${Multimodal.sqlDecodeFragment("doc_id", "text")}
+         |  FROM documents
+         |), rez AS (
+         |  SELECT asset_id,
+         |    CASE WHEN greatest(width, height) <= $MM_MAXDIM THEN width
+         |      ELSE width * $MM_MAXDIM // greatest(width, height) END AS out_w,
+         |    CASE WHEN greatest(width, height) <= $MM_MAXDIM THEN height
+         |      ELSE height * $MM_MAXDIM // greatest(width, height) END AS out_h
+         |  FROM dec
+         |), fr AS (
+         |  SELECT doc_id AS asset_id,
+         |    CAST(len(range(0, octet_length(encode(text)) // 100 + 1, $MM_STRIDE))
+         |      AS BIGINT) AS n_sampled
+         |  FROM documents
+         |)
+         |SELECT r.asset_id, CAST(out_w AS BIGINT) AS out_w,
+         |  CAST(out_h AS BIGINT) AS out_h, n_sampled
+         |FROM rez r JOIN fr USING (asset_id)""".stripMargin) { (s, dir) =>
+      val assets = Multimodal.assetsFromDocuments(t(s, dir, "documents"))
+      val resized = Multimodal
+        .resizeAssets(Multimodal.decodeAssets(assets), MM_MAXDIM)
+        .select(col("asset_id"), col("out_w"), col("out_h"))
+      val sampled = Multimodal.sampleFrames(assets, MM_STRIDE)
+        .groupBy("asset_id").agg(count(lit(1)).as("n_sampled"))
+      resized.join(sampled, Seq("asset_id"))
     },
 
     // ---- near-dup GROUP resolution: exact-Jaccard pairs at 0.8 →

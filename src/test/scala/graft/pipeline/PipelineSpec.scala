@@ -181,6 +181,26 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L).width == 32L + Hashing.h60("1") % 224L)
   }
 
+  test("multimodal: resize keeps aspect ratio, frame sampling strides") {
+    val d = docs((1L, "x" * 250), (2L, "y"))
+    val assets = Multimodal.assetsFromDocuments(d)
+    val rez = Multimodal.resizeAssets(Multimodal.decodeAssets(assets), 96L)
+      .collect().map(r => r.asset_id -> r).toMap
+    for ((_, r) <- rez) {
+      assert(math.max(r.out_w, r.out_h) <= 96L)
+      if (math.max(r.src_w, r.src_h) <= 96L)
+        assert((r.out_w, r.out_h) == ((r.src_w, r.src_h))) // no upscale
+      else // floor integer scaling of the max dimension hits the target
+        assert(math.max(r.out_w, r.out_h) == 96L ||
+          math.max(r.out_w, r.out_h) == 95L)
+    }
+    // 250-byte payload -> 3 fake frames -> stride 2 samples frames 0, 2.
+    val frames = Multimodal.sampleFrames(assets, 2).collect()
+      .groupBy(_.asset_id).view.mapValues(_.map(_.frame_idx).sorted.toSeq).toMap
+    assert(frames(1L) == Seq(0L, 2L))
+    assert(frames(2L) == Seq(0L)) // 1-byte payload -> 1 frame
+  }
+
   test("hashing: scala-side h60 agrees with the Spark expression") {
     import spark.implicits._
     val fromExpr = Seq("abc", "1", "hello world").toDF("s")
