@@ -85,7 +85,36 @@ object HgnConfig {
       m => java.util.regex.Matcher.quoteReplacement(
         sys.env.getOrElse(m.group(1), "")))
 
+  /** Every key the engine reads. Unknown keys are REJECTED with the full
+    * list — the jsonschema-equivalent strictness of the reference's
+    * config validation (`configuration/configuration.py:49`,
+    * `yml_schema.json`): a typo like `max_sp_lenght` must fail loudly at
+    * load, not silently run with the default. `tag` and `spark.*` are
+    * accepted and ignored (present in reference confs; Spark settings
+    * belong to the session builder, not this engine).
+    */
+  private val KnownKeys: Set[String] = Set(
+    "input.nodes_path", "input.edges_path", "input.feature_names",
+    "input.nodes_delimiter", "input.edges_delimiter", "input.nodes_encoding",
+    "input.nodes_has_header", "input.edges_has_header", "input.edges_have_weights",
+    "run_options.features_to_check", "run_options.feature_min_avg",
+    "run_options.r_lvl1_thres", "run_options.r_lvl2_thres",
+    "run_options.max_edge_weight", "run_options.betweenness_thres",
+    "run_options.max_sp_length", "run_options.max_steps",
+    "run_options.min_comp_size", "run_options.max_mid_degree",
+    "run_options.cached_init_step",
+    "output.dir", "output.save_communities_to_csvs",
+    "datastore.url", "datastore.username", "datastore.password",
+    "datastore.driver", "datastore.communities_table",
+    "datastore.hostname", "datastore.db_name", "datastore.port")
+
   private def build(kv: Map[String, String]): HgnConfig = {
+    val unknown = kv.keys
+      .filterNot(k => KnownKeys(k) || k == "tag" || k.startsWith("spark."))
+      .toSeq.sorted
+    require(unknown.isEmpty,
+      s"unknown config key(s): ${unknown.mkString(", ")} — known keys: " +
+        KnownKeys.toSeq.sorted.mkString(", "))
     // Strip one layer of matching quotes: delimiters like '|' or ' '
     // must be quotable or they'd be lost to trimming / YAML syntax.
     def unquote(v: String): String =

@@ -58,6 +58,22 @@ class ConfigAndIoSpec extends SparkSpec {
       .params.maxMidDegree.contains(500L))
   }
 
+  test("config rejects unknown keys (typo safety), accepts tag/spark.*") {
+    val base =
+      """input:
+        |  nodes_path: /tmp/n.csv
+        |  edges_path: /tmp/e.csv
+        |  feature_names: [f1]
+        |""".stripMargin
+    val ex = intercept[IllegalArgumentException] {
+      HgnConfig.parse(base + "run_options:\n  max_sp_lenght: 3\n")
+    }
+    assert(ex.getMessage.contains("max_sp_lenght"))
+    assert(ex.getMessage.contains("max_sp_length")) // known keys listed
+    // tag + spark.* pass through untouched (reference conf sections).
+    HgnConfig.parse(base + "tag: prod\nspark:\n  spark.executor.memory: 4g\n")
+  }
+
   test("config rejects features_to_check outside feature_names") {
     intercept[IllegalArgumentException] {
       HgnConfig.parse(
