@@ -43,6 +43,22 @@ object Sinks {
     spark.read.parquet(fin)
   }
 
+  /** Bucketed, sorted table write: pre-shuffles ONCE at write time so
+    * every later join/aggregation on `keys` between same-bucketed tables
+    * runs WITHOUT an exchange (co-located sort-merge join) — the standard
+    * amortization when a big table is joined on the same key by many
+    * queries. Bucket metadata lives in the session catalog
+    * (`saveAsTable`), which is what lets the planner prove
+    * co-partitioning. BucketingSpec asserts the exchange-free plan.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** S9 replacement (SURVEY §2.1): machine-readable graph export as JSON
     * lines — vertices (with features) and edges into sibling dirs. The
     * reference's Plotly HTML scatter (`visualizer/plotly_visualizer.py`)

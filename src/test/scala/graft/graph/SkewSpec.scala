@@ -92,4 +92,22 @@ class SkewSpec extends SparkSpec {
     // sanity: exact has hub edges carrying 2-hop mass, e.g. (0,3)
     assert(exact((0L, 3L)) > 1L)
   }
+
+  test("saltedJoin is multiplicity-identical to the plain equi-join") {
+    import spark.implicits._
+    // Skewed left: 900 of 1000 rows share key 7; right has dup keys too,
+    // so per-match multiplicities are exercised, not just membership.
+    val left = (1L to 1000L).map(i => (if (i <= 900) 7L else i % 20, i))
+      .toDF("k", "id")
+    val right = (Seq.tabulate(25)(i => (i.toLong % 20, s"r$i"))).toDF("k", "tag")
+    for (salts <- Seq(1, 4, 16)) {
+      val salted = Skew.saltedJoin(left, right, "k", salts)
+        .select("k", "id", "tag").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+      val plain = left.join(right, Seq("k"))
+        .select("k", "id", "tag").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+      assert(salted == plain, s"salts=$salts")
+    }
+  }
 }
