@@ -43,6 +43,8 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name; rename it in the inputs")
     val sl = left.withColumn("__salt",
       pmod(xxhash64(left.columns.map(col): _*), lit(salts.toLong)).cast("int"))
     val sr = right.withColumn("__salt",

@@ -28,15 +28,17 @@ object Curation {
       mode: Hashing.HashMode = Hashing.HashMode.Oracle): DataFrame = {
     def hs(d: DataFrame) = d.select(col("doc_id"),
       Shingles.hashedWordShingles(col("text"), n, mode).as("hs"))
-    val docSh = hs(docs).select(col("doc_id"), size(col("hs")).as("n_sh"),
+    // ONE shingling pass over the corpus (the dominant narrow-stage cost):
+    // n_sh rides along the exploded rows, and a LEFT join against the
+    // marked benchmark set counts hits while keeping zero-hit docs —
+    // shingling never exceeds the explode fan-out it already pays.
+    val docSh = hs(docs).select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
       explode(col("hs")).as("h"))
     val benchSet = hs(benchmark).select(explode(col("hs")).as("h")).distinct()
-    val hits = docSh.join(benchSet, Seq("h"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-    hs(docs).select(col("doc_id"), size(col("hs")).as("n_sh"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_sh").cast("long").as("n_sh"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("__hit", lit(1))
+    docSh.join(benchSet, Seq("h"), "left")
+      .groupBy("doc_id", "n_sh").agg(count(col("__hit")).as("n_hits"))
+      .select(col("doc_id"), col("n_sh"), col("n_hits"))
       .withColumn("contamination",
         col("n_hits").cast("double") / col("n_sh").cast("double"))
   }
@@ -58,6 +60,7 @@ object Curation {
   def packSequences(docs: DataFrame, budget: Long,
       shardCol: String = "source", tokenCount: Column => Column =
         c => TextAnalysis.tokenCount(c)): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs.select(col(shardCol).as("shard"), col("doc_id"),

@@ -12,13 +12,18 @@ class PlanSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  /** Execute fully (adaptive plans finalize join strategies at runtime),
-    * then return the final plan string.
+  /** Execute THROUGH the DataFrame's own QueryExecution (collect, not a
+    * side write — a write runs a separate QueryExecution and would leave
+    * this one's AdaptiveSparkPlanExec un-finalized), then return the
+    * FINAL adaptive plan string. All catalog results are small at
+    * sf0.001, so the collect is cheap.
     */
   private def planOf(name: String): String = {
     val df = SparkEntry.queries(name)(spark, dir)
-    df.write.mode("overwrite").format("noop").save()
-    df.queryExecution.executedPlan.toString
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("isFinalPlan=false"), s"$name plan not finalized:\n$p")
+    p
   }
 
   test("q06: all filter predicates reach the parquet scan") {
