@@ -16,30 +16,47 @@ import graft.sources.{GraphCsv, Sinks}
   */
 object Hgn {
 
-  def session(appName: String = "hgn"): SparkSession = {
+  /** CLI-owned session. `extraConf` is the YAML `spark` section
+    * (reference parity: `spark_manager/spark_manager.py:79-84`), applied
+    * LAST so a user-tuned key (memory, shuffle partitions, even master)
+    * overrides the engine defaults — honored only here, where the engine
+    * owns the session; Verify/Bench run under the driver's session.
+    */
+  def session(appName: String = "hgn",
+      extraConf: Map[String, String] = Map.empty): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName(appName)
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    val spark = extraConf.foldLeft(builder) {
+      case (b, ("spark.master", v)) => b.master(v)
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
     spark.sparkContext.setCheckpointDir(
       java.nio.file.Files.createTempDirectory("hgn-ckpt").toString)
     spark
   }
 
   /** The init-cache key: every parameter the persisted init tables depend
-    * on. A warm start whose fingerprint differs recomputes instead of
-    * silently reusing tables built under other params (similarities
-    * depend on the feature set; betweenness on the path bound and the
-    * hub-degree cap).
+    * on — the algorithm knobs (similarities depend on the feature set;
+    * betweenness on the path bound and the hub-degree cap) AND the input
+    * identity (paths, delimiters, loaded feature columns). Without the
+    * latter, a warm start pointed at a different dataset but the same
+    * `output.dir` would validate and silently reuse stale tables.
     */
   private[graft] def paramsFingerprint(conf: HgnConfig): String = {
-    val feats = conf.featuresToCheck.mkString("[\"", "\",\"", "\"]")
+    def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def arr(xs: Seq[String]) = xs.map(js).mkString("[", ",", "]")
     s"""{"max_sp_length":${conf.params.maxSpLength},""" +
       s""""max_mid_degree":${conf.params.maxMidDegree.getOrElse(-1L)},""" +
-      s""""features_to_check":$feats}"""
+      s""""features_to_check":${arr(conf.featuresToCheck)},""" +
+      s""""nodes_path":${js(conf.nodesPath)},""" +
+      s""""edges_path":${js(conf.edgesPath)},""" +
+      s""""nodes_delimiter":${js(conf.nodesDelimiter)},""" +
+      s""""edges_delimiter":${js(conf.edgesDelimiter)},""" +
+      s""""feature_names":${arr(conf.featureNames)}}"""
   }
 
   /** `Some((sims, btw))` iff both init tables and a matching params
@@ -139,7 +156,7 @@ object Hgn {
       case Array("--config-file", p) => p
     }.getOrElse(sys.error("usage: hgn -c <conf> [-d]"))
     val conf = HgnConfig.fromFile(confPath)
-    implicit val spark: SparkSession = session()
+    implicit val spark: SparkSession = session(extraConf = conf.sparkConf)
     if (args.contains("-d") || args.contains("--debug"))
       spark.sparkContext.setLogLevel("DEBUG")
     else spark.sparkContext.setLogLevel("WARN")

@@ -61,6 +61,14 @@ object Verify {
       .flatMap(f => "^CORRECTNESS_r(\\d+)\\.json$".r
         .findFirstMatchIn(f.getName).map(m => (m.group(1).toInt, f)))
       .sortBy(_._1).lastOption
+    // No round file found = the guard CANNOT run — say so loudly rather
+    // than silently no-op'ing (a wrong cwd with SPARK_GRAFT_REPO_DIR
+    // unset would otherwise quietly disable the very check this exists
+    // for; the driver always runs from a dir holding round files).
+    if (prevRound.isEmpty) System.err.println(
+      s"[verify] WARNING: no CORRECTNESS_r*.json under '$repoDir' — " +
+        "catalog-shrink guard SKIPPED; set SPARK_GRAFT_REPO_DIR to the " +
+        "repo root if this is not round 1")
     val lost = prevRound.toSeq.flatMap { case (_, f) =>
       val keys = "\"(\\w+)\"\\s*:\\s*\\{".r
         .findAllMatchIn(Files.readString(f.toPath)).map(_.group(1)).toSet

@@ -35,7 +35,12 @@ final case class HgnConfig(
     // section) — when present, the final communities table is also
     // written through the JDBC passthrough ([[graft.sources.JdbcStore]]).
     jdbc: Option[graft.sources.JdbcConfig] = None,
-    jdbcCommunitiesTable: String = "communities") {
+    jdbcCommunitiesTable: String = "communities",
+    // Reference parity: the YAML `spark` section becomes SparkConf
+    // entries (`spark_manager/spark_manager.py:79-84`). Honored only
+    // where the ENGINE owns the session (the `Hgn` CLI) — under the
+    // driver-owned Verify/Bench sessions it is ignored by design.
+    sparkConf: Map[String, String] = Map.empty) {
   require(nodesPath.nonEmpty, "input.nodes_path is required")
   require(edgesPath.nonEmpty, "input.edges_path is required")
   require(featureNames.nonEmpty, "input.feature_names is required")
@@ -89,9 +94,10 @@ object HgnConfig {
     * list — the jsonschema-equivalent strictness of the reference's
     * config validation (`configuration/configuration.py:49`,
     * `yml_schema.json`): a typo like `max_sp_lenght` must fail loudly at
-    * load, not silently run with the default. `tag` and `spark.*` are
-    * accepted and ignored (present in reference confs; Spark settings
-    * belong to the session builder, not this engine).
+    * load, not silently run with the default. `tag` is accepted and
+    * ignored; `spark.*` keys are collected into [[HgnConfig.sparkConf]]
+    * and applied by the `Hgn` CLI's own session builder (ignored under
+    * driver-owned sessions, which this engine does not configure).
     */
   private val KnownKeys: Set[String] = Set(
     "input.nodes_path", "input.edges_path", "input.feature_names",
@@ -171,6 +177,14 @@ object HgnConfig {
             s"jdbc:mysql://${unquote(h)}:${int("datastore.port", 3306)}/" +
               str("datastore.db_name"),
             str("datastore.username"), str("datastore.password")))),
-      jdbcCommunitiesTable = str("datastore.communities_table", "communities"))
+      jdbcCommunitiesTable = str("datastore.communities_table", "communities"),
+      sparkConf = kv.collect {
+        // Keys inside a `spark:` section carry the section prefix on top
+        // of their own `spark.` name (reference confs spell the full
+        // Spark key, e.g. `spark:\n  spark.executor.memory: 4g`).
+        case (k, v) if k.startsWith("spark.") =>
+          (if (k.startsWith("spark.spark.")) k.stripPrefix("spark.") else k) ->
+            unquote(v)
+      })
   }
 }

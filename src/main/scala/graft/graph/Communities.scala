@@ -68,8 +68,11 @@ object Communities {
     * `sum` it can never hit Spark 4's default-ANSI long overflow
     * (round-4 regression: `sum(xxhash64)` threw `ARITHMETIC_OVERFLOW` on
     * any graph with ≥2 edges of opposite-sign hashes); it is also
-    * order-independent, which is all a set signature needs. Two
-    * independently-keyed hashes keep the collision probability ~2^-128.
+    * order-independent, which is all a set signature needs. The two
+    * hashes are seeded with distinct literal prefixes so they are
+    * independently keyed (operand-swapping alone would correlate them:
+    * both values coincide whenever the changed-edge xor is symmetric
+    * under swap), keeping the collision probability ~2^-128.
     *
     * The check is probabilistic: a collision where the edge set changed
     * but both xors and the count matched would terminate the loop early
@@ -79,8 +82,8 @@ object Communities {
     */
   private def signature(e: DataFrame): (Long, Any, Any) = {
     val r = e.agg(count(lit(1)),
-        bit_xor(xxhash64(col("u"), col("v"))),
-        bit_xor(xxhash64(col("v"), col("u"))))
+        bit_xor(xxhash64(lit(1), col("u"), col("v"))),
+        bit_xor(xxhash64(lit(2), col("u"), col("v"))))
       .collect()(0)
     (r.getLong(0), r.get(1), r.get(2))
   }

@@ -143,7 +143,7 @@ object Sinks {
     val nodeLines = v.select(concat(lit("    "),
       scriptSafe(to_json(struct(v.columns.map(col): _*))), lit(",")).as("line"))
     val edgeLines = e.select(concat(lit("    "),
-      to_json(struct(col("src"), col("dst"))), lit(",")).as("line"))
+      scriptSafe(to_json(struct(col("src"), col("dst")))), lit(",")).as("line"))
     val header =
       """<!DOCTYPE html><html><head><meta charset="utf-8">
         |<title>graft graph</title></head><body style="margin:0">

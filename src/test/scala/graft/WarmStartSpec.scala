@@ -98,6 +98,15 @@ class WarmStartSpec extends SparkSpec {
     // ...and a fingerprint mismatch through the same scheme misses.
     assert(Hgn.cachedInit(s"mockfs:$dir/init",
       Hgn.paramsFingerprint(confFor(dir, nodes, edges, cached = true))).isEmpty)
+
+    // Input identity is part of the key (round-5 ADVICE): same params but
+    // a different input dataset must NOT validate the cached init tables.
+    val otherInput = changedParams.copy(nodesPath = s"$dir/other_nodes.csv")
+    assert(Hgn.paramsFingerprint(otherInput) !=
+      Hgn.paramsFingerprint(changedParams))
+    assert(Hgn.cachedInit(s"$dir/init",
+      Hgn.paramsFingerprint(otherInput)).isEmpty,
+      "cache built from different input paths must miss")
   }
 }
 

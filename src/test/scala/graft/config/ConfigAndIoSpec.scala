@@ -74,6 +74,34 @@ class ConfigAndIoSpec extends SparkSpec {
     HgnConfig.parse(base + "tag: prod\nspark:\n  spark.executor.memory: 4g\n")
   }
 
+  test("config collects the yaml spark section into sparkConf") {
+    val c = HgnConfig.parse(
+      """input:
+        |  nodes_path: a
+        |  edges_path: b
+        |  feature_names: [x]
+        |spark:
+        |  spark.executor.memory: 4g
+        |  spark.sql.shuffle.partitions: 64
+        |""".stripMargin)
+    assert(c.sparkConf == Map(
+      "spark.executor.memory" -> "4g",
+      "spark.sql.shuffle.partitions" -> "64"))
+  }
+
+  test("Hgn.session honors yaml spark.* where the engine owns the session") {
+    // Reference parity (`spark_manager/spark_manager.py:79-84`): the CLI
+    // session builder applies the conf map. Against this JVM's existing
+    // session, getOrCreate applies the modifiable (runtime SQL) subset —
+    // exactly the keys a user can expect to land post-hoc.
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val s = graft.Hgn.session(
+        extraConf = Map("spark.sql.shuffle.partitions" -> "7"))
+      assert(s.conf.get("spark.sql.shuffle.partitions") == "7")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("config rejects features_to_check outside feature_names") {
     intercept[IllegalArgumentException] {
       HgnConfig.parse(

@@ -38,4 +38,49 @@ class CurationSpec extends SparkSpec {
     val packed = Curation.packSequences(docs, 5L)
     assert(packed.agg(sum("n_tokens")).collect()(0).getLong(0) == 15L)
   }
+
+  test("sequence packing: two-phase prefix-sum distributes a single shard") {
+    import spark.implicits._
+    val n = 400
+    val docs = (1 to n).map(i =>
+      (i.toLong, ("w " * (i % 7 + 1)).trim, "only")).toDF("doc_id", "text", "source")
+
+    // Any monotone sub-shard split yields bit-identical offsets: the
+    // numSubShards=1 run IS the old single-window formulation.
+    val reference = Curation.packSequences(docs, 16L, numSubShards = 1)
+    val twoPhase = Curation.packSequences(docs, 16L, numSubShards = 8)
+    assert(twoPhase.except(reference).isEmpty && reference.except(twoPhase).isEmpty)
+
+    // The single-task-per-shard bottleneck is gone: no task absorbs the
+    // whole shard through its shuffle read. AQE partition coalescing is
+    // disabled for the run — at 400 rows it would (correctly) re-merge
+    // the sub-shards into one partition, hiding exactly the parallelism
+    // this test pins; at scale the sub-shards exceed the advisory size
+    // and stay separate.
+    @volatile var maxRead = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null)
+          maxRead = math.max(maxRead, m.shuffleReadMetrics.recordsRead)
+      }
+    }
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val before = spark.conf.get(coalesceKey)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      assert(Curation.packSequences(docs, 16L, numSubShards = 8).count() == n)
+      // Listener delivery is async; poll until events drain.
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (maxRead == 0L && System.nanoTime() < deadline) Thread.sleep(50)
+    } finally {
+      spark.conf.set(coalesceKey, before)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(maxRead > 0L, "expected shuffle-read task metrics")
+    assert(maxRead < n,
+      s"a single task shuffle-read all $n rows — per-shard window bottleneck")
+  }
 }
