@@ -208,6 +208,62 @@ object SourceMlQueries {
       s.table("s04_stream_out")
     },
 
+    // ---- §2.10: gap sessionization with a BATCH oracle (the s04 pattern
+    // applied to the `flatMapGroupsWithState` operator, VERDICT round 5
+    // "Next round" #3). On bounded input the streaming sessionizer must
+    // equal the batch formulation — lag() gap-break + running-sum session
+    // ids in DuckDB. Two drain mechanics make the replay exact: the input
+    // is staged as ONE sorted parquet file (single data batch → no event
+    // is ever late w.r.t. the 0-second watermark), and one sentinel event
+    // for a fake key, placed past every real session's `end + gap`
+    // timeout, advances the final watermark so the no-data batch closes
+    // every real open session (the sentinel's own session never closes
+    // and is filtered out). ~5.7k closed sessions land in the memory
+    // sink — aggregates, not the stream; driver-safe.
+    QueryDef(
+      "s06_gap_sessions",
+      // ms, not µs: the operator's time axis is `Timestamp.getTime`
+      // milliseconds, so the batch replay truncates to ms the same way.
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS tms FROM events),
+        |d AS (SELECT user_id, tms,
+        |  CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms)
+        |       > 21600000 THEN 1 ELSE 0 END AS brk FROM e),
+        |s AS (SELECT user_id, tms, SUM(brk) OVER (PARTITION BY user_id
+        |  ORDER BY tms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM d)
+        |SELECT user_id, MIN(tms) AS start_ms, MAX(tms) AS end_ms,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sess""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val gapSec = 21600L // 6 h: multi-event sessions at every test SF
+      val base = scratch(dir, "s06")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").cast("string").as("user"),
+          timestamp_micros(expr("ts div 1000")).as("ts"))
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val sentinel = Seq(maxUs + (gapSec + 3600L) * 1000000L).toDF("us")
+        .select(lit("__sentinel__").as("user"),
+          timestamp_micros(col("us")).as("ts"))
+      ev.unionByName(sentinel).coalesce(1).sortWithinPartitions("ts")
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/in")
+      val stream = s.readStream.schema("user STRING, ts TIMESTAMP")
+        .parquet(s"$base/in")
+        .as[graft.streaming.StreamingOps.SessionEvent]
+      val sessions = graft.streaming.StreamingOps
+        .sessionize(stream, gapSec, "0 seconds")
+      val q = sessions.writeStream.format("memory").queryName("s06_sessions")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("s06_sessions")
+        .filter(col("user") =!= "__sentinel__")
+        .select(col("user").cast("long").as("user_id"),
+          unix_millis(col("start")).as("start_ms"),
+          unix_millis(col("end")).as("end_ms"),
+          col("n_events"))
+    },
+
     // ---- M1-M4: StringIndexer (frequencyDesc, ties alphabetic, SPARK
     // docs) → OneHotEncoder(dropLast=false) → VectorAssembler. The active
     // one-hot indices of each part are fully determined by the per-feature
