@@ -111,10 +111,22 @@ object Ann {
         row_number().over(
           Window.partitionBy(col("cell")).orderBy(col("neighbor_id"))).as("rn"))
       .filter(col("rn") === 1).drop("rn")
+    ivfTopKProbedReps(queries, corpus, cellCol, reps, nprobe, k)
+  }
+
+  /** [[ivfTopKProbed]] with a caller-supplied per-cell representative
+    * table `reps`: `(cell, rep: array<float>)` — the hook the k-means
+    * quantizer path plugs its centroids into. Shape is identical: reps
+    * broadcast, query side fans out ≤ nprobe×, corpus never replicated.
+    */
+  def ivfTopKProbedReps(queries: DataFrame, corpus: DataFrame, cellCol: String,
+      reps: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), col(cellCol).as("cell"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("cell_sim").desc, col("cell"))
-    val probed = q.crossJoin(broadcast(reps))
+    val probed = q.crossJoin(broadcast(reps.select(col("cell"), col("rep"))))
       .select(col("query_id"), col("qv"), col("cell"),
         microCosine(col("qv"), col("rep")).as("cell_sim"))
       .select(col("query_id"), col("qv"), col("cell"),
@@ -126,6 +138,50 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"),
         microCosine(col("qv"), col("cv")).as("sim_micro"))
     topK(pairs, k)
+  }
+
+  /** Production IVF cell assignment: a k-means coarse quantizer
+    * (spark.ml KMeans over the embedding column). Returns the corpus
+    * with an added `cell` column (nearest centroid) and the centroid
+    * table `(cell, rep: array<float>)` shaped for
+    * [[ivfTopKProbedReps]] — swap this pair in for the deterministic
+    * min-id-representative variant (which stays the ORACLE query: a
+    * trained quantizer's assignment is partitioning-dependent, so it is
+    * measured by the recall harness, not hash-gated).
+    *
+    * Scale: the fit runs on `fitSample` (a quantizer does not need the
+    * full corpus — the standard IVF build trains on a small sample and
+    * assigns everything), assignment is one narrow map over the corpus,
+    * and the centroid table is `numCells` rows — broadcast material.
+    */
+  def kmeansQuantizer(corpus: DataFrame, numCells: Int, seed: Long = 42L,
+      fitSample: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    // L2-normalize before fit AND assignment: KMeans minimizes Euclidean
+    // distance, the search metric is cosine — on unit vectors the two
+    // orders agree (spherical k-means approximation), so cells follow
+    // angular structure instead of vector magnitude.
+    def featurized(df: DataFrame) = {
+      val norm = sqrt(aggregate(col("embedding"),
+        lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+      df.withColumn("__features", array_to_vector(
+        transform(col("embedding"),
+          x => (x.cast("double") / nullif(norm, lit(0.0d))).cast("float"))))
+    }
+    val model = new KMeans()
+      .setK(numCells).setSeed(seed)
+      .setFeaturesCol("__features").setPredictionCol("__cell")
+      .fit(featurized(fitSample.getOrElse(corpus)))
+    val assigned = model.transform(featurized(corpus))
+      .withColumn("cell", col("__cell").cast("int"))
+      .drop("__features", "__cell")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val reps = model.clusterCenters.zipWithIndex
+      .map { case (ctr, i) => (i, ctr.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "rep")
+    (assigned, reps)
   }
 
   /** Random-hyperplane LSH: `tables` independent hash tables of `planes`

@@ -166,6 +166,40 @@ class GraphCoreSpec extends SparkSpec {
     assert(native.size == 110)
   }
 
+  test("connected components: 10k-vertex deep chains converge in few rounds") {
+    import spark.implicits._
+    implicit val s = spark
+    // Depth property (VERDICT round 5 "Next round" #7): long paths are
+    // the worst case for star-contraction round count. 4 chains of 2,500
+    // vertices (diameter 2,499) must converge well under the 64-round
+    // cap — maxRounds=16 pins the O(log² n) behavior; a diameter-bound
+    // propagation (GraphX-style min-id flooding needs ~2,500 rounds
+    // here, which is also why the differential target is the CLOSED FORM
+    // label, each chain's min id, rather than actually running GraphX).
+    // Ids are bit-mixed to full 47-bit spread so no monotone-id shortcut
+    // can mask the property.
+    def vid(i: Int): Long = {
+      var x = i.toLong * 0x9E3779B97F4A7C15L
+      x ^= (x >>> 33)
+      x & 0x7FFFFFFFFFFFL
+    }
+    val chains = 4
+    val len = 2500
+    val edges = (for (c <- 0 until chains; k <- 0 until len - 1)
+      yield (vid(c * len + k), vid(c * len + k + 1))).toDF("src", "dst")
+    val verts = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val labels = Communities
+      .connectedComponents(PropertyGraph(verts, edges), maxRounds = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for (c <- 0 until chains) yield {
+      val ids = (0 until len).map(j => vid(c * len + j))
+      val minId = ids.min
+      ids.map(_ -> minId)
+    }).flatten.toMap
+    assert(labels == expected)
+  }
+
   test("connected components throws instead of emitting non-converged labels") {
     import spark.implicits._
     implicit val s = spark
