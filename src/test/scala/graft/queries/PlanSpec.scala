@@ -54,4 +54,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), s"rep table not broadcast:\n$p")
     assert(p.contains("WindowGroupLimit"), s"probe ranking is a full sort:\n$p")
   }
+
+  test("sf1: heavy-family plans stay cartesian-free at 10x data") {
+    // Scale guard (VERDICT round 5 "Next round" #1): the same plan facts
+    // on the 10x generated directory — AQE re-plans per run, and a
+    // broadcast that silently degrades to a cartesian/shuffle blowup at
+    // larger stats is exactly what sf0.001 cannot catch. The directory
+    // is regenerable via:
+    //   sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/graft_sf1 10"
+    // and the test is skipped when absent.
+    val sf1 = "/tmp/graft_sf1"
+    assume(new java.io.File(s"$sf1/documents.parquet").isDirectory,
+      s"$sf1 not generated")
+    for (name <- Seq("p04_jaccard_pairs", "p05_minhash_pairs",
+        "p14_dup_groups", "g02_neighborhoods", "g05_edge_weights",
+        "g08_components")) {
+      val df = SparkEntry.queries(name)(spark, sf1)
+      df.collect() // results are pair/label tables — small even at sf1
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("isFinalPlan=false"), s"$name not finalized at sf1")
+      assert(!p.contains("CartesianProduct"),
+        s"$name grew a cross product at sf1:\n$p")
+    }
+  }
 }
