@@ -264,6 +264,80 @@ object SourceMlQueries {
           col("n_events"))
     },
 
+    // ---- §2.10: mapGroupsWithState keyed state with a BATCH oracle.
+    // The running per-key (count, sum) drained on bounded input must
+    // equal the batch GROUP BY. Two replay exactnesses: values are
+    // staged as integer CENTS held in the operator's Double state (exact
+    // in any fold order below 2^53 — a raw double sum would be
+    // order-dependent in the last ulp), and the final state row per key
+    // is selected with max_by on the strictly-increasing count, which
+    // stays correct even if the file source split the drain into
+    // several update emissions.
+    QueryDef(
+      "s07_running_stats",
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val base = scratch(dir, "s07")
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").cast("string").as("key"),
+          round(col("value") * 100).as("value"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/in")
+      val stream = s.readStream.schema("key STRING, value DOUBLE")
+        .parquet(s"$base/in")
+        .as[graft.streaming.StreamingOps.KeyedEvent](
+          org.apache.spark.sql.Encoders.product)
+      val stats = graft.streaming.StreamingOps.runningStats(stream)
+      val q = stats.writeStream.format("memory").queryName("s07_stats")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("s07_stats")
+        .groupBy("key")
+        .agg(max(col("n")).as("n"),
+          max_by(col("total"), col("n")).as("total"))
+        .select(col("key").cast("long").as("user_id"), col("n"),
+          col("total").cast("long").as("total_cents"))
+    },
+
+    // ---- §2.10: streaming watermark dedup with a BATCH oracle. The
+    // staged input is the events table plus a re-injected copy of every
+    // third event (same id, same content) — exactly-once at the door
+    // must collapse it back to the original distinct id set, which is
+    // what the oracle states: dedup(events ∪ dups) = events. Duplicate
+    // survivors are content-identical to their originals, so the output
+    // rows are deterministic. Single staged file → one micro-batch →
+    // every duplicate meets its original inside the state's watermark
+    // lifetime by construction.
+    QueryDef(
+      "s08_streaming_dedup",
+      """SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        |FROM events""".stripMargin) { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val base = scratch(dir, "s08")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+      ev.unionByName(ev.filter(col("event_id") % 3 === 0))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/in")
+      val stream = s.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, cents BIGINT")
+        .parquet(s"$base/in")
+      val deduped = graft.streaming.StreamingOps
+        .dedupStream(stream, "ts", "1 hour", Seq("event_id"))
+      val q = deduped.writeStream.format("memory").queryName("s08_dedup")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("s08_dedup").select(col("event_id"), col("cents"))
+    },
+
     // ---- M1-M4: StringIndexer (frequencyDesc, ties alphabetic, SPARK
     // docs) → OneHotEncoder(dropLast=false) → VectorAssembler. The active
     // one-hot indices of each part are fully determined by the per-feature
