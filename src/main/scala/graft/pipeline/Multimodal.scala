@@ -120,6 +120,38 @@ object Multimodal {
     }
   }
 
+  /** A feature-extracted (embedded) asset: the `array<float>` column the
+    * ANN/near-dup family consumes downstream.
+    */
+  final case class EmbeddedAsset(asset_id: Long, embedding: Array[Float])
+
+  /** Feature extraction: asset → `dim`-component embedding, the fourth
+    * multimodal pass (decode / feature-extract / resize / frame-sample).
+    * Same batched per-partition shape as [[decodeAssets]] — a real
+    * vision/audio encoder loads once per partition and consumes the row
+    * iterator in batches; no shuffle is introduced, and the output
+    * column type (`array<float>`) plugs straight into
+    * [[graft.pipeline.Ann]] (composition is tested in PipelineSpec).
+    *
+    * The ENVIRONMENT-STUB encoder emits deterministic components in
+    * [-1, 1]: `(h60(id:i) % 2001 - 1000) / 1000` — integer-exact under
+    * a ×1000 round-trip, which is how the oracle hash-verifies the
+    * plumbing without cross-engine float formatting.
+    */
+  def embedAssets(assets: Dataset[Asset], dim: Int): Dataset[EmbeddedAsset] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { rows =>
+      // Per-partition setup would load the real encoder here, once.
+      rows.map { a =>
+        EmbeddedAsset(a.asset_id,
+          Array.tabulate(dim) { i =>
+            ((Hashing.h60(s"${a.asset_id}:$i") % 2001L) - 1000L) / 1000.0f
+          })
+      }
+    }
+  }
+
   /** DuckDB SQL computing [[FakeDecoder.decode]]'s output from the same
     * source table (for the oracle): `idExpr`/`textExpr` are column exprs.
     */

@@ -34,6 +34,7 @@ object PipelineQueries {
   private val PACK_BUDGET = 512L
   private val MM_MAXDIM = 96L
   private val MM_STRIDE = 4
+  private val MM_EMBED_DIM = 8
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -659,6 +660,28 @@ object PipelineQueries {
       Curation.packSequences(t(s, dir, "documents"), PACK_BUDGET)
         .groupBy(col("shard"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+    },
+
+    // ---- multimodal feature extraction: asset → embedding vector (the
+    // fourth multimodal pass; mapPartitions batch shape, stub encoder).
+    // The float components are integer-exact under a ×1000 round-trip,
+    // so the oracle compares the recovered integer lists as strings —
+    // verifying the batched plumbing end to end without cross-engine
+    // float formatting.
+    QueryDef(
+      "p22_multimodal_embed",
+      s"""SELECT doc_id AS asset_id,
+         |  array_to_string(list_transform(range(0, $MM_EMBED_DIM), i ->
+         |    CAST(${Hashing.sqlH60(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 2001
+         |      - 1000 AS BIGINT)), ',') AS emb_q
+         |FROM documents""".stripMargin) { (s, dir) =>
+      Multimodal.embedAssets(
+          Multimodal.assetsFromDocuments(t(s, dir, "documents")), MM_EMBED_DIM)
+        .toDF()
+        .select(col("asset_id"),
+          concat_ws(",", transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("long"))).as("emb_q"))
     }
   )
 }

@@ -201,6 +201,23 @@ class PipelineSpec extends SparkSpec {
     assert(frames(2L) == Seq(0L)) // 1-byte payload -> 1 frame
   }
 
+  test("multimodal: extracted embeddings compose with the ANN family") {
+    val d = docs((1L, "a b"), (2L, "c d"), (3L, "e f"), (4L, "g h"))
+    val emb = Multimodal
+      .embedAssets(Multimodal.assetsFromDocuments(d), dim = 8).toDF()
+      .select(col("asset_id").as("vec_id"), col("embedding"))
+    // Components bounded in [-1, 1] (the stub's contract), dim as asked.
+    val mx = emb.select(max(aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => greatest(acc, abs(x.cast("double")))))).head().getDouble(0)
+    assert(mx <= 1.0)
+    assert(emb.select(size(col("embedding"))).head().getInt(0) == 8)
+    // The embedding column type plugs directly into the ANN operators.
+    val top = Ann.bruteForceTopK(emb.filter(col("vec_id") === 1L), emb, k = 2)
+      .collect()
+    assert(top.length == 2)
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSet.subsetOf(Set(2L, 3L, 4L)))
+  }
+
   test("hashing: scala-side h60 agrees with the Spark expression") {
     import spark.implicits._
     val fromExpr = Seq("abc", "1", "hello world").toDF("s")
