@@ -41,6 +41,10 @@ object ScaleUp {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is parquet TIMESTAMP(NANOS): read nanos as long and
+      // write plain int64 — Tables.load and the streaming stagers apply
+      // `ts div 1000` identically to both representations.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -77,8 +81,43 @@ object ScaleUp {
       .drop("k")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
 
-    println(s"[scaleup] wrote lineitem/part/documents x$factor " +
-      s"from $srcDir to $outDir")
+    // embeddings: vec_id shifted; copy k's vectors get a per-copy RANDOM
+    // SIGN FLIP per coordinate (hash-derived ±1 diagonal) — a diagonal
+    // orthogonal transform applied uniformly within a copy preserves
+    // every within-copy pairwise cosine exactly (per-copy ANN/LSH
+    // structure identical in similarity space), while the effective
+    // cross-copy sign pattern is random, driving cross-copy cosines to
+    // ~0 — so p11-style near-dup pair counts scale linearly, never
+    // quadratically. (A cyclic ROTATION does NOT work here: these
+    // vectors carry shift structure and rotated copies stay correlated
+    // — measured 110x pair growth at 10x before switching to flips.)
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val vecSpan = span(emb, "vec_id")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    emb.crossJoin(copies)
+      .withColumn("vec_id", col("vec_id") + col("k") * vecSpan)
+      .withColumn("embedding",
+        when(col("k") === 0, col("embedding")).otherwise(
+          transform(col("embedding"), (x, i) =>
+            x * (pmod(xxhash64(col("k") * dim + i), lit(2)) * 2 - 1)
+              .cast("float"))))
+      .drop("k")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
+
+    // events: ids and users shifted, timestamps kept — 10x keys over the
+    // same time range scales streaming state (sessions, running stats,
+    // window groups) by 10x, which is the dimension that matters.
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    val evSpan = span(ev, "event_id")
+    val userSpan = span(ev, "user_id")
+    ev.crossJoin(copies)
+      .withColumn("event_id", col("event_id") + col("k") * evSpan)
+      .withColumn("user_id", col("user_id") + col("k") * userSpan)
+      .drop("k")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
+
+    println(s"[scaleup] wrote lineitem/part/documents/embeddings/events " +
+      s"x$factor from $srcDir to $outDir")
     spark.stop()
   }
 }
