@@ -68,7 +68,8 @@ class PlanSpec extends SparkSpec {
       s"$sf1 not generated")
     for (name <- Seq("p04_jaccard_pairs", "p05_minhash_pairs",
         "p14_dup_groups", "g02_neighborhoods", "g05_edge_weights",
-        "g08_components")) {
+        "g08_components", "p18_ann_ivf_probed", "p19_contamination",
+        "p20_seq_packing")) {
       val df = SparkEntry.queries(name)(spark, sf1)
       df.collect() // results are pair/label tables — small even at sf1
       val p = df.queryExecution.executedPlan.toString
