@@ -53,6 +53,14 @@ object Bench {
     // to run only the heavy family against a generated 10x directory.
     val subset = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A typo'd subset name must fail loudly, not bench nothing and
+    // exit 0 (the round-4 regression-loudness principle).
+    val unknown = subset.getOrElse(Set.empty) -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty) {
+      System.err.println(s"[bench] FAILURE: unknown SPARK_GRAFT_QUERIES " +
+        s"name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => subset.forall(_.contains(n)))
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()

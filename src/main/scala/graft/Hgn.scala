@@ -56,6 +56,10 @@ object Hgn {
       s""""edges_path":${js(conf.edgesPath)},""" +
       s""""nodes_delimiter":${js(conf.nodesDelimiter)},""" +
       s""""edges_delimiter":${js(conf.edgesDelimiter)},""" +
+      s""""nodes_has_header":${conf.nodesHasHeader},""" +
+      s""""edges_has_header":${conf.edgesHasHeader},""" +
+      s""""edges_have_weights":${conf.edgesHaveWeights},""" +
+      s""""nodes_encoding":${js(conf.nodesEncoding)},""" +
       s""""feature_names":${arr(conf.featureNames)}}"""
   }
 

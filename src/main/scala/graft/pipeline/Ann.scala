@@ -165,9 +165,13 @@ object Ann {
     def featurized(df: DataFrame) = {
       val norm = sqrt(aggregate(col("embedding"),
         lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+      // coalesce: an all-zero embedding (norm 0) normalizes to the zero
+      // vector instead of null components (array_to_vector NPEs on
+      // nulls) — the row still gets assigned to SOME cell.
       df.withColumn("__features", array_to_vector(
         transform(col("embedding"),
-          x => (x.cast("double") / nullif(norm, lit(0.0d))).cast("float"))))
+          x => coalesce(x.cast("double") / nullif(norm, lit(0.0d)), lit(0.0d))
+            .cast("float"))))
     }
     val model = new KMeans()
       .setK(numCells).setSeed(seed)

@@ -85,9 +85,14 @@ object Curation {
     // be DETERMINISTIC and MONOTONE in doc_id, not exact.
     val ranges = base.groupBy("shard")
       .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    // Cast BEFORE subtracting: a long-space `doc_id - lo` would throw
+    // ARITHMETIC_OVERFLOW under default-ANSI when a shard's id span
+    // exceeds Long range; in double space it merely loses precision,
+    // which this map is allowed to do.
     val subExpr = least(lit(numSubShards - 1),
-      floor((col("doc_id") - col("lo")).cast("double") /
-        ((col("hi") - col("lo")).cast("double") + 1d) * numSubShards))
+      floor((col("doc_id").cast("double") - col("lo").cast("double")) /
+        (col("hi").cast("double") - col("lo").cast("double") + 1d) *
+        numSubShards))
       .cast("int")
     val withSub = base.join(broadcast(ranges), Seq("shard"))
       .withColumn("sub", subExpr)
@@ -96,8 +101,14 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, -1)
     val within = withSub.withColumn("local_offset",
       coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-    val totals = withSub.groupBy("shard", "sub")
-      .agg(sum(col("n_tokens")).as("sub_total"))
+    // Totals derive from `within`, not `withSub`: both consumers then
+    // share the scan→tokenCount→join→exchange subtree (ReuseExchange),
+    // so the dominant cost — tokenizing the corpus — runs once, not
+    // twice. max(local_offset + n_tokens) is the group's token sum:
+    // the cumsum is non-decreasing (n_tokens ≥ 0), so the last row's
+    // exclusive offset plus its own count is the total.
+    val totals = within.groupBy("shard", "sub")
+      .agg(max(col("local_offset") + col("n_tokens")).as("sub_total"))
     val wTot = Window.partitionBy(col("shard")).orderBy(col("sub"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Scale-up generator for the 10× efficiency evidence (VERDICT round 5
@@ -35,18 +35,12 @@ object ScaleUp {
     val Array(srcDir, outDir, factorStr) = args
     val factor = factorStr.toLong
     require(factor >= 1, s"factor must be >= 1, got $factor")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .appName("graft-scaleup")
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet TIMESTAMP(NANOS): read nanos as long and
-      // write plain int64 — Tables.load and the streaming stagers apply
-      // `ts div 1000` identically to both representations.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // events.ts is parquet TIMESTAMP(NANOS): read nanos as long and
+    // write plain int64 — Tables.load and the streaming stagers apply
+    // `ts div 1000` identically to both representations.
+    val spark = graft.Hgn.session("graft-scaleup", Map(
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      "spark.ui.enabled" -> "false"))
     spark.sparkContext.setLogLevel("WARN")
 
     val copies = spark.range(factor).select(col("id").as("k"))

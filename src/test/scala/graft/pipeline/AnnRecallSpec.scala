@@ -67,4 +67,20 @@ class AnnRecallSpec extends SparkSpec {
     }
     brute.unpersist()
   }
+
+  test("kmeans quantizer tolerates an all-zero embedding") {
+    import spark.implicits._
+    // norm 0 → the normalized copy must be the zero vector, not null
+    // components (array_to_vector NPEs on nulls); the row still lands
+    // in some cell.
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(0f, 0f)), (4L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val (assigned, reps) = Ann.kmeansQuantizer(corpus, numCells = 2, seed = 7L)
+    assert(assigned.count() == 4)
+    assert(assigned.filter(col("vec_id") === 3L && col("cell").isNotNull)
+      .count() == 1)
+    assert(reps.count() == 2)
+  }
 }

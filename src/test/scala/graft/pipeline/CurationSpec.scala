@@ -83,4 +83,18 @@ class CurationSpec extends SparkSpec {
     assert(maxRead < n,
       s"a single task shuffle-read all $n rows — per-shard window bottleneck")
   }
+
+  test("sequence packing: extreme doc_id spans don't overflow under ANSI") {
+    import spark.implicits._
+    // Span (hi - lo) exceeds Long range: long-space subtraction would
+    // throw ARITHMETIC_OVERFLOW; the double-space range split must not.
+    val docs = Seq(
+      (Long.MinValue / 2, "a b c", "s"),
+      (Long.MaxValue / 2, "d e", "s")).toDF("doc_id", "text", "source")
+    val got = Curation.packSequences(docs, budget = 4L, numSubShards = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("start_offset"), r.getAs[Long]("bin"))).toMap
+    assert(got(Long.MinValue / 2) == ((0L, 0L)))
+    assert(got(Long.MaxValue / 2) == ((3L, 0L)))
+  }
 }
