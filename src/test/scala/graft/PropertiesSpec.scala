@@ -134,4 +134,33 @@ class PropertiesSpec extends SparkSpec {
     assert(b((3L, 4L)) == 1 + 1 + 1)
     assert(b((2L, 1L)) == 3 && b((3L, 2L)) == 4 && b((4L, 3L)) == 3)
   }
+
+  test("property: two-phase sequence packing equals the single window") {
+    import spark.implicits._
+    // Random corpora: sparse ids, skewed shard sizes, variable word
+    // counts. For every seed and every sub-shard count the distributed
+    // prefix-sum must be BIT-IDENTICAL to the numSubShards=1 plan
+    // (which is the naive single-window formulation).
+    val genDocs: Gen[List[(Long, Int, Int)]] =
+      Gen.listOfN(80,
+        for {
+          id <- Gen.choose(0L, 1000000L)
+          shard <- Gen.choose(0, 2)
+          words <- Gen.choose(0, 12)
+        } yield (id, shard, words))
+    for (seed <- seeds) {
+      val rows = genDocs.apply(Gen.Parameters.default, Seed(seed))
+        .getOrElse(Nil)
+        .map { case (id, sh, w) => (id, ("w " * w).trim, s"shard$sh") }
+        .distinctBy(_._1) // doc_id is a key
+      val docs = rows.toDF("doc_id", "text", "source")
+      val single = graft.pipeline.Curation
+        .packSequences(docs, 7L, numSubShards = 1).collect().toSet
+      for (subs <- Seq(2, 5, 16)) {
+        val multi = graft.pipeline.Curation
+          .packSequences(docs, 7L, numSubShards = subs).collect().toSet
+        assert(multi == single, s"seed $seed subs $subs")
+      }
+    }
+  }
 }
