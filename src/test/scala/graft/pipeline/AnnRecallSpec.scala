@@ -65,6 +65,15 @@ class AnnRecallSpec extends SparkSpec {
         s"nprobe=$nprobe recall $r does not beat random cell selection " +
           s"($randomBaseline) — quantizer broken: $recalls")
     }
+
+    // Exactness at the limit: probing EVERY cell scans the whole corpus,
+    // so the IVF result must equal brute force bit-for-bit (same
+    // micro-cosine, same id tie-breaks) — recall exactly 1.0, not ~1.0.
+    val full = Ann.ivfTopKProbedReps(queries, assigned, "cell", reps,
+        nprobe = 16, k = k)
+      .select("query_id", "neighbor_id")
+    assert(full.join(brute, Seq("query_id", "neighbor_id")).count() == nBrute,
+      "nprobe=numCells must reproduce brute force exactly")
     brute.unpersist()
   }
 

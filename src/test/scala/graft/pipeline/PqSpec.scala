@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Recall harness for the product-quantization path (compressed scan +
+  * exact re-rank), against the exact brute-force baseline — same
+  * yardstick discipline as AnnRecallSpec: the synthetic embeddings are
+  * near-random unit vectors, so absolute recall is data-bounded and the
+  * assertions pin (a) a wide margin over random selection, (b) the
+  * structural monotonicity of the pipeline (re-rank of an R-candidate
+  * pool can only improve agreement with brute force as R grows), and
+  * (c) compression actually happened (code bytes ≪ vector bytes).
+  */
+class PqSpec extends SparkSpec {
+
+  test("pq: ADC + exact re-rank recalls brute force, codes compress 32x") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = corpus.filter(col("vec_id") < 20)
+    val k = 10
+
+    val brute = Ann.bruteForceTopK(queries, corpus, k)
+      .select("query_id", "neighbor_id").cache()
+    val nBrute = brute.count().toDouble
+
+    // m=8 sub-spaces, 16 centroids each: 64 floats (256 B) -> 8 shorts
+    // of which only 4 bits used — 32x fewer bytes than the raw vector
+    // even stored as int16.
+    val cb = Pq.train(corpus, m = 8, nbits = 4)
+    assert(cb.centers.length == 8 && cb.centers.head.length == 16)
+    val codes = Pq.encode(corpus, cb).cache()
+    assert(codes.count() == 500)
+    val codeElems = codes.select(size(col("codes"))).head().getInt(0)
+    assert(codeElems * 2 * 16 <= 64 * 4, "codes not smaller than vectors")
+
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("query_id", "neighbor_id")
+        .join(brute, Seq("query_id", "neighbor_id")).count() / nBrute
+
+    // Plain ADC at k: must beat random selection by a wide margin
+    // (random top-10 of 500 ⇒ recall ≈ 10/500 = 0.02).
+    val adc = recallOf(Pq.adcTopK(queries, codes, cb, k))
+    assert(adc > 0.2, s"ADC recall $adc barely beats random (0.02)")
+
+    // Re-rank pipeline: ADC top-R candidates, exact cosine top-k.
+    // Monotone in R by construction — a larger exactly-reranked pool
+    // agrees at least as well with the exact brute-force top-k.
+    val recalls = Seq(20, 50, 100).map { r =>
+      r -> recallOf(Pq.rerank(
+        Pq.adcTopK(queries, codes, cb, r), queries, corpus, k))
+    }
+    info(f"pq recall@10 (sf0.001, m=8, 16 centroids): adc@10 $adc%.3f, " +
+      recalls.map { case (r, v) => f"rerank@$r $v%.3f" }.mkString(", "))
+    recalls.sliding(2).foreach { case Seq((_, a), (_, b)) =>
+      assert(a <= b + 1e-9, s"re-rank recall not monotone: $recalls")
+    }
+    assert(recalls.head._2 >= adc - 1e-9,
+      "exact re-rank of a 2k pool must not lose to plain ADC")
+    assert(recalls.last._2 > 0.6,
+      s"rerank@100 (scanning 20% of corpus exactly) too low: $recalls")
+    brute.unpersist(); codes.unpersist()
+  }
+}
