@@ -153,6 +153,72 @@ object Pq {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-PQ: the composed production ANN pipeline — IVF cells restrict
+    * WHICH codes each query scans (nprobe cells instead of the whole
+    * corpus), ADC scores the surviving codes, exact re-rank is applied
+    * by the caller via [[rerank]]. `cells`: `(vec_id, cell)` from a
+    * coarse quantizer ([[Ann.kmeansQuantizer]] or any assignment);
+    * `reps`: `(cell, rep)` for probe ranking.
+    *
+    * Scale: probed (query, cell) pairs are ≤ queries × nprobe (tiny,
+    * broadcast); the join against the coded corpus fans each corpus row
+    * out only to the queries probing its cell — at 100 TB the scan cost
+    * is nprobe/numCells of the corpus CODES (already 32× compressed),
+    * per query.
+    */
+  def ivfPqTopK(queries: DataFrame, codes: DataFrame, cells: DataFrame,
+      reps: DataFrame, cb: Codebooks, nprobe: Int, k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val luts = qRows.map { case (id, q) =>
+      id -> Array.tabulate(cb.m) { s =>
+        val sub = slice(q, s, cb.subDim)
+        Array.tabulate(cb.numCentroids) { c =>
+          val ctr = cb.centers(s)(c)
+          var d = 0.0f; var i = 0
+          while (i < cb.subDim) { d += sub(i) * ctr(i); i += 1 }
+          d
+        }
+      }
+    }.toMap
+    val bc = spark.sparkContext.broadcast(luts)
+    // Probe assignment: top-nprobe cells per query by rep similarity
+    // (same ranking as Ann.ivfTopKProbedReps).
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cell_sim").desc, col("cell"))
+    val probed = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(reps.select(col("cell"), col("rep"))))
+      .select(col("query_id"), col("cell"),
+        Ann.microCosine(col("qv"), col("rep")).as("cell_sim"))
+      .select(col("query_id"), col("cell"),
+        row_number().over(probeW).as("prb"))
+      .filter(col("prb") <= nprobe)
+      .select("query_id", "cell")
+    // Cell-restricted ADC: each coded row is scored only for the
+    // queries that probed its cell.
+    val scoped = codes.join(cells.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("codes"))
+      .as[(Long, Long, Array[Short])]
+      .mapPartitions { rows =>
+        val qs = bc.value
+        rows.map { case (qid, nid, cs) =>
+          val lut = qs(qid)
+          var score = 0.0f; var s = 0
+          while (s < lut.length) { score += lut(s)(cs(s)); s += 1 }
+          (qid, nid, score)
+        }
+      }.toDF("query_id", "neighbor_id", "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scoped.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact re-rank: join the ADC survivors back to the raw embeddings
     * and rescore with the exact fixed-point cosine — the second stage of
     * the production PQ pipeline (exact math touches only

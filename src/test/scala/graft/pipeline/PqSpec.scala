@@ -61,6 +61,25 @@ class PqSpec extends SparkSpec {
       "exact re-rank of a 2k pool must not lose to plain ADC")
     assert(recalls.last._2 > 0.6,
       s"rerank@100 (scanning 20% of corpus exactly) too low: $recalls")
+
+    // IVF-PQ composition: coarse cells restrict which codes each query
+    // scans; ADC scores the survivors; exact re-rank on top. Probing
+    // all 16 cells makes the candidate pool equal the plain ADC pool,
+    // so the composed pipeline must match plain-ADC + re-rank exactly.
+    val (cells, reps) = Ann.kmeansQuantizer(corpus, numCells = 16)
+    val full = Pq.ivfPqTopK(queries, codes, cells, reps, cb,
+      nprobe = 16, k = 50)
+    val fullRecall = recallOf(Pq.rerank(full, queries, corpus, k))
+    val plainRecall = recalls.find(_._1 == 50).get._2
+    assert(math.abs(fullRecall - plainRecall) < 1e-9,
+      s"ivfPq probing all cells ($fullRecall) != plain ADC ($plainRecall)")
+    // Partial probing trades recall for scan cost but must stay far
+    // above random and below-or-equal the full scan.
+    val part = Pq.ivfPqTopK(queries, codes, cells, reps, cb,
+      nprobe = 4, k = 50)
+    val partRecall = recallOf(Pq.rerank(part, queries, corpus, k))
+    info(f"ivf-pq recall@10: nprobe=4 $partRecall%.3f, nprobe=16 $fullRecall%.3f")
+    assert(partRecall > 0.1 && partRecall <= fullRecall + 1e-9)
     brute.unpersist(); codes.unpersist()
   }
 }
