@@ -153,6 +153,105 @@ object Pq {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic integer codebooks — components from the same inline
+    * LCG family as [[Ann.lshBuckets]]:
+    * `(1103515245·n + 12345) mod 2001 − 1000` with
+    * `n = ((s·K + c)·subDim) + i`, so every center component is a whole
+    * number in [−1000, 1000]. With vectors quantized to
+    * `floor(x·1000)`, encode distances and ADC scores are exact Long
+    * arithmetic on BOTH engines — the PQ pipeline becomes
+    * DuckDB-replayable (oracle p23). Trained codebooks
+    * ([[train]]) remain the production path; this variant exists for
+    * the correctness gate and for reproducible runs.
+    */
+  def deterministicCodebooks(dim: Int, m: Int, nbits: Int): Codebooks = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val k = 1 << nbits
+    Codebooks(m, k, subDim, Array.tabulate(m, k, subDim) { (s, c, i) =>
+      ((1103515245L * (((s.toLong * k + c) * subDim) + i) + 12345L) % 2001L
+        - 1000L).toFloat
+    })
+  }
+
+  /** Integer-exact encode for integer-valued codebooks: vectors are
+    * quantized `floor(x·1000)` and the per-sub-space L2 argmin runs in
+    * Long arithmetic; the FIRST minimum wins on ties (matching the
+    * oracle's `list_position(dists, list_min(dists))`).
+    */
+  def exactCodes(corpus: DataFrame, cb: Codebooks): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val b = bc.value
+        rows.map { case (id, v) =>
+          val q = v.map(x => math.floor(x.toDouble * 1000).toLong)
+          val codes = new Array[Short](b.m)
+          var s = 0
+          while (s < b.m) {
+            var best = 0; var bestD = Long.MaxValue
+            var c = 0
+            while (c < b.numCentroids) {
+              val ctr = b.centers(s)(c)
+              var d = 0L; var i = 0
+              while (i < b.subDim) {
+                val diff = q(s * b.subDim + i) - ctr(i).toLong
+                d += diff * diff; i += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            codes(s) = best.toShort
+            s += 1
+          }
+          PqCode(id, codes)
+        }
+      }.toDF()
+  }
+
+  /** Integer-exact ADC top-`k`: Long lookup tables over quantized query
+    * vectors and integer centers — bit-reproducible across engines.
+    * Output `(query_id, neighbor_id, score, rank)`, self excluded,
+    * ties by neighbor id.
+    */
+  def exactAdcTopK(queries: DataFrame, codes: DataFrame, cb: Codebooks,
+      k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val luts: Array[(Long, Array[Array[Long]])] = qRows.map { case (id, v) =>
+      val q = v.map(x => math.floor(x.toDouble * 1000).toLong)
+      id -> Array.tabulate(cb.m) { s =>
+        Array.tabulate(cb.numCentroids) { c =>
+          val ctr = cb.centers(s)(c)
+          var d = 0L; var i = 0
+          while (i < cb.subDim) { d += q(s * cb.subDim + i) * ctr(i).toLong; i += 1 }
+          d
+        }
+      }
+    }
+    val bc = spark.sparkContext.broadcast(luts)
+    val scored = codes.as[PqCode].mapPartitions { rows =>
+      val qs = bc.value
+      rows.flatMap { r =>
+        qs.iterator.collect { case (qid, lut) if qid != r.vec_id =>
+          var score = 0L; var s = 0
+          while (s < lut.length) { score += lut(s)(r.codes(s)); s += 1 }
+          (qid, r.vec_id, score)
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF-PQ: the composed production ANN pipeline — IVF cells restrict
     * WHICH codes each query scans (nprobe cells instead of the whole
     * corpus), ADC scores the surviving codes, exact re-rank is applied

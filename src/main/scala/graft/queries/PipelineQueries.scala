@@ -35,6 +35,15 @@ object PipelineQueries {
   private val MM_MAXDIM = 96L
   private val MM_STRIDE = 4
   private val MM_EMBED_DIM = 8
+  private val PQ_M = 8
+  private val PQ_NBITS = 4
+  private val PQ_SUBDIM = 8 // 64 / PQ_M
+
+  /** DuckDB fragment: deterministic-codebook center component (s, c, i)
+    * — must mirror [[Pq.deterministicCodebooks]] exactly.
+    */
+  private def pqCtr(s: String, c: String, i: String): String =
+    s"((1103515245 * ((($s * ${1 << PQ_NBITS} + $c) * $PQ_SUBDIM) + $i) + 12345) % 2001 - 1000)"
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -682,6 +691,54 @@ object PipelineQueries {
         .select(col("asset_id"),
           concat_ws(",", transform(col("embedding"),
             x => round(x.cast("double") * 1000).cast("long"))).as("emb_q"))
+    },
+
+    // ---- product quantization, deterministic variant: integer LCG
+    // codebooks + floor(x*1000) quantized vectors make encode argmin and
+    // ADC scores exact Long arithmetic, so DuckDB replays the full
+    // compressed-ANN pipeline (encode -> ADC scan -> top-k) bit-for-bit.
+    // The trained-codebook path stays measured by PqSpec's recall
+    // harness; this gate pins the operator mechanics.
+    QueryDef(
+      "p23_pq_adc",
+      s"""WITH qv AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+         |  FROM embeddings
+         |),
+         |d AS (
+         |  SELECT vec_id, s,
+         |    list_transform(range(0, ${1 << PQ_NBITS}), c ->
+         |      list_sum(list_transform(range(0, $PQ_SUBDIM), i ->
+         |        (v[CAST(s * $PQ_SUBDIM + i + 1 AS INT)] - ${pqCtr("s", "c", "i")}) *
+         |        (v[CAST(s * $PQ_SUBDIM + i + 1 AS INT)] - ${pqCtr("s", "c", "i")})
+         |      ))) AS dists
+         |  FROM qv, range(0, $PQ_M) ss(s)
+         |),
+         |cd AS (
+         |  SELECT vec_id, s,
+         |    CAST(list_position(dists, list_min(dists)) - 1 AS BIGINT) AS code
+         |  FROM d
+         |),
+         |scores AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    CAST(SUM(list_sum(list_transform(range(0, $PQ_SUBDIM), i ->
+         |      q.v[CAST(n.s * $PQ_SUBDIM + i + 1 AS INT)] *
+         |        ${pqCtr("n.s", "n.code", "i")}))) AS BIGINT) AS score
+         |  FROM cd n CROSS JOIN qv q
+         |  WHERE q.vec_id < $ANN_NQ AND q.vec_id <> n.vec_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT query_id, neighbor_id, score, rank FROM (
+         |  SELECT query_id, neighbor_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scores
+         |) WHERE rank <= $ANN_K""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val cb = Pq.deterministicCodebooks(64, PQ_M, PQ_NBITS)
+      val codes = Pq.exactCodes(emb, cb)
+      Pq.exactAdcTopK(emb.filter(col("vec_id") < ANN_NQ), codes, cb, ANN_K)
     }
   )
 }
