@@ -38,6 +38,7 @@ object PipelineQueries {
   private val PQ_M = 8
   private val PQ_NBITS = 4
   private val PQ_SUBDIM = 8 // 64 / PQ_M
+  private val PQ_RERANK_POOL = 50
 
   /** DuckDB fragment: deterministic-codebook center component (s, c, i)
     * — must mirror [[Pq.deterministicCodebooks]] exactly.
@@ -739,6 +740,67 @@ object PipelineQueries {
       val cb = Pq.deterministicCodebooks(64, PQ_M, PQ_NBITS)
       val codes = Pq.exactCodes(emb, cb)
       Pq.exactAdcTopK(emb.filter(col("vec_id") < ANN_NQ), codes, cb, ANN_K)
+    },
+
+    // ---- the TWO-STAGE PQ pipeline end to end: deterministic ADC
+    // candidates (top-PQ_RERANK_POOL per query from the compressed
+    // codes) re-ranked by the exact fixed-point cosine — the production
+    // compressed-scan + exact-verify design, hash-gated because both
+    // stages are integer-exact.
+    QueryDef(
+      "p24_pq_rerank",
+      s"""WITH qv AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+         |  FROM embeddings
+         |),
+         |d AS (
+         |  SELECT vec_id, s,
+         |    list_transform(range(0, ${1 << PQ_NBITS}), c ->
+         |      list_sum(list_transform(range(0, $PQ_SUBDIM), i ->
+         |        (v[CAST(s * $PQ_SUBDIM + i + 1 AS INT)] - ${pqCtr("s", "c", "i")}) *
+         |        (v[CAST(s * $PQ_SUBDIM + i + 1 AS INT)] - ${pqCtr("s", "c", "i")})
+         |      ))) AS dists
+         |  FROM qv, range(0, $PQ_M) ss(s)
+         |),
+         |cd AS (
+         |  SELECT vec_id, s,
+         |    CAST(list_position(dists, list_min(dists)) - 1 AS BIGINT) AS code
+         |  FROM d
+         |),
+         |scores AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    CAST(SUM(list_sum(list_transform(range(0, $PQ_SUBDIM), i ->
+         |      q.v[CAST(n.s * $PQ_SUBDIM + i + 1 AS INT)] *
+         |        ${pqCtr("n.s", "n.code", "i")}))) AS BIGINT) AS score
+         |  FROM cd n CROSS JOIN qv q
+         |  WHERE q.vec_id < $ANN_NQ AND q.vec_id <> n.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |pool AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, neighbor_id) AS rnk
+         |    FROM scores
+         |  ) WHERE rnk <= $PQ_RERANK_POOL
+         |)
+         |SELECT query_id, neighbor_id, sim_micro, rank FROM (
+         |  SELECT p.query_id, p.neighbor_id,
+         |    ${sqlMicroCos("eq.embedding", "en.embedding")} AS sim_micro,
+         |    CAST(row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY ${sqlMicroCos("eq.embedding", "en.embedding")} DESC,
+         |        p.neighbor_id) AS BIGINT) AS rank
+         |  FROM pool p
+         |  JOIN embeddings eq ON eq.vec_id = p.query_id
+         |  JOIN embeddings en ON en.vec_id = p.neighbor_id
+         |) WHERE rank <= $ANN_K""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < ANN_NQ)
+      val cb = Pq.deterministicCodebooks(64, PQ_M, PQ_NBITS)
+      val pool = Pq.exactAdcTopK(queries, Pq.exactCodes(emb, cb), cb,
+        PQ_RERANK_POOL)
+      Pq.rerank(pool, queries, emb, ANN_K)
     }
   )
 }
