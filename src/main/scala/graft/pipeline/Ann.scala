@@ -104,15 +104,20 @@ object Ann {
     * side and no dedup is needed before the top-k.
     */
   def ivfTopKProbed(queries: DataFrame, corpus: DataFrame, cellCol: String,
-      nprobe: Int, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("cv"), col(cellCol).as("cell"))
-    val reps = c.select(col("cell"), col("cv").as("rep"),
+      nprobe: Int, k: Int): DataFrame =
+    ivfTopKProbedReps(queries, corpus, cellCol, minIdReps(corpus, cellCol),
+      nprobe, k)
+
+  /** Deterministic per-cell representative table: the minimum-`vec_id`
+    * member's embedding, as `(cell, rep)` — the oracle-reproducible
+    * stand-in for k-means centroids, shared by the probed-IVF and
+    * composed IVF-PQ gates.
+    */
+  def minIdReps(corpus: DataFrame, cellCol: String): DataFrame =
+    corpus.select(col(cellCol).as("cell"), col("embedding").as("rep"),
         row_number().over(
-          Window.partitionBy(col("cell")).orderBy(col("neighbor_id"))).as("rn"))
+          Window.partitionBy(col(cellCol)).orderBy(col("vec_id"))).as("rn"))
       .filter(col("rn") === 1).drop("rn")
-    ivfTopKProbedReps(queries, corpus, cellCol, reps, nprobe, k)
-  }
 
   /** [[ivfTopKProbed]] with a caller-supplied per-cell representative
     * table `reps`: `(cell, rep: array<float>)` — the hook the k-means

@@ -801,6 +801,78 @@ object PipelineQueries {
       val pool = Pq.exactAdcTopK(queries, Pq.exactCodes(emb, cb), cb,
         PQ_RERANK_POOL)
       Pq.rerank(pool, queries, emb, ANN_K)
+    },
+
+    // ---- the COMPOSED IVF-PQ pipeline (VERDICT round 6 "Next round"
+    // #3): coarse cells restrict WHICH codes each query scans (p18's
+    // probe assignment — top-NPROBE cells by micro-cosine to the min-id
+    // representative), then ADC scores only the surviving codes (p23's
+    // integer encode + lookup math). Everything is exact integer
+    // arithmetic under deterministic codebooks, so DuckDB replays the
+    // full cell-restricted compressed scan bit-for-bit — the last
+    // spec-only composition becomes hash-gated.
+    QueryDef(
+      "p25_ivf_pq",
+      s"""WITH qv AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+         |  FROM embeddings
+         |),
+         |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $ANN_NQ),
+         |reps AS (
+         |  SELECT label, embedding AS rep FROM (
+         |    SELECT label, embedding,
+         |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM embeddings) WHERE rn = 1
+         |),
+         |probed AS (
+         |  SELECT query_id, label FROM (
+         |    SELECT q.vec_id AS query_id, r.label,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${sqlMicroCos("q.embedding", "r.rep")} DESC, r.label) AS prb
+         |    FROM q CROSS JOIN reps r) WHERE prb <= $NPROBE
+         |),
+         |d AS (
+         |  SELECT vec_id, s,
+         |    list_transform(range(0, ${1 << PQ_NBITS}), c ->
+         |      list_sum(list_transform(range(0, $PQ_SUBDIM), i ->
+         |        (v[CAST(s * $PQ_SUBDIM + i + 1 AS INT)] - ${pqCtr("s", "c", "i")}) *
+         |        (v[CAST(s * $PQ_SUBDIM + i + 1 AS INT)] - ${pqCtr("s", "c", "i")})
+         |      ))) AS dists
+         |  FROM qv, range(0, $PQ_M) ss(s)
+         |),
+         |cd AS (
+         |  SELECT vec_id, s,
+         |    CAST(list_position(dists, list_min(dists)) - 1 AS BIGINT) AS code
+         |  FROM d
+         |),
+         |scores AS (
+         |  SELECT p.query_id AS query_id, n.vec_id AS neighbor_id,
+         |    CAST(SUM(list_sum(list_transform(range(0, $PQ_SUBDIM), i ->
+         |      qq.v[CAST(n.s * $PQ_SUBDIM + i + 1 AS INT)] *
+         |        ${pqCtr("n.s", "n.code", "i")}))) AS BIGINT) AS score
+         |  FROM cd n
+         |  JOIN embeddings e ON e.vec_id = n.vec_id
+         |  JOIN probed p ON p.label = e.label
+         |  JOIN qv qq ON qq.vec_id = p.query_id
+         |  WHERE p.query_id <> n.vec_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT query_id, neighbor_id, score, rank FROM (
+         |  SELECT query_id, neighbor_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scores
+         |) WHERE rank <= $IVF_K""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+      val cb = Pq.deterministicCodebooks(64, PQ_M, PQ_NBITS)
+      Pq.exactIvfPqTopK(
+        corpus.filter(col("vec_id") < ANN_NQ),
+        Pq.exactCodes(corpus, cb),
+        emb.select(col("vec_id"), col("label").as("cell")),
+        Ann.minIdReps(emb, "label"),
+        cb, NPROBE, IVF_K)
     }
   )
 }

@@ -44,9 +44,17 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     val copies = spark.range(factor).select(col("id").as("k"))
+    // Loud-failure guards (ADVICE round 6): an empty table yields a null
+    // max (NPE with an opaque message without the check), and the
+    // copy-disjointness argument assumes non-negative keys — a negative
+    // min id could make shifted copies overlap.
     def span(df: DataFrame, c: String): Long = {
-      val m = df.agg(max(col(c).cast("long"))).head().getLong(0)
-      (m / 10 + 1) * 10
+      val row = df.agg(max(col(c).cast("long")), min(col(c).cast("long"))).head()
+      require(!row.isNullAt(0),
+        s"ScaleUp: key column '$c' has no rows — cannot derive a shift span")
+      require(row.getLong(1) >= 0,
+        s"ScaleUp: negative $c (min ${row.getLong(1)}) would overlap shifted copies")
+      (row.getLong(0) / 10 + 1) * 10
     }
 
     val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
