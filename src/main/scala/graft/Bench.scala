@@ -96,9 +96,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle partitioning must track DATA, not cores: at 30x-scale
+    // inputs a fixed cores-count partitioning packs 30x the aggregate
+    // state into each task and OOMs (measured: g05 at ScaleUp factor 30
+    // under 32 partitions × 8 GB JVM). On a cluster this is
+    // `spark.sql.shuffle.partitions` sized to the stage's data — the
+    // env override is the local stand-in.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
