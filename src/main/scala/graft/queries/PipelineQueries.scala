@@ -39,6 +39,8 @@ object PipelineQueries {
   private val PQ_NBITS = 4
   private val PQ_SUBDIM = 8 // 64 / PQ_M
   private val PQ_RERANK_POOL = 50
+  private val SEG_W = 8
+  private val SEG_MIN_DOCS = 2L
 
   /** DuckDB fragment: deterministic-codebook center component (s, c, i)
     * — must mirror [[Pq.deterministicCodebooks]] exactly.
@@ -873,6 +875,46 @@ object PipelineQueries {
         emb.select(col("vec_id"), col("label").as("cell")),
         Ann.minIdReps(emb, "label"),
         cb, NPROBE, IVF_K)
+    },
+
+    // ---- CCNet-style inter-document boilerplate removal: drop every
+    // exact 8-word span occurring in >= 2 distinct docs, reconstruct
+    // each doc from surviving spans in order. Frequency counting is on
+    // 8-byte hashes (text never shuffles); reconstruction is an
+    // index-filter over the in-place segment array.
+    QueryDef(
+      "p26_segment_dedup",
+      s"""WITH ws AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |), seg AS (
+         |  SELECT doc_id,
+         |    list_transform(range(CAST(ceil(len(w) / $SEG_W.0) AS BIGINT)),
+         |      i -> array_to_string(
+         |        list_slice(w, i * $SEG_W + 1, i * $SEG_W + $SEG_W), ' ')) AS segs
+         |  FROM ws
+         |), expl AS (
+         |  SELECT doc_id, generate_subscripts(segs, 1) - 1 AS seg_idx,
+         |    unnest(segs) AS seg
+         |  FROM seg
+         |), hashed AS (
+         |  SELECT doc_id, seg_idx, seg, ${Hashing.sqlH60("seg")} AS h FROM expl
+         |), boiler AS (
+         |  SELECT h FROM hashed GROUP BY h
+         |  HAVING count(DISTINCT doc_id) >= $SEG_MIN_DOCS
+         |), kept AS (
+         |  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+         |  FROM hashed WHERE h NOT IN (SELECT h FROM boiler) GROUP BY doc_id
+         |), rm AS (
+         |  SELECT doc_id, count(*) AS n_removed
+         |  FROM hashed WHERE h IN (SELECT h FROM boiler) GROUP BY doc_id
+         |)
+         |SELECT s.doc_id, coalesce(k.clean_text, '') AS clean_text,
+         |  CAST(len(s.segs) AS BIGINT) AS n_segs,
+         |  CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
+         |FROM seg s
+         |LEFT JOIN kept k ON k.doc_id = s.doc_id
+         |LEFT JOIN rm r ON r.doc_id = s.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.segmentDedup(t(s, dir, "documents"), SEG_W, SEG_MIN_DOCS)
     }
   )
 }

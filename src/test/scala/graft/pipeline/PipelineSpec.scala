@@ -41,6 +41,33 @@ class PipelineSpec extends SparkSpec {
     assert(r == Map(3L -> 2L, 9L -> 1L))
   }
 
+  test("segment dedup removes cross-doc spans, keeps per-doc order") {
+    // 4-word spans; "x1 x2 x3 x4" is the shared boilerplate (docs 1+2),
+    // everything else is unique. Doc 3 is ALL boilerplate; doc 4 shares
+    // nothing. Duplication must count DISTINCT docs: doc 4's internally
+    // repeated span survives.
+    val d = docs(
+      (1L, "x1 x2 x3 x4 a b c d"),
+      (2L, "e f g h x1 x2 x3 x4"),
+      (3L, "x1 x2 x3 x4"),
+      (4L, "r r r r r r r r tail"))
+    val got = Dedup.segmentDedup(d, segWords = 4, minDocs = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_segs"),
+          r.getAs[Long]("n_removed")))).toMap
+    assert(got(1L) == (("a b c d", 2L, 1L)))
+    assert(got(2L) == (("e f g h", 2L, 1L)))
+    assert(got(3L) == (("", 1L, 1L))) // fully-boilerplate doc stays, empty
+    assert(got(4L) == (("r r r r r r r r tail", 3L, 0L))) // within-doc repeat kept
+  }
+
+  test("segment dedup at minDocs=3 keeps a 2-doc span") {
+    val d = docs((1L, "x1 x2 a"), (2L, "x1 x2 b"))
+    val got = Dedup.segmentDedup(d, segWords = 2, minDocs = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(got == Map(1L -> "x1 x2 a", 2L -> "x1 x2 b"))
+  }
+
   test("dup group resolution is transitive with min-id survivor") {
     import spark.implicits._
     val d = docs((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (7L, "e"))
