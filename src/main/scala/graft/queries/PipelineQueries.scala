@@ -41,6 +41,7 @@ object PipelineQueries {
   private val PQ_RERANK_POOL = 50
   private val SEG_W = 8
   private val SEG_MIN_DOCS = 2L
+  private val LM_MIN_COUNT = 2L
 
   /** DuckDB fragment: deterministic-codebook center component (s, c, i)
     * — must mirror [[Pq.deterministicCodebooks]] exactly.
@@ -915,6 +916,34 @@ object PipelineQueries {
          |LEFT JOIN kept k ON k.doc_id = s.doc_id
          |LEFT JOIN rm r ON r.doc_id = s.doc_id""".stripMargin) { (s, dir) =>
       Dedup.segmentDedup(t(s, dir, "documents"), SEG_W, SEG_MIN_DOCS)
+    },
+
+    // ---- corpus-self-derived unigram LM quality score: per-word
+    // log-prob quantized to integer micro-nats BEFORE summation, so the
+    // per-doc sum is order-independent integer math both engines agree
+    // on bit-for-bit.
+    QueryDef(
+      "p27_unigram_lm",
+      s"""WITH toksx AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         |  FROM documents
+         |), freq AS (
+         |  SELECT w, count(*) AS cnt FROM toksx GROUP BY w
+         |), tot AS (SELECT sum(cnt) AS tot FROM freq),
+         |ws AS (
+         |  SELECT w,
+         |    CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+         |      * 1000000) AS BIGINT) AS lp,
+         |    CASE WHEN cnt < $LM_MIN_COUNT THEN 1 ELSE 0 END AS oov
+         |  FROM freq CROSS JOIN tot
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(lp) AS BIGINT) AS lp_micro_sum,
+         |  CAST(sum(lp) AS DOUBLE) / count(*) AS mean_lp_micro,
+         |  CAST(sum(oov) AS BIGINT) AS n_oov,
+         |  CAST(sum(oov) AS DOUBLE) / count(*) AS oov_frac
+         |FROM toksx JOIN ws USING (w) GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.unigramQuality(t(s, dir, "documents"), LM_MIN_COUNT)
     }
   )
 }

@@ -61,6 +61,18 @@ class PipelineSpec extends SparkSpec {
     assert(got(4L) == (("r r r r r r r r tail", 3L, 0L))) // within-doc repeat kept
   }
 
+  test("unigram LM: fixed-point log-probs, OOV below minCount") {
+    // corpus: "a" x3, "b" x2, "rare" x1 -> total 6.
+    val d = docs((1L, "a b a"), (2L, "a b rare"))
+    val got = TextAnalysis.unigramQuality(d, minCount = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("lp_micro_sum"),
+          r.getAs[Long]("n_oov"), r.getAs[Double]("oov_frac")))).toMap
+    def lp(cnt: Long) = math.floor(math.log(cnt / 6.0) * 1e6).toLong
+    assert(got(1L) == ((3L, 2 * lp(3) + lp(2), 0L, 0.0)))
+    assert(got(2L) == ((3L, lp(3) + lp(2) + lp(1), 1L, 1.0 / 3)))
+  }
+
   test("segment dedup at minDocs=3 keeps a 2-doc span") {
     val d = docs((1L, "x1 x2 a"), (2L, "x1 x2 b"))
     val got = Dedup.segmentDedup(d, segWords = 2, minDocs = 3).collect()
