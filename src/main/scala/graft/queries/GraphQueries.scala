@@ -37,6 +37,8 @@ object GraphQueries {
   private val BTHRES = 16
   private val MINCOMP = 4
   private val SUPPORT = 2
+  private val PR_ITERS = 3
+  private val PR_SCALE = 1000000000000L
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -403,6 +405,35 @@ object GraphQueries {
         implicit val spark: SparkSession = s
         Communities.filterSmallCommunities(supportGraph(s, dir), MINCOMP)
           .vertices.select("id")
+    },
+
+    // ---- Extension: fixed-point integer PageRank (3 unrolled
+    // iterations in the oracle — every per-edge contribution floors
+    // BEFORE the neighbor sum, so both engines do pure integer math).
+    QueryDef(
+      "g10_pagerank",
+      s"""WITH $EDGES,
+         |deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+         |nv AS (SELECT count(*) AS n FROM deg),
+         |pr0 AS (SELECT id, $PR_SCALE // nv.n AS pr FROM deg CROSS JOIN nv),
+         |${sqlPrIter(1)},
+         |${sqlPrIter(2)},
+         |${sqlPrIter(3)}
+         |SELECT id, CAST(pr AS BIGINT) AS pr_fp FROM pr$PR_ITERS""".stripMargin) { (s, dir) =>
+      implicit val spark: SparkSession = s
+      PageRank.run(derivedEdges(s, dir), PR_ITERS)
     }
   )
+
+  /** DuckDB fragment: one integer-PageRank iteration k from pr(k-1). */
+  private def sqlPrIter(k: Int): String =
+    s"""pr$k AS (
+       |  SELECT s.dst AS id,
+       |    (SELECT ($PR_SCALE * 15) // (100 * n) FROM nv)
+       |      + sum((p.pr * 85) // (100 * d.deg)) AS pr
+       |  FROM sym s
+       |  JOIN pr${k - 1} p ON p.id = s.src
+       |  JOIN deg d ON d.id = s.src
+       |  GROUP BY s.dst
+       |)""".stripMargin
 }
