@@ -143,6 +143,44 @@ object TextAnalysis {
     * sort/window anywhere (OOV is a frequency threshold, not a top-k
     * rank, precisely so the vocab never funnels through one task).
     */
+  /** Per-document top-`k` keywords by TF-IDF — the standard
+    * keyword-extraction / feature-selection pass. IDF is quantized to
+    * integer micro-nats (`floor(1e6 * ln(N/df))`) so the score
+    * `tf * idf_micro` is pure integer math with a deterministic
+    * `(score desc, word)` tie-break — bit-identical cross-engine, same
+    * fixed-point policy as [[unigramQuality]].
+    *
+    * Output: `(doc_id, word, tf, idf_micro, score, rank)`, `rank ≤ k`.
+    *
+    * Scale: term frequency is one `groupBy(doc_id, word)` over the
+    * exploded token stream (map-side combinable); document frequency is
+    * a vocab-sized aggregate of THAT result (no second corpus pass);
+    * the top-k window partitions by `doc_id` — per-doc sorts of
+    * vocab-bounded groups, never a global sort.
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = docs.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(df, Seq("word"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("id"), col("word"), col("tf"),
+        floor(log(col("n_docs").cast("double") / col("df").cast("double"))
+          * 1e6).cast("long").as("idf_micro"))
+      .withColumn("score", col("tf") * col("idf_micro"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("word"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("word"), col("tf"),
+        col("idf_micro"), col("score"), col("rank"))
+  }
+
   def unigramQuality(docs: DataFrame, minCount: Long = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),

@@ -42,6 +42,7 @@ object PipelineQueries {
   private val SEG_W = 8
   private val SEG_MIN_DOCS = 2L
   private val LM_MIN_COUNT = 2L
+  private val TFIDF_K = 5
 
   /** DuckDB fragment: deterministic-codebook center component (s, c, i)
     * — must mirror [[Pq.deterministicCodebooks]] exactly.
@@ -944,6 +945,34 @@ object PipelineQueries {
          |  CAST(sum(oov) AS DOUBLE) / count(*) AS oov_frac
          |FROM toksx JOIN ws USING (w) GROUP BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.unigramQuality(t(s, dir, "documents"), LM_MIN_COUNT)
+    },
+
+    // ---- per-doc top-k TF-IDF keywords: integer micro-nat IDF makes
+    // tf*idf a pure integer score with a (score desc, word) tie-break.
+    QueryDef(
+      "p28_tfidf_keywords",
+      s"""WITH toksx AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, word, count(*) AS tf FROM toksx GROUP BY 1, 2
+         |), dfreq AS (
+         |  SELECT word, count(*) AS df FROM tf GROUP BY word
+         |), nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.word, CAST(tf.tf AS BIGINT) AS tf,
+         |    CAST(floor(ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE))
+         |      * 1000000) AS BIGINT) AS idf_micro
+         |  FROM tf JOIN dfreq d ON d.word = tf.word CROSS JOIN nd n
+         |)
+         |SELECT doc_id, word, tf, idf_micro, score, rank FROM (
+         |  SELECT doc_id, word, tf, idf_micro,
+         |    tf * idf_micro AS score,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tf * idf_micro DESC, word) AS BIGINT) AS rank
+         |  FROM scored
+         |) WHERE rank <= $TFIDF_K""".stripMargin) { (s, dir) =>
+      TextAnalysis.tfidfKeywords(t(s, dir, "documents"), TFIDF_K)
     }
   )
 }

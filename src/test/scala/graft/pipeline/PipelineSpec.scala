@@ -61,6 +61,28 @@ class PipelineSpec extends SparkSpec {
     assert(got(4L) == (("r r r r r r r r tail", 3L, 0L))) // within-doc repeat kept
   }
 
+  test("tfidf keywords: discriminative words outrank ubiquitous ones") {
+    // "common" appears in all 3 docs (idf = ln(1) = 0 -> score 0);
+    // each doc's unique word must rank first despite lower tf.
+    val d = docs(
+      (1L, "common common common apple"),
+      (2L, "common banana"),
+      (3L, "common cherry"))
+    val top = TextAnalysis.tfidfKeywords(d, k = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("word"), r.getAs[Long]("score")))).toMap
+    assert(top(1L)._1 == "apple")
+    assert(top(2L)._1 == "banana")
+    assert(top(3L)._1 == "cherry")
+    val expectedScore = math.floor(math.log(3.0) * 1e6).toLong
+    assert(top(1L)._2 == expectedScore) // tf=1 * floor(1e6*ln(3/1))
+    // tie-break inside doc 1 at k=2: "common" (score 0) is second.
+    val k2 = TextAnalysis.tfidfKeywords(d, k = 2).collect()
+      .filter(_.getAs[Long]("doc_id") == 1L)
+      .sortBy(_.getAs[Long]("rank")).map(_.getAs[String]("word"))
+    assert(k2.toSeq == Seq("apple", "common"))
+  }
+
   test("unigram LM: fixed-point log-probs, OOV below minCount") {
     // corpus: "a" x3, "b" x2, "rare" x1 -> total 6.
     val d = docs((1L, "a b a"), (2L, "a b rare"))
