@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed sketch operators. First resident: an HLL-style
+  * approximate distinct counter built ENTIRELY from relational algebra
+  * and integer arithmetic — no UDAF, no binary sketch blobs, and no
+  * float ACCUMULATION, so results are order-independent across
+  * partitions, bit-identical run to run, and replayable by the DuckDB
+  * oracle (the reference has no sketches; this is the 100 TB
+  * cardinality primitive — exact `countDistinct` shuffles every
+  * distinct key, a register sketch shuffles ≤ `m` rows per group).
+  *
+  * Construction (Flajolet-Martin / HyperLogLog family, PCSA-style
+  * least-significant-set-bit rank):
+  *   - `bucket = h mod m`, `rest = h div m` over the 60-bit [[Hashing]]
+  *     value (integer `div`, never `/` — Spark's `/` promotes longs to
+  *     doubles and loses bits past 2^53);
+  *   - `rho(rest)` = 1-based position of the lowest set bit (the
+  *     geometric observable) = `bit_count(shiftright(rest XOR (rest-1),
+  *     1)) + 1` — pure integer ops both engines share; `rest = 0`
+  *     (prob 2^-52 per row) saturates at [[MaxRho]];
+  *   - register `M_j = max(rho)` per (group, bucket): a map-side
+  *     combinable MAX aggregate — the sketch IS the shuffle row;
+  *   - the harmonic denominator stays a LONG: `sum(2^(MaxRho - M_j))`
+  *     plus `2^MaxRho` per never-hit register (≤ 2^62, exact); the only
+  *     float ops are one cast and one constant division from identical
+  *     inputs — deterministic on any IEEE engine, and the constant is
+  *     interpolated into the oracle SQL as the same shortest-round-trip
+  *     double literal rather than re-derived there.
+  *
+  * Small-range correction included (the raw harmonic mean overshoots
+  * badly below ~5/2·m distinct keys): when empty registers remain and
+  * the floored raw estimate is under `5/2·m`, the estimate switches to
+  * linear counting `m·ln(m/V)` (V = empty registers) — the standard
+  * HLL regime switch, still deterministic cross-engine (integer
+  * threshold compare, one `ln` of the same double; ulp-boundary
+  * collisions on `floor` are negligible at ≤ m distinct ratios, same
+  * policy as the micro-nat LM scores).
+  */
+object Sketches {
+
+  /** Saturation rank: after `div 256` a 60-bit hash keeps 52 usable
+    * bits => lowest-set-bit ranks 1..52, with `rest = 0` pinned here.
+    */
+  val MaxRho: Int = 53
+
+  /** Registers per sketch (fixed so the oracle SQL and the ±6.5%
+    * (= 1.04/sqrt(256)) error band are stable).
+    */
+  val NumBuckets: Int = 256
+
+  /** Raw-HLL alpha_256 × m² × 2^MaxRho — the whole constant numerator,
+    * materialized ONCE here so Spark and the oracle SQL share the exact
+    * same double (re-deriving it in SQL could differ in the last ulp).
+    */
+  val EstNumerator: Double =
+    0.7123 / (1.0 + 1.079 / NumBuckets) * NumBuckets * NumBuckets *
+      math.pow(2.0, MaxRho)
+
+  /** 1-based lowest-set-bit position of a non-negative long column;
+    * [[MaxRho]] when zero. `x XOR (x-1)` masks the lowest set bit and
+    * everything below it; the shift drops the bit itself; `bit_count`
+    * of the remaining low-mask is the 0-based position.
+    */
+  private[pipeline] def lsbRank(x: Column): Column =
+    when(x === 0, lit(MaxRho))
+      .otherwise(bit_count(shiftright(x.bitwiseXOR(x - 1), 1)) + 1)
+
+  /** Approximate distinct count of `keyCol` per `groupCol`.
+    *
+    * Output: `(<groupCol>, n_rows, est_distinct)` — `est_distinct` is
+    * the floored raw-HLL estimate of `countDistinct(keyCol)`.
+    */
+  def approxDistinct(df: DataFrame, groupCol: String, keyCol: String,
+      mode: Hashing.HashMode = Hashing.HashMode.Oracle): DataFrame = {
+    val m = NumBuckets
+    val perBucket = df
+      .select(col(groupCol), mode(col(keyCol)).as("h"))
+      .select(col(groupCol), expr(s"h % $m").as("bucket"),
+        expr(s"h div $m").as("rest"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(lsbRank(col("rest"))).as("rho"), count(lit(1)).as("bn"))
+    perBucket.groupBy(col(groupCol))
+      .agg(
+        sum(col("bn")).as("n_rows"),
+        (lit(m.toLong) - count(lit(1))).as("v"),
+        (sum(expr(s"shiftleft(1L, $MaxRho - rho)")) +
+          (lit(m.toLong) - count(lit(1))) * lit(1L << MaxRho)).as("denom"))
+      .select(col(groupCol), col("n_rows"), col("v"),
+        floor(lit(EstNumerator) / col("denom").cast("double"))
+          .cast("long").as("raw"))
+      .select(col(groupCol), col("n_rows"),
+        when(col("v") > 0 && col("raw") < lit(5L * m / 2),
+          floor(lit(m.toDouble) *
+            log(lit(m.toDouble) / col("v").cast("double"))).cast("long"))
+          .otherwise(col("raw")).as("est_distinct"))
+  }
+}

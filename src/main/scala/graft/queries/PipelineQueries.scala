@@ -973,6 +973,43 @@ object PipelineQueries {
          |  FROM scored
          |) WHERE rank <= $TFIDF_K""".stripMargin) { (s, dir) =>
       TextAnalysis.tfidfKeywords(t(s, dir, "documents"), TFIDF_K)
+    },
+
+    // ---- HLL-style approximate distinct docs per source: register
+    // sketch as relational algebra, integer harmonic denominator, one
+    // deterministic float division at the end (constant interpolated
+    // into BOTH engines as the same double literal).
+    QueryDef(
+      "p29_hll_distinct",
+      s"""WITH h AS (
+         |  SELECT source, ${Hashing.sqlH60("text")} AS h FROM documents
+         |), b AS (
+         |  SELECT source, h % ${Sketches.NumBuckets} AS bucket,
+         |    h // ${Sketches.NumBuckets} AS rest FROM h
+         |), reg AS (
+         |  SELECT source, bucket,
+         |    max(CASE WHEN rest = 0 THEN ${Sketches.MaxRho}
+         |      ELSE bit_count(xor(rest, rest - 1) // 2) + 1 END) AS rho,
+         |    count(*) AS bn
+         |  FROM b GROUP BY 1, 2
+         |)
+         |, grp AS (
+         |  SELECT source, CAST(sum(bn) AS BIGINT) AS n_rows,
+         |    ${Sketches.NumBuckets} - count(*) AS v,
+         |    CAST(floor(${Sketches.EstNumerator} / CAST(
+         |      sum(1::BIGINT << (${Sketches.MaxRho} - rho)) +
+         |      (${Sketches.NumBuckets} - count(*)) *
+         |        (1::BIGINT << ${Sketches.MaxRho}) AS DOUBLE))
+         |      AS BIGINT) AS raw
+         |  FROM reg GROUP BY source
+         |)
+         |SELECT source, n_rows,
+         |  CASE WHEN v > 0 AND raw < ${5L * Sketches.NumBuckets / 2}
+         |    THEN CAST(floor(${Sketches.NumBuckets}.0 *
+         |      ln(${Sketches.NumBuckets}.0 / CAST(v AS DOUBLE))) AS BIGINT)
+         |    ELSE raw END AS est_distinct
+         |FROM grp""".stripMargin) { (s, dir) =>
+      Sketches.approxDistinct(t(s, dir, "documents"), "source", "text")
     }
   )
 }

@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+
+  test("lsb rank: positions and zero saturation") {
+    import spark.implicits._
+    val got = Seq(1L, 2L, 3L, 8L, 12L, 1L << 40, 0L).toDF("x")
+      .select(Sketches.lsbRank(col("x")).as("r"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 2, 1, 4, 3, 41, Sketches.MaxRho))
+  }
+
+  test("estimate lands in the HLL error band and is deterministic") {
+    import spark.implicits._
+    val n = 20000
+    val d = (1 to n).map(i => ("g", s"key_$i")).toDF("grp", "k")
+    val run = () => Sketches.approxDistinct(d, "grp", "k").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).head
+    val (rows, est) = run()
+    assert(rows == n)
+    // 1.04/sqrt(256) = 6.5% standard error; allow 4 sigma.
+    assert(math.abs(est - n) < 0.26 * n, s"est $est vs $n")
+    assert(run()._2 == est) // bit-identical re-run
+  }
+
+  test("duplicates do not inflate the estimate") {
+    import spark.implicits._
+    val dup = (1 to 5000).flatMap(i => Seq.fill(4)(("g", s"key_${i % 100}")))
+      .toDF("grp", "k")
+    val est = Sketches.approxDistinct(dup, "grp", "k").collect()
+      .map(_.getLong(2)).head
+    assert(est < 200, s"100 distinct keys estimated as $est")
+  }
+
+  test("groups sketch independently") {
+    import spark.implicits._
+    val d = ((1 to 1000).map(i => ("a", s"x$i")) ++
+      (1 to 10).map(i => ("b", s"x$i"))).toDF("grp", "k")
+    val got = Sketches.approxDistinct(d, "grp", "k").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got("a") > 10 * got("b") / 2 && got("a") > 500)
+    assert(got("b") < 30)
+  }
+}

@@ -75,7 +75,8 @@ class PlanSpec extends SparkSpec {
         "g04_betweenness", "g05_edge_weights", "g06_edges_to_delete",
         "g07_iteration_edges", "g08_components", "g09_community_filter",
         "g10_pagerank", "p18_ann_ivf_probed", "p19_contamination",
-        "p20_seq_packing", "p26_segment_dedup", "p27_unigram_lm")) {
+        "p20_seq_packing", "p26_segment_dedup", "p27_unigram_lm",
+        "p28_tfidf_keywords")) {
       val df = SparkEntry.queries(name)(spark, sf1)
       // Execute through the df's OWN QueryExecution (finalizes the
       // adaptive plan) without driver-materializing the result — g04's
