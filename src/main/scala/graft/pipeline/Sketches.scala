@@ -68,6 +68,39 @@ object Sketches {
     when(x === 0, lit(MaxRho))
       .otherwise(bit_count(shiftright(x.bitwiseXOR(x - 1), 1)) + 1)
 
+  // Scala-side mirrors of the column math, for executor-side consumers
+  // (the streaming sketch state keeps raw registers between triggers).
+  // Each must stay bit-agreed with its column twin — pinned by
+  // SketchesSpec's streaming==batch differential.
+
+  /** Scala twin of [[lsbRank]]. */
+  def rho(rest: Long): Int =
+    if (rest == 0L) MaxRho else java.lang.Long.numberOfTrailingZeros(rest) + 1
+
+  /** (bucket, rho) of a 60-bit hash — the register update for one key. */
+  def observe(h: Long): (Int, Int) =
+    ((h % NumBuckets).toInt, rho(h / NumBuckets))
+
+  /** Estimate from a full register array (0 = never hit): the same
+    * integer harmonic denominator + linear-counting switch as the
+    * column/SQL formulation, value for value.
+    */
+  def estimateFromRegisters(registers: Array[Int]): Long = {
+    require(registers.length == NumBuckets,
+      s"expected $NumBuckets registers, got ${registers.length}")
+    var denom = 0L
+    var empty = 0L
+    registers.foreach { r =>
+      if (r == 0) { empty += 1; denom += 1L << MaxRho }
+      else denom += 1L << (MaxRho - r)
+    }
+    val raw = math.floor(EstNumerator / denom.toDouble).toLong
+    if (empty > 0 && raw < 5L * NumBuckets / 2)
+      math.floor(NumBuckets.toDouble *
+        math.log(NumBuckets.toDouble / empty.toDouble)).toLong
+    else raw
+  }
+
   /** Approximate distinct count of `keyCol` per `groupCol`.
     *
     * Output: `(<groupCol>, n_rows, est_distinct)` — `est_distinct` is

@@ -338,6 +338,70 @@ object SourceMlQueries {
       s.table("s08_dedup").select(col("event_id"), col("cents"))
     },
 
+    // ---- §2.10 + sketches: streaming approximate-distinct via
+    // register state in mapGroupsWithState. Register MAX is
+    // commutative/associative and the estimate is a pure function of
+    // the registers, so streaming == batch holds EXACTLY (no ordering
+    // caveat) — the oracle is the same batch-HLL SQL as p29.
+    QueryDef(
+      "s09_streaming_hll",
+      s"""WITH h AS (
+         |  SELECT source, ${graft.pipeline.Hashing.sqlH60("text")} AS h
+         |  FROM documents
+         |), b AS (
+         |  SELECT source, h % ${graft.pipeline.Sketches.NumBuckets} AS bucket,
+         |    h // ${graft.pipeline.Sketches.NumBuckets} AS rest FROM h
+         |), reg AS (
+         |  SELECT source, bucket,
+         |    max(CASE WHEN rest = 0 THEN ${graft.pipeline.Sketches.MaxRho}
+         |      ELSE bit_count(xor(rest, rest - 1) // 2) + 1 END) AS rho,
+         |    count(*) AS bn
+         |  FROM b GROUP BY 1, 2
+         |), grp AS (
+         |  SELECT source, CAST(sum(bn) AS BIGINT) AS n_rows,
+         |    ${graft.pipeline.Sketches.NumBuckets} - count(*) AS v,
+         |    CAST(floor(${graft.pipeline.Sketches.EstNumerator} / CAST(
+         |      sum(1::BIGINT << (${graft.pipeline.Sketches.MaxRho} - rho)) +
+         |      (${graft.pipeline.Sketches.NumBuckets} - count(*)) *
+         |        (1::BIGINT << ${graft.pipeline.Sketches.MaxRho}) AS DOUBLE))
+         |      AS BIGINT) AS raw
+         |  FROM reg GROUP BY source
+         |)
+         |SELECT source, n_rows,
+         |  CASE WHEN v > 0
+         |      AND raw < ${5L * graft.pipeline.Sketches.NumBuckets / 2}
+         |    THEN CAST(floor(${graft.pipeline.Sketches.NumBuckets}.0 *
+         |      ln(${graft.pipeline.Sketches.NumBuckets}.0 /
+         |        CAST(v AS DOUBLE))) AS BIGINT)
+         |    ELSE raw END AS est_distinct
+         |FROM grp""".stripMargin) { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val base = scratch(dir, "s09")
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source").as("key"),
+          graft.pipeline.Hashing.h60(col("text")).as("h"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/in")
+      val stream = s.readStream.schema("key STRING, h BIGINT")
+        .parquet(s"$base/in")
+        .as[graft.streaming.StreamingOps.SketchEvent](
+          org.apache.spark.sql.Encoders.product)
+      val ests = graft.streaming.StreamingOps.approxDistinctStream(stream)
+      val q = ests.writeStream.format("memory").queryName("s09_hll")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // Final state per key: n_rows is strictly increasing across
+      // emissions, so max_by picks the last (complete) sketch even if
+      // the drain split into several update batches.
+      s.table("s09_hll")
+        .groupBy(col("key"))
+        .agg(max(col("n_rows")).as("n_rows"),
+          max_by(col("est_distinct"), col("n_rows")).as("est_distinct"))
+        .select(col("key").as("source"), col("n_rows"), col("est_distinct"))
+    },
+
     // ---- M1-M4: StringIndexer (frequencyDesc, ties alphabetic, SPARK
     // docs) → OneHotEncoder(dropLast=false) → VectorAssembler. The active
     // one-hot indices of each part are fully determined by the per-feature

@@ -133,6 +133,54 @@ object StreamingOps {
       }
   }
 
+  /** Pre-hashed event for the streaming cardinality sketch. */
+  final case class SketchEvent(key: String, h: Long)
+
+  /** Register state per key: the full HLL register array (256 ints,
+    * constant size) plus the running row count.
+    */
+  final case class SketchState(registers: Array[Int], n_rows: Long)
+
+  /** Per-key estimate emitted each trigger. */
+  final case class SketchEstimate(key: String, n_rows: Long,
+      est_distinct: Long)
+
+  /** Streaming approximate-distinct per key — the register sketch of
+    * [[graft.pipeline.Sketches]] held as `mapGroupsWithState` keyed
+    * state. Because register MAX is commutative/associative and the
+    * estimate is a pure function of the registers, the final emission
+    * after draining any partition/batch interleaving is EXACTLY the
+    * batch sketch of the same rows ([[graft.pipeline.Sketches.observe]]
+    * / `estimateFromRegisters` are the bit-level twins of the batch
+    * column math) — streaming == batch holds with no ordering caveat at
+    * all, unlike float accumulators. State is 256 ints + a long per
+    * key, constant for an unbounded stream.
+    */
+  def approxDistinctStream(events: Dataset[SketchEvent]):
+      Dataset[SketchEstimate] = {
+    import events.sparkSession.implicits._
+    import graft.pipeline.Sketches
+    events
+      .groupByKey(_.key)
+      .mapGroupsWithState[SketchState, SketchEstimate](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[SketchEvent],
+            state: GroupState[SketchState]) =>
+          val st = state.getOption.getOrElse(
+            SketchState(new Array[Int](Sketches.NumBuckets), 0L))
+          var n = st.n_rows
+          rows.foreach { e =>
+            val (bucket, r) = Sketches.observe(e.h)
+            if (r > st.registers(bucket)) st.registers(bucket) = r
+            n += 1
+          }
+          val next = SketchState(st.registers, n)
+          state.update(next)
+          SketchEstimate(key, n,
+            Sketches.estimateFromRegisters(next.registers))
+      }
+  }
+
   /** Write a streaming DataFrame to parquet with checkpointing — the
     * durable sink shape (`writeStream.format("parquet")` + checkpoint
     * location, append mode).

@@ -35,6 +35,40 @@ class SketchesSpec extends SparkSpec {
     assert(est < 200, s"100 distinct keys estimated as $est")
   }
 
+  test("streaming sketch over any batch split equals the batch sketch") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    val n = 3000
+    val d = (1 to n).map(i => (s"g${i % 2}", s"key_$i")).toDF("grp", "k")
+    val batch = Sketches.approxDistinct(d, "grp", "k").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    // Feed the same rows PRE-HASHED through the keyed streaming state,
+    // split across several files (=> several micro-batches with
+    // AvailableNow on a file source is not guaranteed, but register MAX
+    // makes any split equivalent anyway — that's the property).
+    val dir = java.nio.file.Files.createTempDirectory("sketch-stream")
+    d.select(col("grp").as("key"), Hashing.h60(col("k")).as("h"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema("key STRING, h BIGINT")
+      .parquet(s"$dir/in")
+      .as[StreamingOps.SketchEvent]
+    val q = StreamingOps.approxDistinctStream(stream)
+      .writeStream.format("memory").queryName("sketch_stream_spec")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("sketch_stream_spec")
+      .groupBy(col("key"))
+      .agg(max(col("n_rows")).as("n"),
+        max_by(col("est_distinct"), col("n_rows")).as("est"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == batch)
+  }
+
   test("groups sketch independently") {
     import spark.implicits._
     val d = ((1 to 1000).map(i => ("a", s"x$i")) ++
