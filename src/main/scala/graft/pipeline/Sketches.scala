@@ -101,33 +101,75 @@ object Sketches {
     else raw
   }
 
+  /** `(group, bucket, rho, bn)` register rows — the sketch itself. */
+  private def registerRows(df: DataFrame, groupCol: String, keyCol: String,
+      mode: Hashing.HashMode): DataFrame =
+    df.select(col(groupCol), mode(col(keyCol)).as("h"))
+      .select(col(groupCol), expr(s"h % $NumBuckets").as("bucket"),
+        expr(s"h div $NumBuckets").as("rest"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(lsbRank(col("rest"))).as("rho"), count(lit(1)).as("bn"))
+
+  /** Estimate per residual grouping of `(… bucket, rho …)` register
+    * rows: the integer harmonic denominator + linear-counting switch,
+    * with any `extra` aggregates (e.g. row counts) carried through.
+    */
+  private def estimateOver(regs: DataFrame, groupCols: Seq[Column],
+      extra: Seq[Column], estName: String): DataFrame = {
+    val m = NumBuckets
+    regs.groupBy(groupCols: _*)
+      .agg(
+        (lit(m.toLong) - count(lit(1))).as("v"),
+        ((sum(expr(s"shiftleft(1L, $MaxRho - rho)")) +
+          (lit(m.toLong) - count(lit(1))) * lit(1L << MaxRho)).as("denom")
+          +: extra): _*)
+      .withColumn("raw",
+        floor(lit(EstNumerator) / col("denom").cast("double")).cast("long"))
+      .withColumn(estName,
+        when(col("v") > 0 && col("raw") < lit(5L * m / 2),
+          floor(lit(m.toDouble) *
+            log(lit(m.toDouble) / col("v").cast("double"))).cast("long"))
+          .otherwise(col("raw")))
+      .drop("v", "denom", "raw")
+  }
+
   /** Approximate distinct count of `keyCol` per `groupCol`.
     *
     * Output: `(<groupCol>, n_rows, est_distinct)` — `est_distinct` is
     * the floored raw-HLL estimate of `countDistinct(keyCol)`.
     */
   def approxDistinct(df: DataFrame, groupCol: String, keyCol: String,
+      mode: Hashing.HashMode = Hashing.HashMode.Oracle): DataFrame =
+    estimateOver(registerRows(df, groupCol, keyCol, mode),
+      Seq(col(groupCol)), Seq(sum(col("bn")).as("n_rows")), "est_distinct")
+      .select(col(groupCol), col("n_rows"), col("est_distinct"))
+
+  /** Sketch ALGEBRA — the property that makes register sketches the
+    * distributed cardinality tool: registers of a union are the
+    * bucket-wise MAX of the parts' registers (no re-scan of the data),
+    * and an intersection estimate follows by inclusion-exclusion.
+    * Estimates `ga`, `gb`, their union and intersection from ONE
+    * register pass over the two groups' rows.
+    *
+    * Output: one row `(est_a, est_b, est_union, est_inter)`;
+    * `est_inter` can go slightly negative on near-disjoint sets (the
+    * standard inclusion-exclusion artifact — left signed rather than
+    * clamped so callers see the noise floor).
+    */
+  def approxDistinctPair(df: DataFrame, groupCol: String, keyCol: String,
+      ga: String, gb: String,
       mode: Hashing.HashMode = Hashing.HashMode.Oracle): DataFrame = {
-    val m = NumBuckets
-    val perBucket = df
-      .select(col(groupCol), mode(col(keyCol)).as("h"))
-      .select(col(groupCol), expr(s"h % $m").as("bucket"),
-        expr(s"h div $m").as("rest"))
-      .groupBy(col(groupCol), col("bucket"))
-      .agg(max(lsbRank(col("rest"))).as("rho"), count(lit(1)).as("bn"))
-    perBucket.groupBy(col(groupCol))
-      .agg(
-        sum(col("bn")).as("n_rows"),
-        (lit(m.toLong) - count(lit(1))).as("v"),
-        (sum(expr(s"shiftleft(1L, $MaxRho - rho)")) +
-          (lit(m.toLong) - count(lit(1))) * lit(1L << MaxRho)).as("denom"))
-      .select(col(groupCol), col("n_rows"), col("v"),
-        floor(lit(EstNumerator) / col("denom").cast("double"))
-          .cast("long").as("raw"))
-      .select(col(groupCol), col("n_rows"),
-        when(col("v") > 0 && col("raw") < lit(5L * m / 2),
-          floor(lit(m.toDouble) *
-            log(lit(m.toDouble) / col("v").cast("double"))).cast("long"))
-          .otherwise(col("raw")).as("est_distinct"))
+    val regs = registerRows(
+      df.filter(col(groupCol).isin(ga, gb)), groupCol, keyCol, mode)
+    def est(r: DataFrame, name: String): DataFrame =
+      estimateOver(r, Seq.empty, Seq.empty, name).select(name)
+    val ea = est(regs.filter(col(groupCol) === ga), "est_a")
+    val eb = est(regs.filter(col(groupCol) === gb), "est_b")
+    val eu = est(
+      regs.groupBy(col("bucket")).agg(max(col("rho")).as("rho")),
+      "est_union")
+    ea.crossJoin(eb).crossJoin(eu)
+      .withColumn("est_inter",
+        col("est_a") + col("est_b") - col("est_union"))
   }
 }

@@ -1010,6 +1010,51 @@ object PipelineQueries {
          |    ELSE raw END AS est_distinct
          |FROM grp""".stripMargin) { (s, dir) =>
       Sketches.approxDistinct(t(s, dir, "documents"), "source", "text")
+    },
+
+    // ---- sketch ALGEBRA: union = bucket-wise register MAX (no data
+    // re-scan), intersection by inclusion-exclusion — the mergeability
+    // property that makes register sketches the distributed
+    // cardinality tool.
+    QueryDef(
+      "p30_hll_algebra",
+      s"""WITH h AS (
+         |  SELECT source, ${Hashing.sqlH60("text")} AS h FROM documents
+         |  WHERE source IN ('src0', 'src1')
+         |), b AS (
+         |  SELECT source, h % ${Sketches.NumBuckets} AS bucket,
+         |    h // ${Sketches.NumBuckets} AS rest FROM h
+         |), reg AS (
+         |  SELECT source, bucket,
+         |    max(CASE WHEN rest = 0 THEN ${Sketches.MaxRho}
+         |      ELSE bit_count(xor(rest, rest - 1) // 2) + 1 END) AS rho
+         |  FROM b GROUP BY 1, 2
+         |), regu AS (SELECT bucket, max(rho) AS rho FROM reg GROUP BY bucket),
+         |ea AS ${sqlHllEst("(SELECT rho FROM reg WHERE source = 'src0')", "est_a")},
+         |eb AS ${sqlHllEst("(SELECT rho FROM reg WHERE source = 'src1')", "est_b")},
+         |eu AS ${sqlHllEst("regu", "est_union")}
+         |SELECT est_a, est_b, est_union,
+         |  est_a + est_b - est_union AS est_inter
+         |FROM ea CROSS JOIN eb CROSS JOIN eu""".stripMargin) { (s, dir) =>
+      Sketches.approxDistinctPair(t(s, dir, "documents"),
+        "source", "text", "src0", "src1")
     }
   )
+
+  /** DuckDB fragment: HLL estimate (incl. linear-counting switch) over
+    * a `(… rho …)` register relation — mirrors
+    * [[Sketches.estimateOver]]'s math value for value.
+    */
+  private def sqlHllEst(regRel: String, alias: String): String = {
+    val m = Sketches.NumBuckets
+    s"""(SELECT CASE WHEN v > 0 AND raw < ${5L * m / 2}
+       |    THEN CAST(floor($m.0 * ln($m.0 / CAST(v AS DOUBLE))) AS BIGINT)
+       |    ELSE raw END AS $alias
+       |  FROM (SELECT $m - count(*) AS v,
+       |    CAST(floor(${Sketches.EstNumerator} / CAST(
+       |      sum(1::BIGINT << (${Sketches.MaxRho} - rho)) +
+       |      ($m - count(*)) * (1::BIGINT << ${Sketches.MaxRho}) AS DOUBLE))
+       |      AS BIGINT) AS raw
+       |  FROM $regRel))""".stripMargin
+  }
 }

@@ -35,6 +35,28 @@ class SketchesSpec extends SparkSpec {
     assert(est < 200, s"100 distinct keys estimated as $est")
   }
 
+  test("sketch algebra: union via register max, inclusion-exclusion") {
+    import spark.implicits._
+    // a = 1..2000, b = 1001..3000: |a|=|b|=2000, |union|=3000,
+    // |inter|=1000.
+    val d = ((1 to 2000).map(i => ("a", s"k$i")) ++
+      (1001 to 3000).map(i => ("b", s"k$i"))).toDF("grp", "k")
+    val r = Sketches.approxDistinctPair(d, "grp", "k", "a", "b").head()
+    val (ea, eb, eu, ei) = (r.getAs[Long]("est_a"), r.getAs[Long]("est_b"),
+      r.getAs[Long]("est_union"), r.getAs[Long]("est_inter"))
+    assert(math.abs(ea - 2000) < 520 && math.abs(eb - 2000) < 520)
+    assert(math.abs(eu - 3000) < 780)
+    // Inclusion-exclusion compounds the three error bands; just pin the
+    // scale and the exact identity.
+    assert(ei == ea + eb - eu)
+    assert(math.abs(ei - 1000) < 1000)
+    // The union estimate must equal a direct sketch of the merged keys
+    // (mergeability is exact, not approximate).
+    val direct = Sketches.approxDistinct(
+      d.withColumn("grp", lit("all")), "grp", "k").head().getAs[Long](2)
+    assert(eu == direct)
+  }
+
   test("streaming sketch over any batch split equals the batch sketch") {
     import spark.implicits._
     import graft.streaming.StreamingOps
