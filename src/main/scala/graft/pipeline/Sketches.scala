@@ -156,6 +156,37 @@ object Sketches {
     * standard inclusion-exclusion artifact — left signed rather than
     * clamped so callers see the noise floor).
     */
+  /** Deterministic bottom-k sample per group — the OTHER classic
+    * mergeable sketch: keep the `k` rows with the smallest key hashes.
+    * Content-keyed like [[TextAnalysis.splitAssign]] (re-ingestion
+    * yields the same sample; exact duplicates hash together), uniform
+    * over distinct keys, and mergeable by construction (bottom-k of a
+    * union = bottom-k of the parts' bottom-ks — samples from shards
+    * combine without re-scanning).
+    *
+    * Output: the input row plus `(h, sample_rank)`, `sample_rank ∈
+    * 1..k` ordered by `(h, tieCol)` — `tieCol` must be unique per row
+    * (an id) so ranks among EXACT-duplicate keys are still
+    * deterministic.
+    *
+    * Scale: per-group top-k by a window — Spark plans the rank filter
+    * as `WindowGroupLimit` (partial per-partition limit before the
+    * shuffle, then final), so no group ever sorts more than the
+    * surviving candidates; there is no global sort.
+    */
+  def bottomKSample(df: DataFrame, groupCol: String, keyCol: String,
+      tieCol: String, k: Int,
+      mode: Hashing.HashMode = Hashing.HashMode.Oracle): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__h"), col(tieCol))
+    df.withColumn("__h", mode(col(keyCol)))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .withColumnRenamed("__h", "h")
+  }
+
   def approxDistinctPair(df: DataFrame, groupCol: String, keyCol: String,
       ga: String, gb: String,
       mode: Hashing.HashMode = Hashing.HashMode.Oracle): DataFrame = {

@@ -43,6 +43,7 @@ object PipelineQueries {
   private val SEG_MIN_DOCS = 2L
   private val LM_MIN_COUNT = 2L
   private val TFIDF_K = 5
+  private val BOTTOMK = 10
 
   /** DuckDB fragment: deterministic-codebook center component (s, c, i)
     * — must mirror [[Pq.deterministicCodebooks]] exactly.
@@ -1038,6 +1039,25 @@ object PipelineQueries {
          |FROM ea CROSS JOIN eb CROSS JOIN eu""".stripMargin) { (s, dir) =>
       Sketches.approxDistinctPair(t(s, dir, "documents"),
         "source", "text", "src0", "src1")
+    },
+
+    // ---- deterministic bottom-k sample per language: content-keyed
+    // (stable across re-ingestion), uniform over distinct texts,
+    // mergeable across shards; planned as WindowGroupLimit (no global
+    // sort).
+    QueryDef(
+      "p31_bottomk_sample",
+      s"""SELECT lang, doc_id, h, sample_rank FROM (
+         |  SELECT lang, doc_id, h,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+         |      AS BIGINT) AS sample_rank
+         |  FROM (SELECT lang, doc_id, ${Hashing.sqlH60("text")} AS h
+         |        FROM documents)
+         |) WHERE sample_rank <= $BOTTOMK""".stripMargin) { (s, dir) =>
+      Sketches.bottomKSample(
+        t(s, dir, "documents").select("lang", "doc_id", "text"),
+        "lang", "text", "doc_id", BOTTOMK)
+        .select(col("lang"), col("doc_id"), col("h"), col("sample_rank"))
     }
   )
 

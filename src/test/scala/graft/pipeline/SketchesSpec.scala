@@ -35,6 +35,30 @@ class SketchesSpec extends SparkSpec {
     assert(est < 200, s"100 distinct keys estimated as $est")
   }
 
+  test("bottom-k sample: deterministic, mergeable across shards") {
+    import spark.implicits._
+    val d = (1 to 500).map(i => ("g", i.toLong, s"text_$i"))
+      .toDF("grp", "id", "t")
+    val sample = Sketches.bottomKSample(d, "grp", "t", "id", 20).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("sample_rank")))
+    assert(sample.length == 20)
+    // Re-run is identical (content-keyed, no RNG).
+    val again = Sketches.bottomKSample(d, "grp", "t", "id", 20).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("sample_rank")))
+    assert(sample.toSeq == again.toSeq)
+    // Mergeability: bottom-k of the union == bottom-k of the parts'
+    // bottom-ks (the shard-combine property).
+    val part1 = d.filter(col("id") <= 250)
+    val part2 = d.filter(col("id") > 250)
+    val combined = Sketches.bottomKSample(
+      Sketches.bottomKSample(part1, "grp", "t", "id", 20)
+        .unionByName(Sketches.bottomKSample(part2, "grp", "t", "id", 20))
+        .drop("h", "sample_rank"),
+      "grp", "t", "id", 20).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("sample_rank")))
+    assert(combined.toSeq == sample.toSeq)
+  }
+
   test("sketch algebra: union via register max, inclusion-exclusion") {
     import spark.implicits._
     // a = 1..2000, b = 1001..3000: |a|=|b|=2000, |union|=3000,
