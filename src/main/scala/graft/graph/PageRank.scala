@@ -65,4 +65,41 @@ object PageRank {
     }
     pr.select(col("id"), col("pr").as("pr_fp"))
   }
+
+  /** Weighted variant: transition mass from `u` splits proportionally
+    * to integer edge weights `w` (contribution = `pr·d·w div (W_u)`
+    * in the same all-integer fixed-point scheme — per-edge floor before
+    * the neighbor sum, order-independent, oracle-replayable). With all
+    * weights equal it reduces EXACTLY to [[run]] (spec-pinned).
+    *
+    * @param edges `(src, dst, w)` undirected canonical edge list with
+    *   POSITIVE integer weights; symmetrized internally. Caller keeps
+    *   `scale · dampNum · max(w)` inside a long (trivially true for
+    *   small feature-derived weights; ANSI mode throws loudly if not).
+    */
+  def runWeighted(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000000L, dampNum: Long = 85,
+      dampDen: Long = 100)(implicit spark: SparkSession): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"),
+      col("w")))
+    val wdeg = sym.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val symDeg = Lineage.cut(sym.join(wdeg, Seq("src")))
+    val n = wdeg.count()
+    require(n > 0, "PageRank on an empty graph")
+    val base = scale * (dampDen - dampNum) / (dampDen * n)
+
+    var pr = wdeg.select(col("src").as("id"), lit(scale / n).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = symDeg
+        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"),
+          expr(s"(pr * $dampNum * w) div ($dampDen * wsum)").as("c"))
+      pr = Lineage.cut(contrib.groupBy(col("id"))
+        .agg((sum(col("c")) + base).as("pr")))
+    }
+    pr.select(col("id"), col("pr").as("pr_fp"))
+  }
 }

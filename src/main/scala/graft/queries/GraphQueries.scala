@@ -422,6 +422,45 @@ object GraphQueries {
          |SELECT id, CAST(pr AS BIGINT) AS pr_fp FROM pr$PR_ITERS""".stripMargin) { (s, dir) =>
       implicit val spark: SparkSession = s
       PageRank.run(derivedEdges(s, dir), PR_ITERS)
+    },
+
+    // ---- Extension: WEIGHTED fixed-point PageRank — transition mass
+    // splits by Laplace-smoothed feature-match weights (matches+1 ∈
+    // 1..4, pure integers end to end).
+    QueryDef(
+      "g11_pagerank_weighted",
+      s"""WITH $EDGES,
+         |wedges AS (
+         |  SELECT e.src, e.dst,
+         |    ((CASE WHEN ps.p_brand = pd.p_brand THEN 1 ELSE 0 END) +
+         |     (CASE WHEN ps.p_type  = pd.p_type  THEN 1 ELSE 0 END) +
+         |     (CASE WHEN ps.p_size  = pd.p_size  THEN 1 ELSE 0 END) + 1) AS w
+         |  FROM edges e
+         |  JOIN part ps ON ps.p_partkey = e.src
+         |  JOIN part pd ON pd.p_partkey = e.dst
+         |),
+         |wsym AS (SELECT src, dst, w FROM wedges
+         |  UNION ALL SELECT dst AS src, src AS dst, w FROM wedges),
+         |wdeg AS (SELECT src AS id, sum(w) AS wsum FROM wsym GROUP BY src),
+         |nv AS (SELECT count(*) AS n FROM wdeg),
+         |pr0 AS (SELECT id, $PR_SCALE // nv.n AS pr FROM wdeg CROSS JOIN nv),
+         |${sqlWPrIter(1)},
+         |${sqlWPrIter(2)},
+         |${sqlWPrIter(3)}
+         |SELECT id, CAST(pr AS BIGINT) AS pr_fp FROM pr$PR_ITERS""".stripMargin) {
+      (s, dir) =>
+        implicit val spark: SparkSession = s
+        val p = t(s, dir, "part")
+        val ps = p.select(col("p_partkey").as("src"), col("p_brand").as("sb"),
+          col("p_type").as("st"), col("p_size").as("ss"))
+        val pd = p.select(col("p_partkey").as("dst"), col("p_brand").as("db"),
+          col("p_type").as("dt"), col("p_size").as("ds"))
+        val we = derivedEdges(s, dir).join(ps, Seq("src")).join(pd, Seq("dst"))
+          .select(col("src"), col("dst"),
+            (when(col("sb") === col("db"), 1).otherwise(0) +
+              when(col("st") === col("dt"), 1).otherwise(0) +
+              when(col("ss") === col("ds"), 1).otherwise(0) + lit(1)).as("w"))
+        PageRank.runWeighted(we, PR_ITERS)
     }
   )
 
@@ -434,6 +473,18 @@ object GraphQueries {
        |  FROM sym s
        |  JOIN pr${k - 1} p ON p.id = s.src
        |  JOIN deg d ON d.id = s.src
+       |  GROUP BY s.dst
+       |)""".stripMargin
+
+  /** Weighted twin of [[sqlPrIter]] over `(src, dst, w)` + `wdeg`. */
+  private def sqlWPrIter(k: Int): String =
+    s"""pr$k AS (
+       |  SELECT s.dst AS id,
+       |    (SELECT ($PR_SCALE * 15) // (100 * n) FROM nv)
+       |      + sum((p.pr * 85 * s.w) // (100 * d.wsum)) AS pr
+       |  FROM wsym s
+       |  JOIN pr${k - 1} p ON p.id = s.src
+       |  JOIN wdeg d ON d.id = s.src
        |  GROUP BY s.dst
        |)""".stripMargin
 }

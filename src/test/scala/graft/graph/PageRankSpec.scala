@@ -35,6 +35,29 @@ class PageRankSpec extends SparkSpec {
     assert(Set(2L, 3L, 4L, 5L).map(a).size == 1) // leaves symmetric
   }
 
+  test("weighted with uniform weights reduces exactly to unweighted") {
+    import spark.implicits._
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+    val unweighted = PageRank.run(edges(es: _*), iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (w <- Seq(1L, 7L)) {
+      val weighted = PageRank.runWeighted(
+        es.map { case (a, b) => (a, b, w) }.toDF("src", "dst", "w"),
+        iters = 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(weighted == unweighted, s"uniform w=$w diverged")
+    }
+  }
+
+  test("weight skew shifts mass toward the heavy edge") {
+    import spark.implicits._
+    // 2 and 3 are symmetric around 1 except edge weight: 1-2 heavy.
+    val e = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val pr = PageRank.runWeighted(e, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(2L) > pr(3L))
+  }
+
   test("fixed-point iterate tracks the real-valued iterate") {
     // Random-ish small graph; compare against a driver-side double
     // implementation of the same 3 iterations. The integer contraction
