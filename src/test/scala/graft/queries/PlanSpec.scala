@@ -74,7 +74,8 @@ class PlanSpec extends SparkSpec {
         "p14_dup_groups", "g02_neighborhoods", "g03_r_metrics",
         "g04_betweenness", "g05_edge_weights", "g06_edges_to_delete",
         "g07_iteration_edges", "g08_components", "g09_community_filter",
-        "g10_pagerank", "p18_ann_ivf_probed", "p19_contamination",
+        "g10_pagerank", "g11_pagerank_weighted",
+        "p18_ann_ivf_probed", "p19_contamination",
         "p20_seq_packing", "p26_segment_dedup", "p27_unigram_lm",
         "p28_tfidf_keywords")) {
       val df = SparkEntry.queries(name)(spark, sf1)
