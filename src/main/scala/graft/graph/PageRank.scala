@@ -81,14 +81,26 @@ object PageRank {
       scale: Long = 1000000000000L, dampNum: Long = 85,
       dampDen: Long = 100)(implicit spark: SparkSession): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"damping must be a proper fraction, got $dampNum/$dampDen")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"),
       col("w")))
-    val wdeg = sym.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
-    val symDeg = Lineage.cut(sym.join(wdeg, Seq("src")))
-    val n = wdeg.count()
+    val wdeg = sym.groupBy(col("src")).agg(
+      sum(col("w")).as("wsum"), min(col("w")).as("wmin"))
+    // One scalar action serves both guards: vertex count for the base
+    // term, and the documented positive-weight contract enforced loudly
+    // (a zero/negative w would silently corrupt ranks or divide by
+    // zero) — checked on the aggregate already being built anyway.
+    val stats = wdeg.agg(count(lit(1)).as("n"), min(col("wmin")).as("mw"))
+      .head()
+    val n = stats.getLong(0)
     require(n > 0, "PageRank on an empty graph")
+    val minW = stats.getLong(1)
+    require(minW > 0,
+      s"edge weights must be positive integers, found min(w) = $minW")
+    val symDeg = Lineage.cut(sym.join(wdeg.drop("wmin"), Seq("src")))
     val base = scale * (dampDen - dampNum) / (dampDen * n)
 
     var pr = wdeg.select(col("src").as("id"), lit(scale / n).as("pr"))

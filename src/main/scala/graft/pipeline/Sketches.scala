@@ -56,7 +56,7 @@ object Sketches {
     * same double (re-deriving it in SQL could differ in the last ulp).
     */
   val EstNumerator: Double =
-    0.7123 / (1.0 + 1.079 / NumBuckets) * NumBuckets * NumBuckets *
+    0.7213 / (1.0 + 1.079 / NumBuckets) * NumBuckets * NumBuckets *
       math.pow(2.0, MaxRho)
 
   /** 1-based lowest-set-bit position of a non-negative long column;
@@ -144,18 +144,6 @@ object Sketches {
       Seq(col(groupCol)), Seq(sum(col("bn")).as("n_rows")), "est_distinct")
       .select(col(groupCol), col("n_rows"), col("est_distinct"))
 
-  /** Sketch ALGEBRA — the property that makes register sketches the
-    * distributed cardinality tool: registers of a union are the
-    * bucket-wise MAX of the parts' registers (no re-scan of the data),
-    * and an intersection estimate follows by inclusion-exclusion.
-    * Estimates `ga`, `gb`, their union and intersection from ONE
-    * register pass over the two groups' rows.
-    *
-    * Output: one row `(est_a, est_b, est_union, est_inter)`;
-    * `est_inter` can go slightly negative on near-disjoint sets (the
-    * standard inclusion-exclusion artifact — left signed rather than
-    * clamped so callers see the noise floor).
-    */
   /** Deterministic bottom-k sample per group — the OTHER classic
     * mergeable sketch: keep the `k` rows with the smallest key hashes.
     * Content-keyed like [[TextAnalysis.splitAssign]] (re-ingestion
@@ -187,19 +175,48 @@ object Sketches {
       .withColumnRenamed("__h", "h")
   }
 
+  /** Sketch ALGEBRA — the property that makes register sketches the
+    * distributed cardinality tool: registers of a union are the
+    * bucket-wise MAX of the parts' registers (no re-scan of the data),
+    * and an intersection estimate follows by inclusion-exclusion.
+    * Estimates `ga`, `gb`, their union and intersection from ONE
+    * register pass over the two groups' rows: a single GROUPING SETS
+    * aggregation produces the per-group registers AND the union
+    * registers together, then one estimate pass + a conditional pivot
+    * replaces the former three-estimates-plus-crossJoins shape.
+    *
+    * Output: one row `(est_a, est_b, est_union, est_inter)`;
+    * `est_inter` can go slightly negative on near-disjoint sets (the
+    * standard inclusion-exclusion artifact — left signed rather than
+    * clamped so callers see the noise floor). A group absent from the
+    * data estimates 0 (empty sketch), never NULL.
+    */
   def approxDistinctPair(df: DataFrame, groupCol: String, keyCol: String,
       ga: String, gb: String,
       mode: Hashing.HashMode = Hashing.HashMode.Oracle): DataFrame = {
     val regs = registerRows(
       df.filter(col(groupCol).isin(ga, gb)), groupCol, keyCol, mode)
-    def est(r: DataFrame, name: String): DataFrame =
-      estimateOver(r, Seq.empty, Seq.empty, name).select(name)
-    val ea = est(regs.filter(col(groupCol) === ga), "est_a")
-    val eb = est(regs.filter(col(groupCol) === gb), "est_b")
-    val eu = est(
-      regs.groupBy(col("bucket")).agg(max(col("rho")).as("rho")),
-      "est_union")
-    ea.crossJoin(eb).crossJoin(eu)
+    // (group, bucket) rows re-grouped once with GROUPING SETS
+    // ((group, bucket), (bucket)): the per-group registers pass through
+    // (max over one row) and the (bucket)-only set IS the union sketch.
+    val tagged = regs
+      .groupingSets(
+        Seq(Seq(col(groupCol), col("bucket")), Seq(col("bucket"))),
+        col(groupCol), col("bucket"))
+      .agg(max(col("rho")).as("rho"),
+        // grouping() is only legal inside the aggregate list.
+        when(grouping(col(groupCol)) === 1, lit("__union"))
+          .otherwise(col(groupCol).cast("string")).as("tag"))
+    val ests = estimateOver(tagged, Seq(col("tag")), Seq.empty, "est")
+    // Pivot the ≤3 estimate rows into one; a group with no rows at all
+    // has no register rows => no estimate row => empty sketch => 0.
+    ests.agg(
+      coalesce(max(when(col("tag") === ga, col("est"))), lit(0L))
+        .as("est_a"),
+      coalesce(max(when(col("tag") === gb, col("est"))), lit(0L))
+        .as("est_b"),
+      coalesce(max(when(col("tag") === "__union", col("est"))), lit(0L))
+        .as("est_union"))
       .withColumn("est_inter",
         col("est_a") + col("est_b") - col("est_union"))
   }

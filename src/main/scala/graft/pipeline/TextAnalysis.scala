@@ -119,30 +119,6 @@ object TextAnalysis {
       .otherwise(lit("test"))
   }
 
-  /** Corpus-self-derived unigram language-model quality score — the
-    * KenLM-style perplexity gate of a pre-training pipeline, with the LM
-    * estimated from the corpus itself (one `groupBy(word)` pass) instead
-    * of an external model file. Per document: token count, the summed
-    * unigram log-probability in fixed-point micro-nats (each word's
-    * `floor(1e6 * ln(cnt/total))` is quantized BEFORE summation, so the
-    * sum is integer math — order-independent across partitions and
-    * bit-identical in the DuckDB oracle), its per-token mean, and the
-    * out-of-vocabulary fraction (corpus count < `minCount`; on this
-    * uniform synthetic vocabulary that is always 0, but the column pins
-    * the rare-word path).
-    *
-    * Output: `(doc_id, n_tokens, lp_micro_sum, mean_lp_micro, n_oov,
-    * oov_frac)` — low (more negative) mean log-prob = surprising/noisy
-    * text, the standard quality-filter signal.
-    *
-    * Scale: tokens explode in a narrow map; the LM is vocab-sized
-    * (sub-linear in corpus size by Heaps' law, web-scale vocab ~1e8 rows
-    * ≪ corpus) and joins the token stream on the word key — AQE
-    * broadcasts it while it fits, plain shuffle join beyond; the per-doc
-    * aggregate is map-side combinable on integer columns. No global
-    * sort/window anywhere (OOV is a frequency threshold, not a top-k
-    * rank, precisely so the vocab never funnels through one task).
-    */
   /** Per-document top-`k` keywords by TF-IDF — the standard
     * keyword-extraction / feature-selection pass. IDF is quantized to
     * integer micro-nats (`floor(1e6 * ln(N/df))`) so the score
@@ -181,6 +157,30 @@ object TextAnalysis {
         col("idf_micro"), col("score"), col("rank"))
   }
 
+  /** Corpus-self-derived unigram language-model quality score — the
+    * KenLM-style perplexity gate of a pre-training pipeline, with the LM
+    * estimated from the corpus itself (one `groupBy(word)` pass) instead
+    * of an external model file. Per document: token count, the summed
+    * unigram log-probability in fixed-point micro-nats (each word's
+    * `floor(1e6 * ln(cnt/total))` is quantized BEFORE summation, so the
+    * sum is integer math — order-independent across partitions and
+    * bit-identical in the DuckDB oracle), its per-token mean, and the
+    * out-of-vocabulary fraction (corpus count < `minCount`; on this
+    * uniform synthetic vocabulary that is always 0, but the column pins
+    * the rare-word path).
+    *
+    * Output: `(doc_id, n_tokens, lp_micro_sum, mean_lp_micro, n_oov,
+    * oov_frac)` — low (more negative) mean log-prob = surprising/noisy
+    * text, the standard quality-filter signal.
+    *
+    * Scale: tokens explode in a narrow map; the LM is vocab-sized
+    * (sub-linear in corpus size by Heaps' law, web-scale vocab ~1e8 rows
+    * ≪ corpus) and joins the token stream on the word key — AQE
+    * broadcasts it while it fits, plain shuffle join beyond; the per-doc
+    * aggregate is map-side combinable on integer columns. No global
+    * sort/window anywhere (OOV is a frequency threshold, not a top-k
+    * rank, precisely so the vocab never funnels through one task).
+    */
   def unigramQuality(docs: DataFrame, minCount: Long = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),

@@ -1072,7 +1072,7 @@ object PipelineQueries {
        |    ELSE raw END AS $alias
        |  FROM (SELECT $m - count(*) AS v,
        |    CAST(floor(${Sketches.EstNumerator} / CAST(
-       |      sum(1::BIGINT << (${Sketches.MaxRho} - rho)) +
+       |      COALESCE(sum(1::BIGINT << (${Sketches.MaxRho} - rho)), 0) +
        |      ($m - count(*)) * (1::BIGINT << ${Sketches.MaxRho}) AS DOUBLE))
        |      AS BIGINT) AS raw
        |  FROM $regRel))""".stripMargin

@@ -81,6 +81,20 @@ class SketchesSpec extends SparkSpec {
     assert(eu == direct)
   }
 
+  test("sketch algebra: absent group estimates 0, never NULL") {
+    import spark.implicits._
+    val d = (1 to 100).map(i => ("a", s"k$i")).toDF("grp", "k")
+    val r = Sketches.approxDistinctPair(d, "grp", "k", "a", "zz").head()
+    assert(!r.anyNull, s"NULL leaked into $r")
+    assert(r.getAs[Long]("est_b") == 0L)
+    assert(r.getAs[Long]("est_union") == r.getAs[Long]("est_a"))
+    assert(r.getAs[Long]("est_inter") == 0L)
+    // Both groups absent: everything 0.
+    val r2 = Sketches.approxDistinctPair(d, "grp", "k", "y", "zz").head()
+    assert(Seq("est_a", "est_b", "est_union", "est_inter")
+      .forall(c => r2.getAs[Long](c) == 0L))
+  }
+
   test("streaming sketch over any batch split equals the batch sketch") {
     import spark.implicits._
     import graft.streaming.StreamingOps
