@@ -175,6 +175,67 @@ object Sketches {
       .withColumnRenamed("__h", "h")
   }
 
+  /** Nearest-rank quantiles extracted from a bottom-k sample — the
+    * second half of the mergeable QUANTILE sketch (see
+    * [[quantileSketch]]; split out so merged shard samples can be
+    * queried directly). For each group with `m ≤ k` sampled rows and
+    * each requested probability `p_bp` (basis points, 1..10000), emits
+    * the value at 1-based rank `max(1, ceil(p·m))` of the sample
+    * ordered by `(value, h, tie)` — pure integer arithmetic
+    * (`(p_bp·m + 9999) div 10000`), so the estimate is deterministic
+    * and oracle-replayable; no interpolation, no floats.
+    *
+    * Output: `(<groupCol>, p_bp, q_est)`, one row per group × prob.
+    *
+    * Scale: everything here is SKETCH-sized — `≤ k` rows per group
+    * enter the rank window, the probe relation is a broadcast of
+    * `|probs|` literals, and the final join keys on the group. The only
+    * data-sized work happened upstream in [[bottomKSample]].
+    */
+  def quantilesOfSample(sample: DataFrame, groupCol: String,
+      valueCol: String, tieCol: String, probsBp: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probsBp.nonEmpty && probsBp.forall(p => p >= 1 && p <= 10000),
+      s"probabilities must be basis points in 1..10000, got $probsBp")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col("h"), col(tieCol))
+    val ranked = sample
+      .select(col(groupCol), col(valueCol), col("h"), col(tieCol))
+      .withColumn("vrank", row_number().over(w).cast("long"))
+    val m = sample.groupBy(col(groupCol)).agg(count(lit(1)).as("m"))
+    val spark = sample.sparkSession
+    import spark.implicits._
+    val probs = probsBp.sorted.map(_.toLong).toDF("p_bp")
+    m.crossJoin(broadcast(probs))
+      .withColumn("want_rank",
+        greatest(lit(1L), expr("(p_bp * m + 9999) div 10000")))
+      .join(ranked, Seq(groupCol))
+      .filter(col("want_rank") === col("vrank"))
+      .select(col(groupCol), col("p_bp"),
+        col(valueCol).cast("long").as("q_est"))
+  }
+
+  /** Mergeable rank/quantile sketch — the cardinality-family primitive
+    * next to [[approxDistinct]] (HLL) and [[bottomKSample]]: quantile
+    * estimates of `valueCol` per group from a deterministic bottom-k
+    * row sample. The sketch IS the bottom-k sample (content-keyed on
+    * `keyCol`), so it inherits its properties wholesale: mergeable by
+    * construction (bottom-k of a union = bottom-k of the parts'
+    * bottom-ks — shard sketches combine with no re-scan, then
+    * [[quantilesOfSample]] reads the merged sample), deterministic
+    * across re-ingestion, uniform over distinct keys. Estimation error
+    * is the classic sample-quantile bound `~ 1.04·sqrt(p(1-p)/k)` in
+    * probability units; groups with `m ≤ k` rows are EXACT nearest-rank
+    * quantiles. All arithmetic is integer (basis-point ranks), so the
+    * DuckDB oracle replays it value for value — no KLL-style float
+    * compactors needed for a gateable, mergeable estimate.
+    */
+  def quantileSketch(df: DataFrame, groupCol: String, valueCol: String,
+      keyCol: String, tieCol: String, k: Int, probsBp: Seq[Int],
+      mode: Hashing.HashMode = Hashing.HashMode.Oracle): DataFrame =
+    quantilesOfSample(bottomKSample(df, groupCol, keyCol, tieCol, k, mode),
+      groupCol, valueCol, tieCol, probsBp)
+
   /** Sketch ALGEBRA — the property that makes register sketches the
     * distributed cardinality tool: registers of a union are the
     * bucket-wise MAX of the parts' registers (no re-scan of the data),

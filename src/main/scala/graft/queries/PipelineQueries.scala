@@ -44,6 +44,8 @@ object PipelineQueries {
   private val LM_MIN_COUNT = 2L
   private val TFIDF_K = 5
   private val BOTTOMK = 10
+  private val QS_K = 64
+  private val QS_PROBS = Seq(1000, 2500, 5000, 7500, 9000, 9900)
 
   /** DuckDB fragment: deterministic-codebook center component (s, c, i)
     * — must mirror [[Pq.deterministicCodebooks]] exactly.
@@ -1058,6 +1060,46 @@ object PipelineQueries {
         t(s, dir, "documents").select("lang", "doc_id", "text"),
         "lang", "text", "doc_id", BOTTOMK)
         .select(col("lang"), col("doc_id"), col("h"), col("sample_rank"))
+    },
+
+    // ---- mergeable quantile sketch: nearest-rank quantiles of text
+    // length per language from a deterministic bottom-k row sample —
+    // integer basis-point ranks, exact for groups with <= k rows,
+    // shard-mergeable like p31 (VERDICT round 7 #6).
+    QueryDef(
+      "p32_quantile_sketch",
+      s"""WITH hv AS (
+         |  SELECT lang, doc_id, CAST(length(text) AS BIGINT) AS v,
+         |    ${Hashing.sqlH60("text")} AS h
+         |  FROM documents
+         |), samp AS (
+         |  SELECT lang, doc_id, v, h FROM (
+         |    SELECT lang, doc_id, v, h,
+         |      row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS r
+         |    FROM hv
+         |  ) WHERE r <= $QS_K
+         |), ranked AS (
+         |  SELECT lang, v,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY v, h, doc_id)
+         |      AS BIGINT) AS vrank
+         |  FROM samp
+         |), mm AS (SELECT lang, count(*) AS m FROM samp GROUP BY lang),
+         |probs(p_bp) AS (VALUES ${QS_PROBS.map(p => s"($p)").mkString(",")}),
+         |want AS (
+         |  SELECT mm.lang, CAST(p_bp AS BIGINT) AS p_bp,
+         |    CAST(greatest(1, (p_bp * m + 9999) // 10000) AS BIGINT)
+         |      AS want_rank
+         |  FROM mm CROSS JOIN probs
+         |)
+         |SELECT w.lang AS lang, w.p_bp AS p_bp, r.v AS q_est
+         |FROM want w JOIN ranked r
+         |  ON r.lang = w.lang AND r.vrank = w.want_rank""".stripMargin) {
+      (s, dir) =>
+        Sketches.quantileSketch(
+          t(s, dir, "documents")
+            .select(col("lang"), col("doc_id"), col("text"),
+              length(col("text")).cast("long").as("v")),
+          "lang", "v", "text", "doc_id", QS_K, QS_PROBS)
     }
   )
 

@@ -37,5 +37,19 @@ class HamstersterSpec extends SparkSpec {
     assert(largest == 1610L, s"giant component stays 1610, got $largest")
     // min_comp_size=100 (reference conf) keeps exactly the giant one
     assert(sizes.filter(col("n") >= conf.params.minCompSize).count() == 1L)
+
+    // GOLDEN PIN (VERDICT round 7 #4): the full component-size
+    // histogram `size -> #components`. The converged state is
+    // deterministic (integer pipeline, fixed thresholds), so any
+    // algorithmic drift in ANY of the ~10 composed operators — not
+    // just a count change — trips this, complementing the per-operator
+    // oracles which each see only their own output.
+    val hist = sizes.groupBy(col("n")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    info(s"component size histogram: ${hist.toSeq.sorted.map {
+      case (sz, c) => s"$sz:$c" }.mkString(", ")}")
+    assert(hist == Map(2L -> 18L, 3L -> 6L, 4L -> 2L, 5L -> 4L,
+      6L -> 2L, 7L -> 3L, 10L -> 1L, 11L -> 1L, 13L -> 1L, 1610L -> 1L),
+      s"converged community histogram drifted: $hist")
   }
 }

@@ -77,6 +77,54 @@ class AnnRecallSpec extends SparkSpec {
     brute.unpersist()
   }
 
+  test("planted clusters: production IVF-PQ path reaches recall >= 0.9") {
+    // VERDICT round 7 #2: every prior recall number was data-bounded
+    // (near-random vectors). This corpus PLANTS the neighbor structure
+    // (125 tight clusters of 80), so the number measures the QUANTIZER.
+    // Budget: nprobe = 8 of 32 cells (25%), rerank pool 100, k = 10.
+    val corpus = graft.tools.PlantedCorpus
+      .generate(spark, nClusters = 125, perCluster = 80, dim = 64,
+        epsMilli = 150)
+      .select(col("vec_id"), col("cluster"), col("embedding"))
+      .cache()
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+    val queries = vecs.filter(col("vec_id") < 100)
+    val k = 10
+
+    val brute = Ann.bruteForceTopK(queries, vecs, k)
+      .select("query_id", "neighbor_id").cache()
+    val nBrute = brute.count().toDouble
+    assert(nBrute == 100 * k, s"brute baseline incomplete: $nBrute")
+
+    // The corpus must actually be clustered: a query's exact top-10
+    // should lie in its own planted cluster.
+    val sameCluster = brute
+      .join(corpus.select(col("vec_id").as("query_id"),
+        col("cluster").as("qc")), Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("cluster").as("nc")), Seq("neighbor_id"))
+      .filter(col("qc") === col("nc")).count() / nBrute
+    assert(sameCluster > 0.95,
+      s"planted structure missing: same-cluster fraction $sameCluster")
+
+    // Full production path, as AnnIndex composes it.
+    val (cells, reps) = Ann.kmeansQuantizer(vecs, numCells = 32)
+    val cb = Pq.train(vecs, m = 8, nbits = 4)
+    val codes = Pq.encode(vecs, cb)
+    val got = Pq.rerank(
+      Pq.ivfPqTopK(queries, codes, cells.select("vec_id", "cell"),
+        reps, cb, nprobe = 8, k = 100),
+      queries, vecs, k)
+      .select("query_id", "neighbor_id")
+    val recall = got.join(brute, Seq("query_id", "neighbor_id")).count() /
+      nBrute
+    info(f"planted-cluster IVF-PQ recall@10: $recall%.3f " +
+      "(32 cells, nprobe=8, pool=100)")
+    assert(recall >= 0.9,
+      s"production path recall $recall < 0.9 on clusterable data")
+    corpus.unpersist(); brute.unpersist()
+  }
+
   test("kmeans quantizer tolerates an all-zero embedding") {
     import spark.implicits._
     // norm 0 → the normalized copy must be the zero vector, not null

@@ -81,6 +81,62 @@ class SketchesSpec extends SparkSpec {
     assert(eu == direct)
   }
 
+  test("quantile sketch: exact nearest-rank when the group fits in k") {
+    import spark.implicits._
+    // 100 rows, values 1..100, k=200 => the sample IS the group and the
+    // nearest-rank quantiles are exact: q(p) = ceil(p * 100).
+    val d = (1 to 100).map(i => ("g", i.toLong, s"t$i", i.toLong))
+      .toDF("grp", "id", "t", "v")
+    val got = Sketches
+      .quantileSketch(d, "grp", "v", "t", "id", 200,
+        Seq(100, 2500, 5000, 9000, 10000))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(100L -> 1L, 2500L -> 25L, 5000L -> 50L,
+      9000L -> 90L, 10000L -> 100L))
+  }
+
+  test("quantile sketch: sampled estimate lands in the error band") {
+    import spark.implicits._
+    val n = 20000
+    val d = (1 to n).map(i => ("g", i.toLong, s"key_$i", i.toLong))
+      .toDF("grp", "id", "t", "v")
+    val got = Sketches
+      .quantileSketch(d, "grp", "v", "t", "id", 1024,
+        Seq(2500, 5000, 7500))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // Sample-quantile error ~ sqrt(p(1-p)/1024) <= 1.6% prob units;
+    // allow 4 sigma => +-6.5% of the range.
+    for ((p, q) <- got)
+      assert(math.abs(q - p * n / 10000) < 0.065 * n, s"q($p) = $q")
+    // Deterministic re-run.
+    val again = Sketches
+      .quantileSketch(d, "grp", "v", "t", "id", 1024,
+        Seq(2500, 5000, 7500))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(again == got)
+  }
+
+  test("quantile sketch: merge of shard samples equals whole sketch") {
+    import spark.implicits._
+    val d = (1 to 5000).map(i => ("g", i.toLong, s"key_$i", i.toLong))
+      .toDF("grp", "id", "t", "v")
+    val probs = Seq(1000, 5000, 9000)
+    val whole = Sketches.quantileSketch(d, "grp", "v", "t", "id", 256, probs)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // Sketch each shard, merge by re-sampling the union of samples,
+    // query the merged sample — must equal the whole-data sketch.
+    val shards = Seq(
+      d.filter(col("id") % 3 === 0), d.filter(col("id") % 3 === 1),
+      d.filter(col("id") % 3 === 2))
+    val merged = Sketches.bottomKSample(
+      shards.map(Sketches.bottomKSample(_, "grp", "t", "id", 256)
+        .drop("h", "sample_rank")).reduce(_ unionByName _),
+      "grp", "t", "id", 256)
+    val got = Sketches.quantilesOfSample(merged, "grp", "v", "id", probs)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == whole)
+  }
+
   test("sketch algebra: absent group estimates 0, never NULL") {
     import spark.implicits._
     val d = (1 to 100).map(i => ("a", s"k$i")).toDF("grp", "k")

@@ -111,6 +111,112 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize state survives a checkpoint restart") {
+    // VERDICT round 7 #7: s06-s09 prove streaming == batch on ONE
+    // bounded drain; this proves the state store does its actual job —
+    // a session OPENED before a stop/restart closes CORRECTLY after it,
+    // with the pre-restart events still counted.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sess-restart")
+    val in = s"$base/in"
+    def stage(mode: String, rows: (String, Long)*): Unit =
+      rows.map { case (u, t) => StreamingOps.SessionEvent(u, ts(t)) }
+        .toDF().coalesce(1).sortWithinPartitions("ts")
+        .write.mode(mode).parquet(in)
+    def drain(out: String, ckpt: String): Unit = {
+      val q = StreamingOps.toParquet(
+        StreamingOps.sessionize(
+          spark.readStream.schema("user STRING, ts TIMESTAMP").parquet(in)
+            .as[StreamingOps.SessionEvent],
+          gapSeconds = 5, delayThreshold = "0 seconds").toDF(),
+        out, ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def sessions(out: String) = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[String]("user"),
+        r.getAs[Timestamp]("start").getTime / 1000,
+        r.getAs[Timestamp]("end").getTime / 1000,
+        r.getAs[Long]("n_events"))).toSet
+
+    // Half 1: "a" opens a session (1..3); nothing can close it yet.
+    stage("overwrite", ("a", 1L), ("a", 2L), ("a", 3L))
+    drain(s"$base/out", s"$base/ckpt")
+    val afterHalf = sessions(s"$base/out")
+    assert(!afterHalf.exists(_._4 >= 4), s"premature close: $afterHalf")
+
+    // Half 2 (new files, SAME checkpoint): 6 extends the open session
+    // (gap 3 <= 5); 100 closes it in-batch; sentinel "z" advances the
+    // watermark past 100+gap so the final no-data batch closes a's
+    // trailing singleton.
+    stage("append", ("a", 6L), ("a", 100L), ("z", 1000L))
+    drain(s"$base/out", s"$base/ckpt")
+    val got = sessions(s"$base/out")
+    // The 4-event session spanning the restart is the smoking gun: its
+    // count includes the three PRE-restart events.
+    assert(got.contains(("a", 1L, 6L, 4L)),
+      s"state lost across restart: $got")
+    assert(got.contains(("a", 100L, 100L, 1L)), got.toString)
+
+    // Differential: one uninterrupted drain over the same input equals
+    // the two-drain union exactly.
+    drain(s"$base/single_out", s"$base/single_ckpt")
+    assert(sessions(s"$base/single_out") == got,
+      s"restart result diverges from single drain")
+  }
+
+  test("streaming HLL state survives a checkpoint restart") {
+    import spark.implicits._
+    import graft.pipeline.{Hashing, Sketches}
+    val base = java.nio.file.Files.createTempDirectory("hll-restart")
+    val in = s"$base/in"
+    val n = 3000
+    val d = (1 to n).map(i => (s"g${i % 2}", s"key_$i")).toDF("grp", "k")
+      .select(col("grp").as("key"), Hashing.h60(col("k")).as("h"))
+    def stage(mode: String, half: org.apache.spark.sql.DataFrame): Unit =
+      half.coalesce(1).write.mode(mode).parquet(in)
+    def drain(out: String, ckpt: String): Unit = {
+      // mapGroupsWithState needs Update mode, which the parquet sink
+      // rejects and the memory sink cannot checkpoint-restart —
+      // foreachBatch is the durable Update-mode sink shape.
+      val q = StreamingOps.approxDistinctStream(
+          spark.readStream.schema("key STRING, h BIGINT").parquet(in)
+            .as[StreamingOps.SketchEvent])
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingOps.SketchEstimate], _: Long) =>
+          df.write.mode("append").parquet(out): Unit
+        }
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    stage("overwrite", d.filter(col("h") % 2 === 0))
+    drain(s"$base/out", s"$base/ckpt")
+    stage("append", d.filter(col("h") % 2 =!= 0))
+    drain(s"$base/out", s"$base/ckpt")
+
+    // The LAST emission per key (largest n_rows) must equal the batch
+    // sketch over ALL rows — only possible if the registers and row
+    // counts from before the restart were restored from the state store.
+    val got = spark.read.parquet(s"$base/out")
+      .groupBy(col("key"))
+      .agg(max(col("n_rows")).as("n"),
+        max_by(col("est_distinct"), col("n_rows")).as("est"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val expect = Sketches.approxDistinct(
+        (1 to n).map(i => (s"g${i % 2}", s"key_$i")).toDF("grp", "k"),
+        "grp", "k")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == expect,
+      s"restarted streaming sketch diverges from batch: $got vs $expect")
+  }
+
   test("mapGroupsWithState keeps running per-key totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
