@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loading for the driver-generated TPC-H-ish test data
   * (see TESTDATA.md). Tables: region nation customer supplier part
@@ -11,24 +13,34 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Load one table from an sf directory.
+  /** Normalize the events `ts` column to session-timezone TIMESTAMP,
+    * whatever physical shape the generator emitted:
     *
-    * The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark rejects by default; read nanos as long and convert to a
-    * microsecond timestamp (Spark's native precision).
+    *  - parquet TIMESTAMP(NANOS) read with `nanosAsLong` → epoch-nano
+    *    BIGINT: integer-divide to micros (double division of ~1.7e18
+    *    nanos loses sub-µs exactness past 2^53, ADVICE round 1);
+    *  - parquet timestamp[us] without UTC adjustment → TIMESTAMP_NTZ:
+    *    cast to TIMESTAMP (every entrypoint pins
+    *    spark.sql.session.timeZone=UTC, so the cast is value-preserving
+    *    and matches DuckDB's naive read of the same file);
+    *  - already TIMESTAMP: pass through.
+    *
+    * Works on batch and streaming frames alike (schema-only dispatch).
     */
+  def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _                => df
+  }
+
+  /** Load one table from an sf directory (events gets `ts` normalized). */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     if (name == "events") {
-      // Set once per session in practice; kept idempotent here so ad-hoc
-      // loads outside Bench/Verify still work.
+      // Tolerate the nanos generation; harmless for micros data. Set once
+      // per session in practice; idempotent so ad-hoc loads still work.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(path)
-      // Integer division: double division of epoch nanos (~1.7e18) loses
-      // sub-microsecond exactness past 2^53 (ADVICE round 1).
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      normalizeEventTs(spark.read.parquet(path))
     } else spark.read.parquet(path)
   }
 

@@ -189,12 +189,11 @@ object SourceMlQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema // ts: nanos-as-long
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
       // The streaming file source wants a DIRECTORY; the sf dir holds one
       // file per table, so scope the listing with a glob filter.
-      val agg = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = graft.Tables.normalizeEventTs(s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(count(lit(1)).as("n"), graft.Exact.dsum(col("value")).as("total_value"))
@@ -237,9 +236,8 @@ object SourceMlQueries {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val gapSec = 21600L // 6 h: multi-event sessions at every test SF
       val base = scratch(dir, "s06")
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .select(col("user_id").cast("string").as("user"),
-          timestamp_micros(expr("ts div 1000")).as("ts"))
+      val ev = graft.Tables.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id").cast("string").as("user"), col("ts"))
       val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
       val sentinel = Seq(maxUs + (gapSec + 3600L) * 1000000L).toDF("us")
         .select(lit("__sentinel__").as("user"),
@@ -318,9 +316,8 @@ object SourceMlQueries {
         |FROM events""".stripMargin) { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val base = scratch(dir, "s08")
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .select(col("event_id"),
-          timestamp_micros(expr("ts div 1000")).as("ts"),
+      val ev = graft.Tables.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("event_id"), col("ts"),
           round(col("value") * 100).cast("long").as("cents"))
       ev.unionByName(ev.filter(col("event_id") % 3 === 0))
         .coalesce(1)

@@ -35,9 +35,9 @@ object ScaleUp {
     val Array(srcDir, outDir, factorStr) = args
     val factor = factorStr.toLong
     require(factor >= 1, s"factor must be >= 1, got $factor")
-    // events.ts is parquet TIMESTAMP(NANOS): read nanos as long and
-    // write plain int64 — Tables.load and the streaming stagers apply
-    // `ts div 1000` identically to both representations.
+    // events.ts generations differ (TIMESTAMP(NANOS) vs timestamp[us]);
+    // nanosAsLong tolerates the former, and the copy below round-trips
+    // whichever shape it read — Tables.normalizeEventTs adapts on read.
     val spark = graft.Hgn.session("graft-scaleup", Map(
       "spark.sql.legacy.parquet.nanosAsLong" -> "true",
       "spark.ui.enabled" -> "false"))
