@@ -25,6 +25,11 @@ object SparkSpec {
       // can't mask ANSI-only failures (round-4 regression: sum() long
       // overflow in the CC convergence signature threw only under ANSI).
       .config("spark.sql.ansi.enabled", "true")
+      // Pinned session-wide (not per-spec, which leaked ordering
+      // dependence — ADVICE round 9): tolerate a TIMESTAMP(NANOS)
+      // generation of any driver ts column, matching every main's
+      // session config; Tables.normalizeTs handles the resulting BIGINT.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
