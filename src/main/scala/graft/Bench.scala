@@ -24,10 +24,15 @@ import org.apache.spark.sql.SparkSession
   *     for another `RUNS` samples and the extra samples pooled, so one
   *     bad VM slice cannot be committed as the round's capability. The
   *     JSON gains `"contended"` (true when a re-run recovered >1.5x or a
-  *     query's median sits >2x over its own min), a `"contention"`
-  *     object naming the confirmed/unstable queries, and a `"reruns"`
-  *     object with first-min vs final-min deltas — so a reader diffing
-  *     rounds sees the VM's mood explicitly instead of inferring it;
+  *     query's median sits >1.5x over its own min AFTER the stability
+  *     re-runs), a `"contention"` object naming the confirmed/unstable
+  *     queries, a `"reruns"` object with first-min vs final-min deltas,
+  *     and a `"stability_reruns"` object counting extra batches — so a
+  *     reader diffing rounds sees the VM's mood explicitly instead of
+  *     inferring it. Every query whose batch median exceeds 1.5x its
+  *     pooled min is re-sampled up to [[MaxStabilityReruns]] batches
+  *     (VERDICT round 9 #1 — round 9 committed medians 2-5x their own
+  *     same-run mins with only a flag);
   *   - results are fully materialized via a `noop`-style foreach write
   *     (`count()` lets Catalyst prune the final projection for
   *     scan-shaped queries);
@@ -39,6 +44,14 @@ import org.apache.spark.sql.SparkSession
   *     inside the per-query loader.
   */
 object Bench {
+
+  /** Cap on per-query stability re-run batches (VERDICT round 9 #1):
+    * a query whose batch median stays >1.5x its own pooled minimum is
+    * re-sampled up to this many extra batches before being committed —
+    * and if STILL >1.5x after all of them, it is flagged `unstable`
+    * (the committed artifact never hides a contended headline).
+    */
+  val MaxStabilityReruns: Int = 4
 
   private def runOnce(spark: SparkSession,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -95,7 +108,38 @@ object Bench {
     }.toSeq.groupMapReduce(_._1)(_._2)(math.min)
   }
 
-  def main(args: Array[String]): Unit = {
+  /** Emit the artifact line on stdout AND to `SPARK_GRAFT_BENCH_OUT`
+    * (VERDICT round 7 #8 / round 9 #7: the driver's log-tail capture of
+    * a crashed run yielded `parsed: null` and cost a round of
+    * diagnosis — every exit path must leave a parseable artifact).
+    */
+  private def emit(jsonLine: String): Unit = {
+    println(jsonLine)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] warn: could not write $outFile: $e")
+    }
+  }
+
+  private def jsonSafe(s: String): String =
+    s.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+
+  def main(args: Array[String]): Unit =
+    try realMain() catch {
+      case e: Throwable =>
+        // A failure OUTSIDE the per-query loop (session build, tuning,
+        // artifact parsing) must still leave a JSON artifact, not just a
+        // stack trace in a truncated log tail.
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        emit(s"""{"metric":"total","value":-1.000,"unit":"sec","queries":{},"fatal":"${
+          jsonSafe(Option(e.getMessage).getOrElse(e.getClass.getName))}","sf":"$sfDir"}""")
+        e.printStackTrace()
+        sys.exit(1)
+    }
+
+  private def realMain(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Shuffle partitioning tracks DATA, not cores (measured: g05 at
@@ -137,6 +181,7 @@ object Bench {
     val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val reruns = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val stabilized = scala.collection.mutable.LinkedHashMap[String, Int]()
     for (name <- names) {
       val fn = SparkEntry.queries(name)
       try {
@@ -146,6 +191,7 @@ object Bench {
           runOnce(spark, fn, sfDir)
           (System.nanoTime() - t0) / 1e9
         }
+        def med(b: Vector[Double]): Double = { val s = b.sorted; s(s.length / 2) }
         var samples = sample(runs)
         var lastBatch = samples
         val firstMin = samples.min
@@ -158,12 +204,27 @@ object Bench {
             samples = samples ++ lastBatch
             reruns(name) = (firstMin, samples.min)
           }
+        // RE-RUN-TO-STABILITY (VERDICT round 9 #1: round 9 committed
+        // contention-inflated medians 2-5x over their own same-run mins,
+        // merely FLAGGING them unstable): while the latest batch's
+        // median sits >1.5x above the pooled minimum (0.2 s floor),
+        // sample another batch — a contended VM slice produces a
+        // headline only if the contention outlasts every retry, and
+        // then it is loudly 'unstable' below.
+        var extra = 0
+        while (extra < MaxStabilityReruns &&
+            med(lastBatch) > samples.min * 1.5 &&
+            med(lastBatch) - samples.min > 0.2) {
+          lastBatch = sample(runs)
+          samples = samples ++ lastBatch
+          extra += 1
+        }
+        if (extra > 0) stabilized(name) = extra
         // ONE consistent headline definition (ADVICE round 7): the plain
         // median of the most recent batch of `runs` samples — never a
         // median over an asymmetric best-of pool. Best-case data lives
         // in min_queries/reruns.
-        val sortedBatch = lastBatch.sorted
-        times(name) = sortedBatch(sortedBatch.length / 2)
+        times(name) = med(lastBatch)
         mins(name) = samples.min
       } catch {
         case e: Throwable =>
@@ -172,14 +233,14 @@ object Bench {
       }
     }
     // Contention verdict: a re-run that recovered >1.5x confirms a bad
-    // VM slice; a median still >2x over the same session's own min
-    // (with the absolute floor) means unstable samples even after
-    // pooling. Either way the artifact says so.
+    // VM slice; a median still >1.5x over the same session's own min
+    // (with the absolute floor) AFTER the stability re-runs means the
+    // contention outlasted every retry. Either way the artifact says so.
     val confirmed = reruns.collect {
       case (n, (first, fin)) if first > fin * 1.5 && first - fin > 0.2 => n
     }.toSeq
     val unstable = names.filter(n => (times.get(n), mins.get(n)) match {
-      case (Some(t), Some(m)) => t > m * 2 && t - m > 0.2
+      case (Some(t), Some(m)) => t > m * 1.5 && t - m > 0.2
       case _ => false
     })
     val contended = confirmed.nonEmpty || unstable.nonEmpty
@@ -193,18 +254,11 @@ object Bench {
     val rr = reruns.map { case (k, (a, b)) =>
       s""""$k":{"first_min":${jnum(a)},"final_min":${jnum(b)}}"""
     }.mkString("{", ",", "}")
+    val st = stabilized.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
     val total = times.values.sum
-    val jsonLine = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${jmap(times)},"min_queries":${jmap(mins)},"contended":$contended,"contention":{"confirmed":${jarr(confirmed)},"unstable":${jarr(unstable)}},"reruns":$rr,"errors":$es,"sf":"$sfDir"}"""
-    println(jsonLine)
-    // Also persist the line verbatim (VERDICT round 7 #8: the driver's
-    // log-tail capture truncated the JSON into an unparseable suffix) —
-    // a reader always has the full artifact on disk.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Exception =>
-      System.err.println(s"[bench] warn: could not write $outFile: $e")
-    }
+    val jsonLine = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${jmap(times)},"min_queries":${jmap(mins)},"contended":$contended,"contention":{"confirmed":${jarr(confirmed)},"unstable":${jarr(unstable)}},"reruns":$rr,"stability_reruns":$st,"errors":$es,"sf":"$sfDir"}"""
+    emit(jsonLine)
     spark.stop()
     // Regression loudness (VERDICT round 4 #3): an erroring query must
     // fail the run, not just fill a JSON field nobody diffs. The JSON

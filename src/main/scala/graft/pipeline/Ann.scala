@@ -156,8 +156,11 @@ object Ann {
     *
     * Scale: the fit runs on `fitSample` (a quantizer does not need the
     * full corpus — the standard IVF build trains on a small sample and
-    * assigns everything), assignment is one narrow map over the corpus,
-    * and the centroid table is `numCells` rows — broadcast material.
+    * assigns everything); when no sample is given the corpus is capped
+    * at [[Pq.MaxFitRows]] via the same deterministic hash-ordered top-k
+    * (one TakeOrdered pass instead of a full-corpus KMeans — VERDICT
+    * round 9 #7). Assignment is one narrow map over the corpus, and the
+    * centroid table is `numCells` rows — broadcast material.
     */
   def kmeansQuantizer(corpus: DataFrame, numCells: Int, seed: Long = 42L,
       fitSample: Option[DataFrame] = None): (DataFrame, DataFrame) = {
@@ -181,7 +184,7 @@ object Ann {
     val model = new KMeans()
       .setK(numCells).setSeed(seed)
       .setFeaturesCol("__features").setPredictionCol("__cell")
-      .fit(featurized(fitSample.getOrElse(corpus)))
+      .fit(featurized(fitSample.getOrElse(Pq.capFitRows(corpus))))
     val assigned = model.transform(featurized(corpus))
       .withColumn("cell", col("__cell").cast("int"))
       .drop("__features", "__cell")

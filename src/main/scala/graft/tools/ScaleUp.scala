@@ -34,7 +34,6 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorStr) = args
     val factor = factorStr.toLong
-    require(factor >= 1, s"factor must be >= 1, got $factor")
     // events.ts generations differ (TIMESTAMP(NANOS) vs timestamp[us]);
     // nanosAsLong tolerates the former, and the copy below round-trips
     // whichever shape it read — Tables.normalizeEventTs adapts on read.
@@ -42,6 +41,18 @@ object ScaleUp {
       "spark.sql.legacy.parquet.nanosAsLong" -> "true",
       "spark.ui.enabled" -> "false"))
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, srcDir, outDir, factor)
+    spark.stop()
+  }
+
+  /** The generation body, session-agnostic so the test suite can
+    * (re)generate the sf1 plan-guard directory on its own shared
+    * session (VERDICT round 9 #2 — the guard must not depend on a
+    * manual pre-step that, when skipped, silently cancels the test).
+    */
+  def run(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      outDir: String, factor: Long): Unit = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
 
     val copies = spark.range(factor).select(col("id").as("k"))
     // Loud-failure guards (ADVICE round 6): an empty table yields a null
@@ -120,6 +131,5 @@ object ScaleUp {
 
     println(s"[scaleup] wrote lineitem/part/documents/embeddings/events " +
       s"x$factor from $srcDir to $outDir")
-    spark.stop()
   }
 }
