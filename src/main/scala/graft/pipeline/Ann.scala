@@ -244,4 +244,59 @@ object Ann {
         microCosine(col("va"), col("vb")).as("sim_micro"))
       .filter(col("sim_micro") >= minMicroCos)
   }
+
+  /** Semantic dedup (SemDeDup shape, arXiv:2303.09540): cluster the
+    * corpus with a coarse quantizer, then drop every vector that has a
+    * LOWER-id clustermate with cosine ≥ `minMicroCos` — near-duplicate
+    * *meanings*, which text-level shingle dedup cannot see. The greedy
+    * keep-lowest-id rule (drop b iff ∃ a < b in the cluster with
+    * sim ≥ τ, independent of a's own fate) is deterministic and
+    * join-expressible, so the whole operator is one broadcast assignment
+    * plus one cluster-keyed self-join.
+    *
+    * `reps` is the quantizer's representative table `(cluster, rep:
+    * array<float>)` — the oracle query feeds the deterministic
+    * min-vec_id pivots, production feeds [[kmeansQuantizer]] centroids
+    * (identical shape, same swap contract as [[ivfTopKProbedReps]]).
+    *
+    * Scale: reps is numClusters rows — broadcast; assignment is a narrow
+    * map; the only shuffle is the cluster-keyed self-join, whose
+    * per-cluster quadratic is exactly the bounded within-cluster scan
+    * SemDeDup prescribes (clusters ≈ √corpus keeps each bucket small;
+    * skewed clusters are AQE skew-join territory).
+    *
+    * Output: `(vec_id, cluster, kept)` — one row per corpus vector.
+    */
+  def semDedup(corpus: DataFrame, reps: DataFrame,
+      minMicroCos: Long): DataFrame = {
+    val asgW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("psim").desc, col("cluster"))
+    val asg = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(reps.select(col("cluster"), col("rep"))))
+      .select(col("vec_id"), col("embedding"), col("cluster"),
+        microCosine(col("embedding"), col("rep")).as("psim"))
+      .select(col("vec_id"), col("embedding"), col("cluster"),
+        row_number().over(asgW).as("rn"))
+      .filter(col("rn") === 1).drop("rn")
+    val a = asg.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val b = asg.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(microCosine(col("va"), col("vb")) >= minMicroCos)
+      .select(col("id_b").as("vec_id")).dropDuplicates()
+    asg.select(col("vec_id"), col("cluster"))
+      .join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup").isNull.as("kept"))
+  }
+
+  /** Deterministic pivot representatives for [[semDedup]]'s oracle mode:
+    * the `numPivots` lowest-id vectors, as `(cluster, rep)` with
+    * cluster = vec_id. DuckDB replays this table exactly; production
+    * swaps in [[kmeansQuantizer]] output.
+    */
+  def lowIdPivots(corpus: DataFrame, numPivots: Int): DataFrame =
+    corpus.filter(col("vec_id") < numPivots)
+      .select(col("vec_id").as("cluster"), col("embedding").as("rep"))
 }

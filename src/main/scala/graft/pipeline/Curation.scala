@@ -119,4 +119,53 @@ object Curation {
         (col("local_offset") + col("sub_offset")).as("start_offset"))
       .withColumn("bin", expr(s"start_offset div $budget"))
   }
+
+  /** DSIR-style importance weighting (arXiv:2302.03169 shape): score
+    * every document by how much its hashed-token distribution looks like
+    * a small trusted TARGET slice of the corpus versus the raw rest,
+    * then select docs whose mean per-token weight clears parity.
+    *
+    * Token features are hashed into `buckets` buckets (hash n-grams →
+    * fixed feature space, the DSIR trick that makes the estimator
+    * corpus-size-independent). Per-bucket weight is the add-one-smoothed
+    * target/raw count ratio in EXACT integer micro-units —
+    * `(1e6 * (tgt+1)) div (raw+1)` — instead of a float log-likelihood
+    * ratio: monotone in the same ratio, but bit-reproducible in the
+    * DuckDB oracle (no cross-engine `ln` rounding).
+    *
+    * Output: `(doc_id, n_tokens, score_micro, per_tok_micro, selected)`.
+    *
+    * Scale: the weight table is exactly `buckets` rows — broadcast; the
+    * bucket histogram is a map-side-combinable agg on an 8-byte key; the
+    * per-doc score re-aggregates the same exploded pass. Two shuffles
+    * total, both on small keys; corpus text never shuffles.
+    */
+  def importanceWeights(docs: DataFrame, isTarget: Column,
+      buckets: Int = 1024,
+      mode: Hashing.HashMode = Hashing.HashMode.Oracle): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val toks = docs.select(col("doc_id"), isTarget.as("tgt"),
+      explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val bucketed = toks.select(col("doc_id"), col("tgt"),
+      (mode(col("w")) % buckets).as("b"))
+    val counts = bucketed.groupBy("b").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("tgt_n"),
+      sum(when(!col("tgt"), 1L).otherwise(0L)).as("raw_n"))
+    val weights = counts.select(col("b"),
+      expr("(1000000 * (tgt_n + 1)) div (raw_n + 1)").as("w_micro"))
+    // Selection cut: a doc is selected when its mean per-token weight
+    // beats the CORPUS-WIDE target/raw ratio in the same micro-units
+    // (above-average target-likeness) — one 1-row broadcast, same exact
+    // integer arithmetic.
+    val globalCut = counts.agg(
+        expr("(1000000 * (sum(tgt_n) + 1)) div (sum(raw_n) + 1)")
+          .as("cut_micro"))
+    bucketed.join(broadcast(weights), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_micro")).as("score_micro"))
+      .crossJoin(broadcast(globalCut))
+      .select(col("doc_id"), col("n_tokens"), col("score_micro"),
+        expr("score_micro div n_tokens").as("per_tok_micro"),
+        (expr("score_micro div n_tokens") >= col("cut_micro")).as("selected"))
+  }
 }

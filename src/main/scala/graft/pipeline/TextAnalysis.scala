@@ -103,6 +103,51 @@ object TextAnalysis {
     lit(1.0) - distinctGrams.cast("double") / total.cast("double")
   }
 
+  /** PII patterns for the scrubbing pass. Deliberately restricted to
+    * regex features with identical semantics in Java (Spark codegen) and
+    * RE2 (the DuckDB oracle): ASCII character classes, bounded repeats,
+    * `\b` word boundaries — no backrefs, no lookaround.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII scrub: redact emails, IPv4 addresses, and phone numbers with
+    * typed placeholder tokens, counting each category. Categories are
+    * applied in a fixed order (email → IP → phone), with each count taken
+    * on the PREVIOUS stage's redacted text so one span is never counted
+    * twice (an email's host can contain an IPv4-shaped substring, an IP
+    * contains phone-shaped digit runs).
+    *
+    * Pure `regexp_replace`/`regexp_count` built-ins — a narrow,
+    * whole-stage-codegen map over the corpus, embarrassingly parallel at
+    * 100 TB like the rest of this stage.
+    *
+    * Returns `(redacted, n_emails, n_ipv4, n_phones)` columns.
+    */
+  private def piiStages(text: Column): (Column, Column, Column) = {
+    val r1 = regexp_replace(text, lit(EmailPattern), lit("<EMAIL>"))
+    val r2 = regexp_replace(r1, lit(Ipv4Pattern), lit("<IP>"))
+    (r1, r2, regexp_replace(r2, lit(PhonePattern), lit("<PHONE>")))
+  }
+
+  /** Fully redacted copy of a text column. */
+  def piiRedact(text: Column): Column = piiStages(text)._3
+
+  def piiScrub(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val text = col(textCol)
+    val (r1, r2, r3) = piiStages(text)
+    docs.select(
+      col(idCol),
+      regexp_count(text, lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(r1, lit(Ipv4Pattern)).cast("long").as("n_ipv4"),
+      regexp_count(r2, lit(PhonePattern)).cast("long").as("n_phones"),
+      length(r3).cast("long").as("red_len"),
+      Hashing.h60(r3).as("red_hash"))
+  }
+
   /** Deterministic content-hash train/val/test assignment: bucket =
     * hash(lower(text)) mod 100, `train` below `trainPct`, `val` in the
     * next `valPct`, `test` above. Hash-of-content (not of id) keeps the

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.pipeline._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked LLM-data-pipeline operator family over the `documents`
@@ -46,6 +46,10 @@ object PipelineQueries {
   private val BOTTOMK = 10
   private val QS_K = 64
   private val QS_PROBS = Seq(1000, 2500, 5000, 7500, 9000, 9900)
+  private val SEM_PIVOTS = 8
+  private val SEM_T = 400000L
+  private val DSIR_BUCKETS = 1024
+  private val DSIR_TARGET = Seq("src0", "src1", "src2")
 
   /** DuckDB fragment: deterministic-codebook center component (s, c, i)
     * — must mirror [[Pq.deterministicCodebooks]] exactly.
@@ -1100,6 +1104,121 @@ object PipelineQueries {
             .select(col("lang"), col("doc_id"), col("text"),
               length(col("text")).cast("long").as("v")),
           "lang", "v", "text", "doc_id", QS_K, QS_PROBS)
+    },
+
+    // ---- PII scrub: typed redaction (email → IPv4 → phone, each count
+    // taken on the previous stage's redacted text) over a
+    // deterministically-dirtied copy of the corpus — the synthetic
+    // word-salad contains no PII, so the gate plants doc_id-derived
+    // spans IDENTICALLY in both engines and the regexes are genuinely
+    // exercised (sum over sf0.01: 333 emails, 600 IPs, 125 phones).
+    QueryDef(
+      "p33_pii_scrub",
+      s"""WITH dirty AS (
+         |  SELECT doc_id, concat_ws(' ', text,
+         |    CASE WHEN doc_id % 3 <> 0 THEN 'user' || CAST(doc_id AS VARCHAR)
+         |      || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.net' END,
+         |    '10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+         |      || CAST(doc_id % 250 AS VARCHAR),
+         |    CASE WHEN doc_id % 5 = 0 THEN '192.168.'
+         |      || CAST(doc_id % 100 AS VARCHAR) || '.1' END,
+         |    CASE WHEN doc_id % 4 = 0 THEN '555-'
+         |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END
+         |  ) AS t FROM documents
+         |), red1 AS (
+         |  SELECT doc_id, t,
+         |    regexp_replace(t, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g') AS r1
+         |  FROM dirty
+         |), red2 AS (
+         |  SELECT doc_id, t, r1,
+         |    regexp_replace(r1, '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g') AS r2
+         |  FROM red1
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${TextAnalysis.EmailPattern}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(r1, '${TextAnalysis.Ipv4Pattern}')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(r2, '${TextAnalysis.PhonePattern}')) AS BIGINT) AS n_phones,
+         |  CAST(length(regexp_replace(r2, '${TextAnalysis.PhonePattern}', '<PHONE>', 'g')) AS BIGINT) AS red_len,
+         |  ${Hashing.sqlH60(s"regexp_replace(r2, '${TextAnalysis.PhonePattern}', '<PHONE>', 'g')")} AS red_hash
+         |FROM red2""".stripMargin) { (s, dir) =>
+      val id = col("doc_id")
+      def n(c: Column) = c.cast("string")
+      val dirty = t(s, dir, "documents").select(id, concat_ws(" ", col("text"),
+        when(id % 3 =!= 0,
+          concat(lit("user"), n(id), lit("@mail"), n(id % 7), lit(".net"))),
+        concat(lit("10."), n(id % 256), lit(".0."), n(id % 250)),
+        when(id % 5 === 0, concat(lit("192.168."), n(id % 100), lit(".1"))),
+        when(id % 4 === 0, concat(lit("555-"), lpad(n(id % 1000), 3, "0"),
+          lit("-"), lpad(n(id % 10000), 4, "0")))).as("text"))
+      TextAnalysis.piiScrub(dirty)
+    },
+
+    // ---- semantic dedup (SemDeDup): coarse-cluster the embedding
+    // corpus, drop vectors with a lower-id clustermate at cosine ≥ τ.
+    // Oracle mode feeds the deterministic low-id pivot table; the
+    // production swap-in is the k-means quantizer (recall-harness
+    // territory, like p09/p18).
+    QueryDef(
+      "p34_semdedup",
+      s"""WITH piv AS (
+         |  SELECT vec_id AS cluster, embedding AS rep FROM embeddings
+         |  WHERE vec_id < $SEM_PIVOTS
+         |), asg AS (
+         |  SELECT vec_id, cluster, embedding FROM (
+         |    SELECT e.vec_id, p.cluster, e.embedding,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlMicroCos("e.embedding", "p.rep")} DESC, p.cluster) AS rn
+         |    FROM embeddings e CROSS JOIN piv p
+         |  ) WHERE rn = 1
+         |), drp AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ${sqlMicroCos("a.embedding", "b.embedding")} >= $SEM_T
+         |)
+         |SELECT a.vec_id AS vec_id, a.cluster AS cluster,
+         |  d.vec_id IS NULL AS kept
+         |FROM asg a LEFT JOIN drp d ON a.vec_id = d.vec_id""".stripMargin) {
+      (s, dir) =>
+        val emb = t(s, dir, "embeddings")
+        Ann.semDedup(emb, Ann.lowIdPivots(emb, SEM_PIVOTS), SEM_T)
+    },
+
+    // ---- DSIR-style importance weighting: hashed-token bucket
+    // histograms of a trusted target slice vs the raw rest, exact
+    // integer micro-ratio weights, above-global-ratio selection.
+    QueryDef(
+      "p35_dsir_weights",
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    source IN (${DSIR_TARGET.map(v => s"'$v'").mkString(", ")}) AS tgt,
+         |    unnest(string_split(lower(text), ' ')) AS w
+         |  FROM documents
+         |), bkt AS (
+         |  SELECT doc_id, tgt, ${Hashing.sqlH60("w")} % $DSIR_BUCKETS AS b FROM toks
+         |), cnt AS (
+         |  SELECT b,
+         |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tgt_n,
+         |    CAST(sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT) AS raw_n
+         |  FROM bkt GROUP BY b
+         |), wts AS (
+         |  SELECT b, CAST((1000000 * (tgt_n + 1)) // (raw_n + 1) AS BIGINT) AS w_micro
+         |  FROM cnt
+         |), cut AS (
+         |  SELECT CAST((1000000 * (sum(tgt_n) + 1)) // (sum(raw_n) + 1) AS BIGINT)
+         |    AS cut_micro FROM cnt
+         |), sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(w_micro) AS BIGINT) AS score_micro
+         |  FROM bkt JOIN wts USING (b) GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_tokens, score_micro,
+         |  CAST(score_micro // n_tokens AS BIGINT) AS per_tok_micro,
+         |  (score_micro // n_tokens) >= cut_micro AS selected
+         |FROM sc CROSS JOIN cut""".stripMargin) { (s, dir) =>
+      Curation.importanceWeights(
+        t(s, dir, "documents"),
+        col("source").isInCollection(DSIR_TARGET), DSIR_BUCKETS)
     }
   )
 

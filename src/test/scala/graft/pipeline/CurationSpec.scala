@@ -80,4 +80,23 @@ class CurationSpec extends SparkSpec {
     assert(got(Long.MinValue / 2) == ((0L, 0L)))
     assert(got(Long.MaxValue / 2) == ((3L, 0L)))
   }
+
+  test("importance weights: exact integer ratios, above-global-cut select") {
+    import spark.implicits._
+    // Two words in distinct hash buckets (guarded below): "ml" is
+    // target-heavy, "web" raw-only.
+    assert(Hashing.h60("ml") % 1024 != Hashing.h60("web") % 1024)
+    val docs = Seq(
+      (1L, "ml ml"), (2L, "web web"), (3L, "ml web")).toDF("doc_id", "text")
+    val got = Curation.importanceWeights(docs, col("doc_id") === 1L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("score_micro"),
+          r.getAs[Long]("per_tok_micro"), r.getAs[Boolean]("selected"))).toMap
+    // ml bucket: tgt 2, raw 1 → w = 3e6 div 2 = 1_500_000.
+    // web bucket: tgt 0, raw 3 → w = 1e6 div 4 = 250_000.
+    // global cut = (1e6 * 3) div 5 = 600_000.
+    assert(got(1L) == ((2L, 3000000L, 1500000L, true)))
+    assert(got(2L) == ((2L, 500000L, 250000L, false)))
+    assert(got(3L) == ((2L, 1750000L, 875000L, true)))
+  }
 }

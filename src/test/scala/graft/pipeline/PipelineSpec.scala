@@ -286,4 +286,43 @@ class PipelineSpec extends SparkSpec {
     val fromScala = Seq("abc", "1", "hello world").map(Hashing.h60)
     assert(fromExpr.toSeq == fromScala)
   }
+
+  test("pii scrub: ordered redaction, categories never double-count") {
+    val d = docs(
+      (1L, "mail a.b@x10.org then ip 10.0.0.1 then tel 555-123-4567"),
+      (2L, "no pii here"),
+      (3L, "host-embedded ip me@10.1.2.3.com is one email zero ips"))
+    val got = TextAnalysis.piiScrub(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_emails"), r.getAs[Long]("n_ipv4"),
+          r.getAs[Long]("n_phones"))).toMap
+    assert(got(1L) == ((1L, 1L, 1L)))
+    assert(got(2L) == ((0L, 0L, 0L)))
+    // The IPv4-shaped span inside the email host is consumed by the
+    // email redaction first — counted once, as an email.
+    assert(got(3L) == ((1L, 0L, 0L)))
+    val red = d.select(col("doc_id"),
+      TextAnalysis.piiRedact(col("text")).as("r")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("r")).toMap
+    assert(red(1L) == "mail <EMAIL> then ip <IP> then tel <PHONE>")
+    assert(red(2L) == "no pii here")
+    assert(red(3L) == "host-embedded ip <EMAIL> is one email zero ips")
+  }
+
+  test("semdedup: within-cluster near-dups drop, keep-lowest-id") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), // pivot 0
+      (1L, Array(0.0f, 1.0f)), // pivot 1
+      (2L, Array(1.0f, 0.01f)), // cluster 0, ~dup of 0
+      (3L, Array(1.0f, 0.02f)), // cluster 0, ~dup of 0 and 2
+      (4L, Array(0.6f, 0.8f)) // cluster 1, distinct from pivot 1
+    ).toDF("vec_id", "embedding")
+    val got = Ann.semDedup(emb, Ann.lowIdPivots(emb, 2), 990000L).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Boolean]("kept"))).toMap
+    assert(got == Map(
+      0L -> ((0L, true)), 1L -> ((1L, true)),
+      2L -> ((0L, false)), 3L -> ((0L, false)), 4L -> ((1L, true))))
+  }
 }

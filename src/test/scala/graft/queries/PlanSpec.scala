@@ -43,10 +43,17 @@ class PlanSpec extends SparkSpec {
 
   test("no cartesian products anywhere in the dedup/ANN/graph hot paths") {
     for (name <- Seq("p04_jaccard_pairs", "p05_minhash_pairs",
-        "p11_embedding_dedup", "p19_contamination", "g08_components")) {
+        "p11_embedding_dedup", "p19_contamination", "g08_components",
+        "p34_semdedup", "p35_dsir_weights")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name grew a cross product:\n$p")
     }
+  }
+
+  test("p35: the bucket weight and cut tables broadcast") {
+    val p = planOf("p35_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), s"weight table not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cut join degraded:\n$p")
   }
 
   test("p18: probe assignment broadcasts the representative table") {
