@@ -120,6 +120,101 @@ object Curation {
       .withColumn("bin", expr(s"start_offset div $budget"))
   }
 
+  /** Bloom-filter decontamination — the 100 TB scale path of
+    * [[contaminationScores]]. The benchmark's distinct hashed shingles
+    * are folded into a FIXED-SIZE bit array (`words` 63-bit BIGINT
+    * words; bit 63 stays unused so the DuckDB oracle's checked `<<`
+    * never overflows), and every corpus shingle is tested with `probes`
+    * double-hashed probes. Output: `(doc_id, n_sh, n_maybe, maybe_frac)`
+    * — `n_maybe >= ` the exact `n_hits` of [[contaminationScores]]
+    * (no false negatives, a guaranteed-safe over-flag; the FP rate is
+    * `(bits_set/m)^probes`, sized by `words`).
+    *
+    * Why it exists: the exact semi-join broadcasts the benchmark's
+    * distinct-shingle SET, which for a large eval registry (or a
+    * "never train on these documents" blocklist of billions of
+    * shingles) outgrows broadcast limits. The bloom bitmap is
+    * `words × 8` bytes REGARDLESS of benchmark size — always
+    * broadcastable — and membership is integer bit math, no string
+    * set lookup.
+    *
+    * Probe `i` position: `(h + i*step) mod m` with
+    * `step = 1 + (h mod (m-1))` — double hashing; all arithmetic stays
+    * `< 2^60 + probes·m`, exact in BIGINT on both engines.
+    */
+  def bloomContamination(docs: DataFrame, benchmark: DataFrame, n: Int,
+      words: Int = 1024, probes: Int = 3,
+      mode: Hashing.HashMode = Hashing.HashMode.Oracle): DataFrame = {
+    require(words >= 1, s"words must be >= 1, got $words")
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    val m = words.toLong * 63L
+    def hs(d: DataFrame) = d.select(col("doc_id"),
+      Shingles.hashedWordShingles(col("text"), n, mode).as("hs"))
+    def positions(h: Column): Column = {
+      val step = lit(1L) + pmod(h, lit(m - 1L))
+      array((0 until probes).map(i => pmod(h + lit(i.toLong) * step, lit(m))): _*)
+    }
+    val bloom = hs(benchmark).select(explode(col("hs")).as("h")).distinct()
+      .select(explode(positions(col("h"))).as("pos"))
+      .select(expr("pos div 63").as("w"),
+        expr("shiftleft(1L, cast(pos % 63 as int))").as("bit"))
+      .groupBy("w").agg(expr("bit_or(bit)").as("bits"))
+    val docSh = hs(docs).select(col("doc_id"),
+      size(col("hs")).cast("long").as("n_sh"), explode(col("hs")).as("h"))
+    val probed = docSh
+      .select(col("doc_id"), col("n_sh"), col("h"),
+        explode(positions(col("h"))).as("pos"))
+      .select(col("doc_id"), col("n_sh"), col("h"),
+        expr("pos div 63").as("w"),
+        expr("shiftleft(1L, cast(pos % 63 as int))").as("bit"))
+    // A shingle is a bloom POSITIVE iff all `probes` probe bits are set
+    // (duplicate probe positions hit or miss identically, so the
+    // sum==probes test is exact even when the double-hash cycle repeats
+    // a position within one shingle).
+    val perShingle = probed.join(broadcast(bloom), Seq("w"), "left")
+      .withColumn("hit",
+        coalesce(col("bits").bitwiseAND(col("bit")) === col("bit"), lit(false)))
+      .groupBy("doc_id", "n_sh", "h")
+      .agg((sum(when(col("hit"), 1).otherwise(0)) === probes).as("maybe"))
+    perShingle.groupBy("doc_id", "n_sh")
+      .agg(sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"))
+      .select(col("doc_id"), col("n_sh"), col("n_maybe"),
+        (col("n_maybe").cast("double") / col("n_sh").cast("double"))
+          .as("maybe_frac"))
+  }
+
+  /** Mixture equalization sampling: down-sample every source to the size
+    * of the SMALLEST source with a deterministic hash-Bernoulli keep —
+    * the stateless way to re-balance a multi-source corpus mix (no
+    * window, no shuffle of the data itself, replayable on any subset).
+    *
+    * Per-source rate is `(1e6 * min_n) div n_source` micro-units; a doc
+    * is kept when `h60("mix:" || doc_id) mod 1e6 < rate_micro` — i.i.d.
+    * uniform in doc content terms but bit-deterministic, so the same doc
+    * keeps/drops identically across engines, runs, and partitionings.
+    *
+    * Output: `(doc_id, source, n_source, rate_micro, kept)` for every
+    * input doc (callers filter `kept`).
+    *
+    * Scale: the per-source count table is |sources| rows → broadcast;
+    * the keep decision is a narrow codegen'd map. Nothing about the
+    * corpus shuffles.
+    */
+  def equalizeMixture(docs: DataFrame, sourceCol: String = "source")
+      : DataFrame = {
+    val counts = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_source"))
+    val minN = counts.agg(min(col("n_source")).as("min_n"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col("source"), col("n_source"),
+        expr("(1000000 * min_n) div n_source").as("rate_micro"))
+    docs.select(col("doc_id"), col(sourceCol).as("source"))
+      .join(broadcast(rates), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_source"), col("rate_micro"),
+        (pmod(Hashing.h60(concat(lit("mix:"), col("doc_id").cast("string"))),
+          lit(1000000L)) < col("rate_micro")).as("kept"))
+  }
+
   /** DSIR-style importance weighting (arXiv:2302.03169 shape): score
     * every document by how much its hashed-token distribution looks like
     * a small trusted TARGET slice of the corpus versus the raw rest,

@@ -50,6 +50,10 @@ object PipelineQueries {
   private val SEM_T = 400000L
   private val DSIR_BUCKETS = 1024
   private val DSIR_TARGET = Seq("src0", "src1", "src2")
+  private val BLOOM_WORDS = 1024
+  private val BLOOM_PROBES = 3
+  private val BLOOM_M = BLOOM_WORDS.toLong * 63L
+  private val DUPNG_MIN = 2L
 
   /** DuckDB fragment: deterministic-codebook center component (s, c, i)
     * — must mirror [[Pq.deterministicCodebooks]] exactly.
@@ -1219,6 +1223,104 @@ object PipelineQueries {
       Curation.importanceWeights(
         t(s, dir, "documents"),
         col("source").isInCollection(DSIR_TARGET), DSIR_BUCKETS)
+    },
+
+    // ---- Bloom decontamination: the fixed-size-bitmap scale path of
+    // p19 (a benchmark shingle set too big to broadcast exactly still
+    // fits in BLOOM_WORDS 63-bit words). Same doc/bench split as p19,
+    // so the two are directly comparable: n_maybe >= p19's n_hits
+    // (no false negatives), asserted in CurationSpec.
+    QueryDef(
+      "p36_bloom_contamination",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM documents
+         |), sh AS (
+         |  SELECT doc_id, ${Shingles.sqlWordShingles("tokens", SHINGLE_N)} AS shingles
+         |  FROM toks
+         |), hsh AS (
+         |  SELECT doc_id, list_transform(shingles, s -> ${Hashing.sqlH60("s")}) AS hs
+         |  FROM sh
+         |), bh AS (
+         |  SELECT DISTINCT unnest(hs) AS h FROM hsh WHERE doc_id % 20 = 0
+         |), bpos AS (
+         |  SELECT (h + i * (1 + h % ${BLOOM_M - 1})) % $BLOOM_M AS pos
+         |  FROM bh CROSS JOIN (SELECT unnest(range(0, $BLOOM_PROBES)) AS i)
+         |), bloom AS (
+         |  SELECT pos // 63 AS w,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+         |  FROM bpos GROUP BY pos // 63
+         |), dsh AS (
+         |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_sh, unnest(hs) AS h
+         |  FROM hsh WHERE doc_id % 20 <> 0
+         |), dprobe AS (
+         |  SELECT doc_id, n_sh, h,
+         |    (h + i * (1 + h % ${BLOOM_M - 1})) % $BLOOM_M AS pos
+         |  FROM dsh CROSS JOIN (SELECT unnest(range(0, $BLOOM_PROBES)) AS i)
+         |), dhit AS (
+         |  SELECT doc_id, n_sh, h, coalesce(
+         |    (b.bits & (CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)))
+         |      = (CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)), FALSE) AS hit
+         |  FROM dprobe LEFT JOIN bloom b ON pos // 63 = b.w
+         |), per_sh AS (
+         |  SELECT doc_id, n_sh, h,
+         |    sum(CASE WHEN hit THEN 1 ELSE 0 END) = $BLOOM_PROBES AS maybe
+         |  FROM dhit GROUP BY doc_id, n_sh, h
+         |)
+         |SELECT doc_id, n_sh,
+         |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+         |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(n_sh AS DOUBLE) AS maybe_frac
+         |FROM per_sh GROUP BY doc_id, n_sh""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Curation.bloomContamination(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        SHINGLE_N, BLOOM_WORDS, BLOOM_PROBES)
+    },
+
+    // ---- duplicated-n-gram profile: per-doc fraction of shingles that
+    // recur in >= DUPNG_MIN distinct documents (the cross-document
+    // exact-substring-dedup signal of Lee et al. 2022).
+    QueryDef(
+      "p37_dup_ngrams",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM documents
+         |), sh AS (
+         |  SELECT doc_id, ${Shingles.sqlWordShingles("tokens", SHINGLE_N)} AS shingles
+         |  FROM toks
+         |), ex AS (
+         |  SELECT doc_id, unnest(list_transform(shingles, s -> ${Hashing.sqlH60("s")})) AS h
+         |  FROM sh
+         |), df AS (
+         |  SELECT h, count(*) AS ndocs FROM ex GROUP BY h
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+         |  CAST(sum(CASE WHEN ndocs >= $DUPNG_MIN THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(sum(CASE WHEN ndocs >= $DUPNG_MIN THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS dup_frac
+         |FROM ex JOIN df USING (h) GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.ngramDupProfile(t(s, dir, "documents"), SHINGLE_N, DUPNG_MIN)
+    },
+
+    // ---- mixture equalization: deterministic hash-Bernoulli
+    // down-sample of every source to the smallest source's size.
+    QueryDef(
+      "p38_mixture_sample",
+      s"""WITH cnt AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_source
+         |  FROM documents GROUP BY source
+         |), mn AS (
+         |  SELECT min(n_source) AS min_n FROM cnt
+         |), rates AS (
+         |  SELECT source, n_source,
+         |    CAST((1000000 * min_n) // n_source AS BIGINT) AS rate_micro
+         |  FROM cnt CROSS JOIN mn
+         |)
+         |SELECT d.doc_id, d.source, r.n_source, r.rate_micro,
+         |  (${Hashing.sqlH60("'mix:' || CAST(d.doc_id AS VARCHAR)")} % 1000000)
+         |    < r.rate_micro AS kept
+         |FROM documents d JOIN rates r USING (source)""".stripMargin) { (s, dir) =>
+      Curation.equalizeMixture(t(s, dir, "documents"))
     }
   )
 

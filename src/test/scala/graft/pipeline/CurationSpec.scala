@@ -81,6 +81,58 @@ class CurationSpec extends SparkSpec {
     assert(got(Long.MaxValue / 2) == ((3L, 0L)))
   }
 
+  test("bloom contamination: no false negatives vs the exact semi-join") {
+    // The contract that makes the bloom path SAFE to substitute for p19
+    // at scale: every exact hit is a bloom positive (over-flag only),
+    // checked per-doc on real table data with the p19 corpus/bench split.
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val exact = Curation.contaminationScores(corpus, bench, 3)
+      .select(col("doc_id"), col("n_sh"), col("n_hits"))
+    val bloom = Curation.bloomContamination(corpus, bench, 3)
+      .select(col("doc_id"), col("n_sh").as("b_n_sh"), col("n_maybe"))
+    val joined = exact.join(bloom, Seq("doc_id")).collect()
+    assert(joined.length == exact.count())
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_sh") == r.getAs[Long]("b_n_sh"))
+      assert(r.getAs[Long]("n_maybe") >= r.getAs[Long]("n_hits"),
+        s"false negative at doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("bloom contamination: planted duplicate fully flags, disjoint doc clean") {
+    import spark.implicits._
+    // doc 1 IS the benchmark text → every shingle a bloom positive; doc 2
+    // is disjoint — with only 2 benchmark shingles (≤6 of 64512 bits set)
+    // the deterministic probes land clean, so n_maybe is exactly 0.
+    val corpus = Seq((1L, "a b c d"), (2L, "p q r s")).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val got = Curation.bloomContamination(corpus, bench, 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_sh"), r.getAs[Long]("n_maybe"))).toMap
+    assert(got(1L) == ((2L, 2L)))
+    assert(got(2L) == ((2L, 0L)))
+  }
+
+  test("mixture equalization: integer rates, hash-deterministic keeps") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (5L, "b"), (6L, "b")).toDF("doc_id", "source")
+      .withColumn("text", lit("x"))
+    val got = Curation.equalizeMixture(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_source"), r.getAs[Long]("rate_micro"),
+          r.getAs[Boolean]("kept"))).toMap
+    // min source size 2: a → rate 2e6 div 4 = 500000; b → 1e6 (keep all).
+    (1L to 4L).foreach { id =>
+      val expect = Hashing.h60(s"mix:$id") % 1000000L < 500000L
+      assert(got(id) == ((4L, 500000L, expect)))
+    }
+    (5L to 6L).foreach(id => assert(got(id) == ((2L, 1000000L, true))))
+  }
+
   test("importance weights: exact integer ratios, above-global-cut select") {
     import spark.implicits._
     // Two words in distinct hash buckets (guarded below): "ml" is

@@ -41,6 +41,22 @@ class PipelineSpec extends SparkSpec {
     assert(r == Map(3L -> 2L, 9L -> 1L))
   }
 
+  test("ngram dup profile: cross-doc shingle recurrence, per-doc fraction") {
+    // 3-shingles: docs 1+2 share "a b c" only; doc 3 disjoint. A doc's
+    // own internal repetition (doc 4's distinct-by-construction shingles)
+    // never counts: recurrence is across DISTINCT documents.
+    val d = docs(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"), (4L, "r r r r r"))
+    val got = Dedup.ngramDupProfile(d, 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_sh"), r.getAs[Long]("n_dup"),
+          r.getAs[Double]("dup_frac")))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+    assert(got(4L) == ((1L, 0L, 0.0))) // "r r r" dedupes to one shingle, 1 doc
+  }
+
   test("segment dedup removes cross-doc spans, keeps per-doc order") {
     // 4-word spans; "x1 x2 x3 x4" is the shared boilerplate (docs 1+2),
     // everything else is unique. Doc 3 is ALL boilerplate; doc 4 shares

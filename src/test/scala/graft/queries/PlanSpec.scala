@@ -44,7 +44,8 @@ class PlanSpec extends SparkSpec {
   test("no cartesian products anywhere in the dedup/ANN/graph hot paths") {
     for (name <- Seq("p04_jaccard_pairs", "p05_minhash_pairs",
         "p11_embedding_dedup", "p19_contamination", "g08_components",
-        "p34_semdedup", "p35_dsir_weights")) {
+        "p34_semdedup", "p35_dsir_weights", "p36_bloom_contamination",
+        "p37_dup_ngrams", "p38_mixture_sample")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name grew a cross product:\n$p")
     }
@@ -54,6 +55,13 @@ class PlanSpec extends SparkSpec {
     val p = planOf("p35_dsir_weights")
     assert(p.contains("BroadcastHashJoin"), s"weight table not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"cut join degraded:\n$p")
+  }
+
+  test("p36: the bloom bitmap broadcasts; p38: the rate table broadcasts") {
+    val p36 = planOf("p36_bloom_contamination")
+    assert(p36.contains("BroadcastHashJoin"), s"bloom bitmap not broadcast:\n$p36")
+    val p38 = planOf("p38_mixture_sample")
+    assert(p38.contains("BroadcastHashJoin"), s"rate table not broadcast:\n$p38")
   }
 
   test("p18: probe assignment broadcasts the representative table") {
