@@ -281,4 +281,59 @@ object Sketches {
       .withColumn("est_inter",
         col("est_a") + col("est_b") - col("est_union"))
   }
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005): `depth × width`
+    * counter matrix as a relational table `(cm_row, pos, cnt)` — the
+    * frequency-sketch sibling of the HLL register relation. Probe `i`'s
+    * position for key hash `h` is `(h + i·step) mod width` with
+    * `step = 1 + (h mod (width-1))` — the same exact-integer
+    * double-hashing as [[Curation.bloomContamination]], replayable in
+    * DuckDB.
+    *
+    * Mergeable by construction: counters of a union = per-cell SUM of
+    * the parts' counters (spec-pinned), so shard sketches combine
+    * without re-scanning — THE point at 100 TB: the sketch is
+    * `depth × width` rows regardless of corpus size, a broadcastable
+    * standing summary that answers any later frequency probe without
+    * touching the data again.
+    */
+  def countMinSketch(df: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 2048,
+      mode: Hashing.HashMode = Hashing.HashMode.Oracle): DataFrame = {
+    require(depth >= 1 && width >= 2,
+      s"need depth >= 1, width >= 2, got $depth x $width")
+    val rows = df.select(mode(col(keyCol)).as("h"))
+      .select(col("h"), explode(array((0 until depth).map(lit): _*)).as("cm_row"))
+      .select(col("cm_row"),
+        pmod(col("h") + col("cm_row") * (lit(1L) + pmod(col("h"), lit(width - 1L))),
+          lit(width.toLong)).as("pos"))
+    rows.groupBy(col("cm_row"), col("pos")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[countMinSketch]]: for each
+    * distinct value of `keyCol` in `keys`, the minimum over the sketch's
+    * `depth` probed counters — `est_n >= ` the true occurrence count
+    * ALWAYS (counters only over-count on collision; spec-pinned).
+    *
+    * Output: `(<keyCol>, est_n)`.
+    *
+    * Scale: the sketch is `depth × width` rows → broadcast; each probe
+    * row carries only `(key, cm_row, pos)`.
+    */
+  def countMinLookup(sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 2048,
+      mode: Hashing.HashMode = Hashing.HashMode.Oracle): DataFrame = {
+    require(depth >= 1 && width >= 2,
+      s"need depth >= 1, width >= 2, got $depth x $width")
+    val probes = keys.select(col(keyCol)).distinct()
+      .withColumn("h", mode(col(keyCol)))
+      .select(col(keyCol), col("h"),
+        explode(array((0 until depth).map(lit): _*)).as("cm_row"))
+      .select(col(keyCol), col("cm_row"),
+        pmod(col("h") + col("cm_row") * (lit(1L) + pmod(col("h"), lit(width - 1L))),
+          lit(width.toLong)).as("pos"))
+    probes.join(broadcast(sketch), Seq("cm_row", "pos"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
+  }
 }

@@ -54,6 +54,13 @@ object PipelineQueries {
   private val BLOOM_PROBES = 3
   private val BLOOM_M = BLOOM_WORDS.toLong * 63L
   private val DUPNG_MIN = 2L
+  private val CM_DEPTH = 4
+  private val CM_WIDTH = 2048
+  private val CM_TOPK = 20
+  private val BM25_K = 10
+  private val BM25_QUERIES = Seq(
+    (0L, "join hash row"), (1L, "scan filter merge batch"),
+    (2L, "customer query table"), (3L, "stream window order data"))
 
   /** DuckDB fragment: deterministic-codebook center component (s, c, i)
     * — must mirror [[Pq.deterministicCodebooks]] exactly.
@@ -1321,6 +1328,100 @@ object PipelineQueries {
          |    < r.rate_micro AS kept
          |FROM documents d JOIN rates r USING (source)""".stripMargin) { (s, dir) =>
       Curation.equalizeMixture(t(s, dir, "documents"))
+    },
+
+    // ---- Count-Min frequency sketch: depth×width counter relation over
+    // the corpus token stream, probed for the exact top-CM_TOPK words —
+    // n_est >= n_true always (counters only over-count on collision).
+    QueryDef(
+      "p39_countmin_words",
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+         |), hh AS (
+         |  SELECT w, ${Hashing.sqlH60("w")} AS h FROM toks
+         |), cm AS (
+         |  SELECT cm_row, (h + cm_row * (1 + h % ${CM_WIDTH - 1})) % $CM_WIDTH AS pos,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM hh CROSS JOIN (SELECT unnest(range(0, $CM_DEPTH)) AS cm_row)
+         |  GROUP BY 1, 2
+         |), tru AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n_true FROM toks GROUP BY w
+         |  ORDER BY n_true DESC, w LIMIT $CM_TOPK
+         |), probe AS (
+         |  SELECT t.w, t.n_true, r.cm_row,
+         |    (${Hashing.sqlH60("t.w")}
+         |      + r.cm_row * (1 + ${Hashing.sqlH60("t.w")} % ${CM_WIDTH - 1}))
+         |      % $CM_WIDTH AS pos
+         |  FROM tru t CROSS JOIN (SELECT unnest(range(0, $CM_DEPTH)) AS cm_row) r
+         |)
+         |SELECT p.w AS word, p.n_true,
+         |  CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS n_est
+         |FROM probe p LEFT JOIN cm c ON p.cm_row = c.cm_row AND p.pos = c.pos
+         |GROUP BY p.w, p.n_true""".stripMargin) { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      val sketch = Sketches.countMinSketch(toks, "w", CM_DEPTH, CM_WIDTH)
+      val tru = toks.groupBy("w").agg(count(lit(1)).as("n_true"))
+        .orderBy(col("n_true").desc, col("w")).limit(CM_TOPK)
+      Sketches.countMinLookup(sketch, tru.select("w"), "w", CM_DEPTH, CM_WIDTH)
+        .join(tru, Seq("w"))
+        .select(col("w").as("word"), col("n_true"), col("est_n").as("n_est"))
+    },
+
+    // ---- BM25 top-k retrieval over fixed literal queries; integer
+    // micro-nat IDF, term scores floored BEFORE the per-doc sum.
+    QueryDef(
+      "p40_bm25",
+      s"""WITH q AS (
+         |  SELECT * FROM (VALUES ${BM25_QUERIES.map { case (i, txt) =>
+             s"(CAST($i AS BIGINT), '$txt')" }.mkString(", ")})
+         |    AS t(query_id, qtext)
+         |), qt AS (
+         |  SELECT query_id,
+         |    unnest(list_distinct(string_split(lower(qtext), ' '))) AS word
+         |  FROM q
+         |), toks AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks GROUP BY doc_id, word
+         |), dl AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+         |), dfq AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS df
+         |  FROM tf JOIN (SELECT DISTINCT word FROM qt) USING (word)
+         |  GROUP BY word
+         |), stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS t_tokens
+         |  FROM documents
+         |), scored AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |    CAST(floor(
+         |      floor(ln((2.0 * s.n_docs + 2.0) / (2.0 * dfq.df + 1.0)) * 1000000.0)
+         |      * ((tf.tf * (CAST(2200 AS DOUBLE) / 1000.0)) /
+         |         (tf.tf + (CAST(1200 AS DOUBLE) / 1000.0) *
+         |           ((CAST(250 AS DOUBLE) / 1000.0)
+         |             + (CAST(750 AS DOUBLE) / 1000.0) *
+         |               (CAST(dl.dl AS DOUBLE) *
+         |                 (CAST(s.n_docs AS DOUBLE) / CAST(s.t_tokens AS DOUBLE))))))
+         |    ) AS BIGINT) AS term_score
+         |  FROM tf JOIN qt USING (word) JOIN dfq USING (word)
+         |    JOIN dl USING (doc_id) CROSS JOIN stats s
+         |), agg AS (
+         |  SELECT query_id, doc_id, CAST(sum(term_score) AS BIGINT) AS score_micro
+         |  FROM scored GROUP BY query_id, doc_id
+         |)
+         |SELECT query_id, doc_id, score_micro,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS BIGINT)
+         |    AS rank
+         |FROM agg
+         |QUALIFY rank <= $BM25_K""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Retrieval.bm25TopK(t(s, dir, "documents"),
+        BM25_QUERIES.toDF("query_id", "qtext"), BM25_K)
     }
   )
 

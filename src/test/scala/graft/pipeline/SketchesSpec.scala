@@ -81,6 +81,50 @@ class SketchesSpec extends SparkSpec {
     assert(eu == direct)
   }
 
+  test("count-min: estimate never under-counts, exact without collisions") {
+    import spark.implicits._
+    // 9 occurrences over 3 keys; width 2048 with 3 keys ≈ no collisions,
+    // so estimates are EXACT here; the >= guarantee is separate below.
+    val items = Seq("a", "a", "a", "b", "b", "c", "a", "c", "c").toDF("k")
+    val sk = Sketches.countMinSketch(items, "k")
+    val est = Sketches.countMinLookup(sk, Seq("a", "b", "c", "zz").toDF("k"), "k")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("est_n")).toMap
+    assert(est("a") == 4L && est("b") == 2L && est("c") == 3L)
+    assert(est("zz") == 0L) // absent key, empty cells → 0, never NULL
+    // Total counter mass per row equals the stream length.
+    val perRow = sk.groupBy("cm_row").agg(sum("cnt").as("s"))
+      .collect().map(_.getAs[Long]("s"))
+    assert(perRow.length == 4 && perRow.forall(_ == 9L))
+  }
+
+  test("count-min: over-count-only guarantee on a colliding sketch") {
+    import spark.implicits._
+    // Tiny width FORCES collisions: every estimate must still be >= the
+    // true count for every key in the stream.
+    val words = (1 to 300).map(i => s"w${i % 37}").toDF("k")
+    val truth = words.groupBy("k").agg(count(lit(1)).as("n_true"))
+    val sk = Sketches.countMinSketch(words, "k", depth = 3, width = 16)
+    val joined = Sketches.countMinLookup(sk, truth.select("k"), "k",
+        depth = 3, width = 16)
+      .join(truth, Seq("k")).collect()
+    assert(joined.length == 37)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("est_n") >= r.getAs[Long]("n_true"),
+        s"under-count at ${r.getString(0)}")
+    }
+  }
+
+  test("count-min: merged shard sketches equal the whole-stream sketch") {
+    import spark.implicits._
+    val all = (1 to 200).map(i => s"k${i % 23}").toDF("k")
+    val s1 = Sketches.countMinSketch(all.filter(expr("hash(k) % 2 = 0")), "k")
+    val s2 = Sketches.countMinSketch(all.filter(expr("hash(k) % 2 != 0")), "k")
+    val merged = s1.union(s2).groupBy("cm_row", "pos")
+      .agg(sum("cnt").as("cnt"))
+    val whole = Sketches.countMinSketch(all, "k")
+    assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
+  }
+
   test("quantile sketch: exact nearest-rank when the group fits in k") {
     import spark.implicits._
     // 100 rows, values 1..100, k=200 => the sample IS the group and the

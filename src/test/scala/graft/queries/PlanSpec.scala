@@ -45,7 +45,8 @@ class PlanSpec extends SparkSpec {
     for (name <- Seq("p04_jaccard_pairs", "p05_minhash_pairs",
         "p11_embedding_dedup", "p19_contamination", "g08_components",
         "p34_semdedup", "p35_dsir_weights", "p36_bloom_contamination",
-        "p37_dup_ngrams", "p38_mixture_sample")) {
+        "p37_dup_ngrams", "p38_mixture_sample", "p39_countmin_words",
+        "p40_bm25")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name grew a cross product:\n$p")
     }
@@ -55,6 +56,12 @@ class PlanSpec extends SparkSpec {
     val p = planOf("p35_dsir_weights")
     assert(p.contains("BroadcastHashJoin"), s"weight table not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"cut join degraded:\n$p")
+  }
+
+  test("p40: query terms broadcast into the postings; top-k as WindowGroupLimit") {
+    val p = planOf("p40_bm25")
+    assert(p.contains("BroadcastHashJoin"), s"query-term join not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"per-query top-k is a full sort:\n$p")
   }
 
   test("p36: the bloom bitmap broadcasts; p38: the rate table broadcasts") {
