@@ -291,6 +291,38 @@ object Relational {
           coalesce(col("sk"), col("ck")).as("nationkey"),
           coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
           coalesce(col("n_customers"), lit(0L)).as("n_customers"))
+    },
+
+    // ---- as-of (temporal) join: each purchase matched to the user's
+    // most recent at-or-before view. Spark has no ASOF operator; the
+    // engine's union+window formulation ([[graft.operators.AsOfJoin]])
+    // costs one key-partition + sort — vs DuckDB's native ASOF JOIN as
+    // the oracle. Timestamps surface as epoch micros (BIGINT) so the
+    // comparator never sees engine-specific timestamp physical types.
+    QueryDef(
+      "q16_asof_join",
+      """WITH l AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), r AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'view'
+        |)
+        |SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+        |  epoch_us(r.ts) AS asof_ts_us, r.value AS asof_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsOfJoin
+        .asOf(purchases, views, Seq("user_id"), "ts", Seq("ts", "value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("asof_ts")).as("asof_ts_us"),
+          col("asof_value"))
     }
   )
 }

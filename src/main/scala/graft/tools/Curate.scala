@@ -15,7 +15,8 @@ import graft.pipeline.{Curation, Dedup, TextAnalysis}
   *
   * ```
   * runMain graft.tools.Curate <docs.parquet> <outDir> \
-  *     [benchmark.parquet|-] [jaccardT=0.8] [maxContam=0.2] [packBudget=512]
+  *     [benchmark.parquet|-] [jaccardT=0.8] [maxContam=0.2] [packBudget=512] \
+  *     [decontam=exact|bloom]
   * ```
   *
   * `docs.parquet` needs `(doc_id: long, text: string, source: string)`.
@@ -43,7 +44,9 @@ object Curate {
   def run(spark: SparkSession, docsPath: String, outDir: String,
       benchmarkPath: Option[String], jaccardT: Double = 0.8,
       maxContam: Double = 0.2, packBudget: Long = 512L,
-      shingleN: Int = 3): Map[String, Double] = {
+      shingleN: Int = 3, decontamMode: String = "exact"): Map[String, Double] = {
+    require(decontamMode == "exact" || decontamMode == "bloom",
+      s"decontam mode must be 'exact' or 'bloom', got '$decontamMode'")
     val stats = scala.collection.mutable.LinkedHashMap[String, Double]()
     def stage(name: String)(f: => DataFrame): DataFrame = {
       val ((df, n), sec) = timed {
@@ -81,9 +84,18 @@ object Curate {
       case None => near
       case Some(bp) => stage("decontam") {
         val bench = spark.read.parquet(bp).select("doc_id", "text")
-        val scores = Curation.contaminationScores(near, bench, shingleN)
-        near.join(scores.filter(col("contamination") <= maxContam)
-          .select("doc_id"), Seq("doc_id"), "left_semi")
+        // "bloom" is the fixed-size-bitmap scale path for benchmark /
+        // blocklist shingle sets too big to broadcast exactly: it
+        // over-flags only (maybe_frac >= the exact contamination), so
+        // the kept set is a SUBSET of exact-mode's — the safe direction
+        // for decontamination (spec-pinned in CurateSpec).
+        val keep = decontamMode match {
+          case "bloom" => Curation.bloomContamination(near, bench, shingleN)
+            .filter(col("maybe_frac") <= maxContam)
+          case _ => Curation.contaminationScores(near, bench, shingleN)
+            .filter(col("contamination") <= maxContam)
+        }
+        near.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
       }
     }
 
@@ -108,6 +120,7 @@ object Curate {
     val jaccardT = args.lift(3).map(_.toDouble).getOrElse(0.8)
     val maxContam = args.lift(4).map(_.toDouble).getOrElse(0.2)
     val packBudget = args.lift(5).map(_.toLong).getOrElse(512L)
+    val decontamMode = args.lift(6).getOrElse("exact")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -119,7 +132,7 @@ object Curate {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val stats = run(spark, docsPath, outDir, benchmark, jaccardT,
-      maxContam, packBudget)
+      maxContam, packBudget, decontamMode = decontamMode)
     val fields = stats.map { case (k, v) =>
       val vs = if (k.endsWith("_docs")) v.toLong.toString
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -58,6 +58,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cut join degraded:\n$p")
   }
 
+  test("q16: as-of join plans as union+window — no join operator at all") {
+    // The operator's whole point: a range-condition join would fan out
+    // O(pairs); the union+window shape has ONE exchange on the key and
+    // no join node anywhere in the executed plan.
+    val p = planOf("q16_asof_join")
+    assert(p.contains("Window"), s"carry window missing:\n$p")
+    assert(!p.contains("Join"), s"as-of degraded to a join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"as-of grew a cross product:\n$p")
+  }
+
   test("p40: query terms broadcast into the postings; top-k as WindowGroupLimit") {
     val p = planOf("p40_bm25")
     assert(p.contains("BroadcastHashJoin"), s"query-term join not broadcast:\n$p")
