@@ -323,6 +323,43 @@ object Relational {
           unix_micros(col("ts")).as("ts_us"),
           unix_micros(col("asof_ts")).as("asof_ts_us"),
           col("asof_value"))
+    },
+
+    // ---- range (interval) join: clicks inside the 6 h window before
+    // each purchase, per user. The engine's bucketized formulation
+    // ([[graft.operators.RangeJoin]]) turns the range predicate into an
+    // equi-join on (user, time-bin) + residual filter — vs DuckDB's
+    // native range join as the oracle. bucketLen = the window length, so
+    // interval fan-out is exactly 2 bins.
+    QueryDef(
+      "q17_range_join",
+      """WITH p AS (
+        |  SELECT event_id AS p_event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS end_us,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) - 21600000000 AS start_us
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT event_id AS c_event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT p.p_event_id, c.c_event_id, c.user_id, c.ts_us
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.ts_us >= p.start_us AND c.ts_us <= p.end_us""".stripMargin) {
+      (s, dir) =>
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"), col("user_id"),
+            unix_micros(col("ts")).as("end_us"))
+          .withColumn("start_us", col("end_us") - lit(21600000000L))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"))
+        graft.operators.RangeJoin.pointsInIntervals(
+            clicks, purchases, Seq("user_id"),
+            "ts_us", "start_us", "end_us", bucketLen = 21600000000L)
+          .select(col("p_event_id"), col("c_event_id"), col("user_id"),
+            col("ts_us"))
     }
   )
 }

@@ -68,6 +68,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"as-of grew a cross product:\n$p")
   }
 
+  test("q17: range join plans as an equi hash join on (key, bin)") {
+    // The bucketization's point: the range predicate must NOT be the
+    // join condition (that plans as a per-key cross product / nested
+    // loop); it is a residual filter after a hash join.
+    val p = planOf("q17_range_join")
+    assert(p.contains("HashJoin"), s"range join not an equi hash join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"range join degraded to a product:\n$p")
+  }
+
   test("p40: query terms broadcast into the postings; top-k as WindowGroupLimit") {
     val p = planOf("p40_bm25")
     assert(p.contains("BroadcastHashJoin"), s"query-term join not broadcast:\n$p")
