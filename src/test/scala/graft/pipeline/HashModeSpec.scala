@@ -71,4 +71,46 @@ class HashModeSpec extends SparkSpec {
       assert(recall >= 0.85, s"recall $recall, missed ${truth -- found}")
     }
   }
+
+  test("bloom decontam: no-false-negative contract holds in fast mode too") {
+    // The Bloom guarantee (n_maybe >= exact n_hits per doc) must be a
+    // property of the CONSTRUCTION, not of which hash family fills the
+    // bitmap — both modes hash shingles consistently on both sides.
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    for (mode <- Seq[Hashing.HashMode](
+        Hashing.HashMode.Oracle, Hashing.HashMode.Fast)) {
+      val exact = Curation.contaminationScores(corpus, bench, 3, mode)
+        .select(col("doc_id"), col("n_hits"))
+      val bloom = Curation.bloomContamination(corpus, bench, 3, mode = mode)
+        .select(col("doc_id"), col("n_maybe"))
+      val viol = exact.join(bloom, Seq("doc_id"))
+        .filter(col("n_maybe") < col("n_hits")).count()
+      assert(viol == 0L, s"false negatives under $mode")
+    }
+  }
+
+  test("dup-ngram profile: identical per-doc profile under both hashes") {
+    // Cross-doc shingle recurrence is hash-independent absent collisions
+    // (the hash is only an identity for the shingle string).
+    def prof(mode: Hashing.HashMode) =
+      Dedup.ngramDupProfile(docs, 3, mode = mode)
+        .select(col("doc_id"), col("n_sh"), col("n_dup"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(prof(Hashing.HashMode.Oracle) == prof(Hashing.HashMode.Fast))
+  }
+
+  test("count-min: over-count-only guarantee holds in fast mode too") {
+    import spark.implicits._
+    val toks = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val truth = toks.groupBy("w").agg(count(lit(1)).as("n_true"))
+    for (mode <- Seq[Hashing.HashMode](
+        Hashing.HashMode.Oracle, Hashing.HashMode.Fast)) {
+      val sk = Sketches.countMinSketch(toks, "w", mode = mode)
+      val viol = Sketches.countMinLookup(sk, truth.select("w"), "w", mode = mode)
+        .join(truth, Seq("w"))
+        .filter(col("est_n") < col("n_true")).count()
+      assert(viol == 0L, s"under-count under $mode")
+    }
+  }
 }
