@@ -125,6 +125,42 @@ class AnnRecallSpec extends SparkSpec {
     corpus.unpersist(); brute.unpersist()
   }
 
+  test("semdedup production path: kmeans pivots collapse planted duplicates") {
+    // p34's oracle keeps deterministic low-id pivots; the PRODUCTION
+    // swap-in is the k-means quantizer (BASELINE round-10 caveat). This
+    // measures that path on a corpus with PLANTED duplication: 40 tight
+    // clusters x 10 vectors, within-cluster cosine >> 0.8, cross-cluster
+    // ~0 at dim 64. Effective semantic dedup must keep >= 1 per planted
+    // cluster (cross-cluster sims never reach the threshold) and collapse
+    // most of the 10x within-cluster duplication; a split cluster keeps
+    // at most one vector per k-means cell, bounding the leftover.
+    val corpus = graft.tools.PlantedCorpus
+      .generate(spark, nClusters = 40, perCluster = 10, dim = 64,
+        epsMilli = 50)
+      .select(col("vec_id"), col("cluster").as("planted"), col("embedding"))
+      .cache()
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+    val (_, reps) = Ann.kmeansQuantizer(vecs, numCells = 40)
+    val result = Ann.semDedup(vecs,
+      reps.select(col("cell").as("cluster"), col("rep")), 800000L)
+    val kept = result.filter(col("kept")).count()
+    info(s"semdedup kmeans path: kept $kept of 400 (40 planted clusters)")
+    assert(kept >= 40L, s"dropped below one per planted cluster: $kept")
+    assert(kept <= 64L, s"dedup too weak — kept $kept of 400 planted 10x dups")
+    // Safety: a kept-false vector must share its planted cluster with a
+    // kept lower-id vector (nothing outside the planted near-dup set is
+    // ever dropped — cross-cluster cosines sit far below the threshold).
+    val badDrop = result.filter(!col("kept"))
+      .join(corpus.select(col("vec_id"), col("planted")), Seq("vec_id"))
+      .join(result.filter(col("kept"))
+        .join(corpus.select(col("vec_id"), col("planted")), Seq("vec_id"))
+        .select(col("planted"), col("vec_id").as("keeper")),
+        Seq("planted"), "left_anti")
+      .count()
+    assert(badDrop == 0L, s"$badDrop vectors dropped with no same-planted keeper")
+    corpus.unpersist()
+  }
+
   test("kmeans quantizer tolerates an all-zero embedding") {
     import spark.implicits._
     // norm 0 → the normalized copy must be the zero vector, not null
