@@ -54,9 +54,9 @@ object PipelineQueries {
   private val BLOOM_PROBES = 3
   private val BLOOM_M = BLOOM_WORDS.toLong * 63L
   private val DUPNG_MIN = 2L
-  private val CM_DEPTH = 4
-  private val CM_WIDTH = 2048
-  private val CM_TOPK = 20
+  private[queries] val CM_DEPTH = 4
+  private[queries] val CM_WIDTH = 2048
+  private[queries] val CM_TOPK = 20
   private val BM25_K = 10
   private val BM25_QUERIES = Seq(
     (0L, "join hash row"), (1L, "scan filter merge batch"),
@@ -1335,29 +1335,7 @@ object PipelineQueries {
     // n_est >= n_true always (counters only over-count on collision).
     QueryDef(
       "p39_countmin_words",
-      s"""WITH toks AS (
-         |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
-         |), hh AS (
-         |  SELECT w, ${Hashing.sqlH60("w")} AS h FROM toks
-         |), cm AS (
-         |  SELECT cm_row, (h + cm_row * (1 + h % ${CM_WIDTH - 1})) % $CM_WIDTH AS pos,
-         |    CAST(count(*) AS BIGINT) AS cnt
-         |  FROM hh CROSS JOIN (SELECT unnest(range(0, $CM_DEPTH)) AS cm_row)
-         |  GROUP BY 1, 2
-         |), tru AS (
-         |  SELECT w, CAST(count(*) AS BIGINT) AS n_true FROM toks GROUP BY w
-         |  ORDER BY n_true DESC, w LIMIT $CM_TOPK
-         |), probe AS (
-         |  SELECT t.w, t.n_true, r.cm_row,
-         |    (${Hashing.sqlH60("t.w")}
-         |      + r.cm_row * (1 + ${Hashing.sqlH60("t.w")} % ${CM_WIDTH - 1}))
-         |      % $CM_WIDTH AS pos
-         |  FROM tru t CROSS JOIN (SELECT unnest(range(0, $CM_DEPTH)) AS cm_row) r
-         |)
-         |SELECT p.w AS word, p.n_true,
-         |  CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS n_est
-         |FROM probe p LEFT JOIN cm c ON p.cm_row = c.cm_row AND p.pos = c.pos
-         |GROUP BY p.w, p.n_true""".stripMargin) { (s, dir) =>
+      sqlCountMinTopK) { (s, dir) =>
       val toks = t(s, dir, "documents")
         .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
       val sketch = Sketches.countMinSketch(toks, "w", CM_DEPTH, CM_WIDTH)
@@ -1424,6 +1402,35 @@ object PipelineQueries {
         BM25_QUERIES.toDF("query_id", "qtext"), BM25_K)
     }
   )
+
+  /** DuckDB oracle for the Count-Min top-k word probe — shared verbatim
+    * by p39 (batch sketch) and s10 (streaming twin): the two engines'
+    * results are defined to be identical, so one oracle serves both.
+    */
+  private[queries] def sqlCountMinTopK: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+       |), hh AS (
+       |  SELECT w, ${Hashing.sqlH60("w")} AS h FROM toks
+       |), cm AS (
+       |  SELECT cm_row, (h + cm_row * (1 + h % ${CM_WIDTH - 1})) % $CM_WIDTH AS pos,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM hh CROSS JOIN (SELECT unnest(range(0, $CM_DEPTH)) AS cm_row)
+       |  GROUP BY 1, 2
+       |), tru AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n_true FROM toks GROUP BY w
+       |  ORDER BY n_true DESC, w LIMIT $CM_TOPK
+       |), probe AS (
+       |  SELECT t.w, t.n_true, r.cm_row,
+       |    (${Hashing.sqlH60("t.w")}
+       |      + r.cm_row * (1 + ${Hashing.sqlH60("t.w")} % ${CM_WIDTH - 1}))
+       |      % $CM_WIDTH AS pos
+       |  FROM tru t CROSS JOIN (SELECT unnest(range(0, $CM_DEPTH)) AS cm_row) r
+       |)
+       |SELECT p.w AS word, p.n_true,
+       |  CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS n_est
+       |FROM probe p LEFT JOIN cm c ON p.cm_row = c.cm_row AND p.pos = c.pos
+       |GROUP BY p.w, p.n_true""".stripMargin
 
   /** DuckDB fragment: HLL estimate (incl. linear-counting switch) over
     * a `(… rho …)` register relation — mirrors

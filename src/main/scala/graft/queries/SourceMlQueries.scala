@@ -399,6 +399,50 @@ object SourceMlQueries {
         .select(col("key").as("source"), col("n_rows"), col("est_distinct"))
     },
 
+    // ---- §2.10 + sketches: streaming Count-Min — counter addition is
+    // commutative/associative and the cell key space is bounded by
+    // depth × width, so the drained counters equal the batch sketch
+    // EXACTLY and the oracle is p39's own SQL verbatim. Probe math is
+    // precomputed batch-side (identical to Sketches.countMinSketch), so
+    // the stream exercises precisely the stateful counting.
+    QueryDef(
+      "s10_streaming_countmin",
+      PipelineQueries.sqlCountMinTopK) { (s, dir) =>
+      import graft.pipeline.{Hashing, Sketches}
+      val D = PipelineQueries.CM_DEPTH
+      val W = PipelineQueries.CM_WIDTH
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+      val base = scratch(dir, "s10")
+      toks.select(Hashing.h60(col("w")).as("h"))
+        .select(col("h"),
+          explode(array((0 until D).map(lit): _*)).as("cm_row"))
+        .select(col("cm_row"),
+          pmod(col("h") + col("cm_row") * (lit(1L) + pmod(col("h"), lit(W - 1L))),
+            lit(W.toLong)).as("pos"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/in")
+      val stream = s.readStream.schema("cm_row INT, pos BIGINT")
+        .parquet(s"$base/in")
+        .as[graft.streaming.StreamingOps.CellEvent](
+          org.apache.spark.sql.Encoders.product)
+      val counts = graft.streaming.StreamingOps.countMinStream(stream)
+      val q = counts.writeStream.format("memory").queryName("s10_cm")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // Counters are strictly increasing across emissions: max picks
+      // each cell's final (complete) count even over a split drain.
+      val sketch = s.table("s10_cm").groupBy(col("cm_row"), col("pos"))
+        .agg(max(col("cnt")).as("cnt"))
+      val tru = toks.groupBy("w").agg(count(lit(1)).as("n_true"))
+        .orderBy(col("n_true").desc, col("w")).limit(PipelineQueries.CM_TOPK)
+      Sketches.countMinLookup(sketch, tru.select("w"), "w", D, W)
+        .join(tru, Seq("w"))
+        .select(col("w").as("word"), col("n_true"), col("est_n").as("n_est"))
+    },
+
     // ---- M1-M4: StringIndexer (frequencyDesc, ties alphabetic, SPARK
     // docs) → OneHotEncoder(dropLast=false) → VectorAssembler. The active
     // one-hot indices of each part are fully determined by the per-feature

@@ -181,6 +181,37 @@ object StreamingOps {
       }
   }
 
+  /** One Count-Min probe of one item occurrence (positions precomputed
+    * upstream with the [[graft.pipeline.Sketches.countMinSketch]] probe
+    * math, so batch and streaming share the identical cell layout).
+    */
+  final case class CellEvent(cm_row: Int, pos: Long)
+
+  /** Live counter of one sketch cell. */
+  final case class CellCount(cm_row: Int, pos: Long, cnt: Long)
+
+  /** Streaming Count-Min: the frequency-sketch twin of
+    * [[approxDistinctStream]]. Keyed state is ONE long per touched
+    * (cm_row, pos) cell — the key space is bounded by depth × width
+    * regardless of stream length, and counter addition is
+    * commutative/associative, so the final drained counters equal the
+    * batch sketch of the same rows EXACTLY under any batch/partition
+    * interleaving (the same no-ordering-caveat argument as the register
+    * MAX sketch). Emits the running count per cell each trigger; the
+    * final (max) emission per cell is the complete sketch.
+    */
+  def countMinStream(cells: Dataset[CellEvent]): Dataset[CellCount] = {
+    import cells.sparkSession.implicits._
+    cells
+      .groupByKey(e => (e.cm_row, e.pos))
+      .mapGroupsWithState[Long, CellCount](GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), rows: Iterator[CellEvent], state: GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + rows.size
+          state.update(next)
+          CellCount(key._1, key._2, next)
+      }
+  }
+
   /** Write a streaming DataFrame to parquet with checkpointing — the
     * durable sink shape (`writeStream.format("parquet")` + checkpoint
     * location, append mode).

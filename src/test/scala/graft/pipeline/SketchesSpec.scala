@@ -288,6 +288,38 @@ class SketchesSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming count-min over any batch split equals the batch sketch") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    val d = (1 to 1500).map(i => s"w${i % 31}").toDF("k")
+    val batch = Sketches.countMinSketch(d, "k").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("cm-stream")
+    val depth = 4; val width = 2048L
+    d.select(Hashing.h60(col("k")).as("h"))
+      .select(col("h"),
+        explode(array((0 until depth).map(lit): _*)).as("cm_row"))
+      .select(col("cm_row"),
+        pmod(col("h") + col("cm_row") * (lit(1L) + pmod(col("h"), lit(width - 1L))),
+          lit(width)).as("pos"))
+      .repartition(4) // several files: counter ADDITION makes any split equal
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema("cm_row INT, pos BIGINT")
+      .parquet(s"$dir/in")
+      .as[StreamingOps.CellEvent]
+    val q = StreamingOps.countMinStream(stream)
+      .writeStream.format("memory").queryName("cm_stream_spec")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("cm_stream_spec")
+      .groupBy(col("cm_row"), col("pos")).agg(max(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == batch)
+  }
+
   test("groups sketch independently") {
     import spark.implicits._
     val d = ((1 to 1000).map(i => ("a", s"x$i")) ++
