@@ -461,6 +461,34 @@ object GraphQueries {
               when(col("st") === col("dt"), 1).otherwise(0) +
               when(col("ss") === col("ds"), 1).otherwise(0) + lit(1)).as("w"))
         PageRank.runWeighted(we, PR_ITERS)
+    },
+
+    // ---- triangle counting (extension): per-vertex triangle counts via
+    // degree-ordered wedge enumeration (O(m^1.5) bound, hub-immune).
+    // The oracle closes canonical src<dst edges directly — a DIFFERENT
+    // formulation finding the same triangle set, so the hash match is a
+    // cross-formulation differential, not a replay.
+    QueryDef(
+      "g12_triangles",
+      s"""WITH $EDGES,
+         |tri AS (
+         |  SELECT a.src AS u, a.dst AS v, b.dst AS w
+         |  FROM edges a
+         |  JOIN edges b ON a.dst = b.src
+         |  JOIN edges c ON c.src = a.src AND c.dst = b.dst
+         |), roles AS (
+         |  SELECT u AS id FROM tri
+         |  UNION ALL SELECT v FROM tri
+         |  UNION ALL SELECT w FROM tri
+         |), cnt AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM roles GROUP BY id
+         |)
+         |SELECT p.p_partkey AS id, COALESCE(cnt.n_tri, 0) AS n_tri
+         |FROM part p LEFT JOIN cnt ON cnt.id = p.p_partkey""".stripMargin) {
+      (s, dir) =>
+        Triangles.counts(
+          t(s, dir, "part").select(col("p_partkey").as("id")),
+          derivedEdges(s, dir))
     }
   )
 

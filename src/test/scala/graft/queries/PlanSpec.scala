@@ -46,7 +46,7 @@ class PlanSpec extends SparkSpec {
         "p11_embedding_dedup", "p19_contamination", "g08_components",
         "p34_semdedup", "p35_dsir_weights", "p36_bloom_contamination",
         "p37_dup_ngrams", "p38_mixture_sample", "p39_countmin_words",
-        "p40_bm25")) {
+        "p40_bm25", "g12_triangles")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name grew a cross product:\n$p")
     }
@@ -122,7 +122,7 @@ class PlanSpec extends SparkSpec {
         "p14_dup_groups", "g02_neighborhoods", "g03_r_metrics",
         "g04_betweenness", "g05_edge_weights", "g06_edges_to_delete",
         "g07_iteration_edges", "g08_components", "g09_community_filter",
-        "g10_pagerank", "g11_pagerank_weighted",
+        "g10_pagerank", "g11_pagerank_weighted", "g12_triangles",
         "p18_ann_ivf_probed", "p19_contamination",
         "p20_seq_packing", "p26_segment_dedup", "p27_unigram_lm",
         "p28_tfidf_keywords")) {
