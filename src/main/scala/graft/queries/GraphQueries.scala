@@ -40,6 +40,15 @@ object GraphQueries {
   private val PR_ITERS = 3
   private val PR_SCALE = 1000000000000L
 
+  /** k for the g13 k-core query (and its oracle): high enough that the
+    * peel cascades for many rounds on the co-purchase graph (median
+    * degree ~11), low enough that the core stays nonempty (k=12 empties
+    * it — measured on both sf0.01 and sf0.1). Declared BEFORE `queries`:
+    * the oracle SQL interpolates it at object init, and a forward
+    * reference would silently interpolate 0.
+    */
+  private val KCORE_K = 8
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -489,6 +498,36 @@ object GraphQueries {
         Triangles.counts(
           t(s, dir, "part").select(col("p_partkey").as("id")),
           derivedEdges(s, dir))
+    },
+
+    // ---- k-core decomposition (extension): the maximal subgraph where
+    // every vertex keeps degree >= k, by distributed iterative peeling
+    // (graph/KCore.scala). The oracle peels in a bounded recursive CTE
+    // whose state is the surviving SYMMETRIC edge set — in-core degrees
+    // fall out of window counts over a single self-reference, a
+    // different mechanism (fixed-depth unrolling vs converge-and-stop)
+    // over the same mathematical fixpoint; k=8 cascades for ~23 rounds
+    // on this graph before stabilizing, so the match exercises deep
+    // peeling, not a one-round filter. The CTE's 40-round cap clears the
+    // sf0.01 convergence depth with margin; the Spark side iterates to
+    // the measured fixed point and THROWS if 100 rounds don't reach it.
+    QueryDef(
+      "g13_kcore",
+      s"""WITH RECURSIVE $EDGES,
+         |peel(iter, src, dst) AS (
+         |  SELECT 0, src, dst FROM sym
+         |  UNION ALL
+         |  SELECT iter + 1, src, dst FROM (
+         |    SELECT iter, src, dst,
+         |      count(*) OVER (PARTITION BY iter, src) AS dsrc,
+         |      count(*) OVER (PARTITION BY iter, dst) AS ddst
+         |    FROM peel) x
+         |  WHERE iter < 40 AND dsrc >= $KCORE_K AND ddst >= $KCORE_K
+         |)
+         |SELECT src AS id, count(*) AS deg_in_core
+         |FROM peel WHERE iter = 40 GROUP BY src""".stripMargin) { (s, dir) =>
+      implicit val spark: SparkSession = s
+      KCore.run(derivedEdges(s, dir), KCORE_K)
     }
   )
 

@@ -360,6 +360,48 @@ object Relational {
             "ts_us", "start_us", "end_us", bucketLen = 21600000000L)
           .select(col("p_event_id"), col("c_event_id"), col("user_id"),
             col("ts_us"))
+    },
+
+    // ---- multi-level aggregate: ROLLUP over (returnflag, linestatus)
+    // computes detail rows, per-flag subtotals, and the grand total in
+    // ONE pass — Catalyst expands the grouping sets before the (single)
+    // shuffle and the partial aggregation stays map-side, so at 100 TB
+    // this costs the same one shuffle as the plain groupBy, not three
+    // passes. gid disambiguates genuine NULL group values from subtotal
+    // rows (both engines: grouping(a)*2 + grouping(b)).
+    QueryDef(
+      "q18_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+          col("sum_qty"), col("n"))
+    },
+
+    // ---- pivot: long-to-wide reshape (returnflag rows × linestatus
+    // columns). The pivot values are DECLARED (not discovered), so the
+    // plan is a single groupBy with per-column conditional aggregates —
+    // no extra distinct-values job, one shuffle, map-side partials; the
+    // oracle spells out the same thing with FILTER aggregates.
+    QueryDef(
+      "q19_pivot",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS F,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS O
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot(col("l_linestatus"), Seq("F", "O"))
+        .agg(dsum(col("l_quantity")))
     }
   )
 }

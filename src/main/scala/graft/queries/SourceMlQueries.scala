@@ -443,6 +443,53 @@ object SourceMlQueries {
         .select(col("w").as("word"), col("n_true"), col("est_n").as("n_est"))
     },
 
+    // ---- streaming extension: stream-stream interval join (the last
+    // first-class Structured Streaming surface — joins where BOTH sides
+    // are unbounded). Purchases join the same user's views in the hour
+    // before them; watermarks on both sides + the time-range predicate
+    // let Spark expire join state, so the operator is constant-state on
+    // an unbounded stream. A bounded AvailableNow drain of an inner
+    // join is exactly the batch join of the same rows, so the DuckDB
+    // batch join is a true oracle.
+    QueryDef(
+      "s11_stream_join",
+      """SELECT p.event_id AS p_id, v.event_id AS v_id,
+        |  p.user_id AS user_id, v.value AS v_value
+        |FROM events p JOIN events v
+        |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND v.user_id = p.user_id
+        | AND CAST(v.ts AS TIMESTAMP)
+        |     BETWEEN CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+        |         AND CAST(p.ts AS TIMESTAMP)""".stripMargin) { (s, dir) =>
+      val base = scratch(dir, "s11")
+      val ev = graft.Tables.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/purchases")
+      ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+          col("ts").as("v_ts"), col("value").as("v_value"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/views")
+      val purchases = s.readStream
+        .schema("p_id BIGINT, user_id BIGINT, p_ts TIMESTAMP")
+        .parquet(s"$base/purchases")
+      val views = s.readStream
+        .schema("v_id BIGINT, v_user BIGINT, v_ts TIMESTAMP, v_value DOUBLE")
+        .parquet(s"$base/views")
+      val joined = graft.streaming.StreamingOps.intervalJoin(
+        purchases, views, "user_id", "v_user", "p_ts", "v_ts",
+        "1 HOUR", "1 hour")
+      val q = joined.writeStream.format("memory").queryName("s11_join")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("s11_join")
+        .select(col("p_id"), col("v_id"), col("user_id"), col("v_value"))
+    },
+
     // ---- M1-M4: StringIndexer (frequencyDesc, ties alphabetic, SPARK
     // docs) → OneHotEncoder(dropLast=false) → VectorAssembler. The active
     // one-hot indices of each part are fully determined by the per-feature

@@ -212,6 +212,36 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream interval join — the remaining first-class Structured
+    * Streaming surface (joins between two UNBOUNDED sides): match each
+    * left event to the right events of the same key whose event time
+    * falls in `[left.ts - lookback, left.ts]` (attribution shape: a
+    * purchase joins the views that preceded it within the window).
+    *
+    * Both sides carry a watermark and the join predicate carries the
+    * time-range constraint — exactly the two conditions Spark needs to
+    * BOUND the join state: each side's buffered rows are dropped once
+    * the other side's watermark passes the end of their join window, so
+    * state is O(events-per-watermark-window), constant for an unbounded
+    * stream. Without the range condition the state store would grow
+    * forever; this operator makes the bound structural rather than
+    * leaving it to the caller's join expression.
+    *
+    * Column contract: the two inputs must have disjoint column names
+    * apart from nothing (the key columns are named per side) — the
+    * caller renames upfront, keeping the output schema explicit.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      lookback: String, delayThreshold: String): DataFrame = {
+    val l = left.withWatermark(leftTs, delayThreshold)
+    val r = right.withWatermark(rightTs, delayThreshold)
+    l.join(r,
+      expr(s"$leftKey = $rightKey AND " +
+        s"$rightTs BETWEEN $leftTs - INTERVAL $lookback AND $leftTs"))
+  }
+
   /** Write a streaming DataFrame to parquet with checkpointing — the
     * durable sink shape (`writeStream.format("parquet")` + checkpoint
     * location, append mode).

@@ -286,4 +286,64 @@ class StreamingSpec extends SparkSpec {
       assert(last.getAs[Long]("n") == 3 && last.getAs[Double]("total") == 7.0)
     } finally q.stop()
   }
+
+  test("interval join matches same-key views inside the lookback only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamingOps.intervalJoin(
+      purchases.toDF().toDF("p_id", "user_id", "p_ts"),
+      views.toDF().toDF("v_id", "v_user", "v_ts"),
+      "user_id", "v_user", "p_ts", "v_ts", "10 SECONDS", "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // Views arrive FIRST (buffered in join state), purchase in a later
+      // batch — the match must still fire across batches.
+      views.addData((1L, 7L, ts(95)), // in [90, 100]: match
+        (2L, 7L, ts(90)),             // boundary, inclusive: match
+        (3L, 7L, ts(89)),             // one second too old: no
+        (4L, 7L, ts(101)),            // after the purchase: no
+        (5L, 8L, ts(95)))             // other user: no
+      q.processAllAvailable()
+      purchases.addData((100L, 7L, ts(100)))
+      q.processAllAvailable()
+      val got = spark.table("ij_out").select("p_id", "v_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((100L, 1L), (100L, 2L)))
+    } finally q.stop()
+  }
+
+  test("interval join over a split drain equals the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(13)
+    val ps = (1 to 40).map(i => (i.toLong, rng.nextInt(5).toLong, ts(rng.nextInt(300).toLong)))
+    val vs = (1 to 120).map(i => (i.toLong, rng.nextInt(5).toLong, ts(rng.nextInt(300).toLong)))
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamingOps.intervalJoin(
+      purchases.toDF().toDF("p_id", "user_id", "p_ts"),
+      views.toDF().toDF("v_id", "v_user", "v_ts"),
+      "user_id", "v_user", "p_ts", "v_ts", "30 SECONDS", "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ij_diff_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // Interleaved half-and-half batches: join state must carry each
+      // side's unmatched rows across the drain boundaries.
+      purchases.addData(ps.take(20)); views.addData(vs.take(60))
+      q.processAllAvailable()
+      purchases.addData(ps.drop(20)); views.addData(vs.drop(60))
+      q.processAllAvailable()
+      val got = spark.table("ij_diff_out").select("p_id", "v_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (pid, pu, pt) <- ps
+        (vid, vu, vt) <- vs
+        if pu == vu && vt.getTime >= pt.getTime - 30000 && vt.getTime <= pt.getTime
+      } yield (pid, vid)).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
 }
