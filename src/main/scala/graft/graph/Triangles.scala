@@ -59,4 +59,34 @@ object Triangles {
     vertices.join(perV, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+
+  /** Local clustering coefficient per vertex — triangles closed over
+    * triangles possible: `cc = 2·tri(v) / (deg(v)·(deg(v)−1))`, the
+    * standard cohesion score next to [[counts]] (Watts & Strogatz 1998).
+    * Emitted in FIXED-POINT micro-units (`(2·tri·10⁶) div (deg·(deg−1))`,
+    * 0 for deg < 2) so the estimate is pure integer arithmetic — exactly
+    * replayable by the DuckDB oracle, no float division drift.
+    *
+    * Output: `(id, deg, n_tri, cc_micro)` for every vertex in
+    * `vertices`; isolated vertices backfilled `(0, 0, 0)`.
+    *
+    * Scale: one extra degree aggregate next to [[counts]] — its `sym`
+    * subtree is IDENTICAL to the one inside counts, so Spark reuses the
+    * exchange (`ReusedExchange` in the plan) rather than re-shuffling the
+    * edge list; everything downstream of the wedge join is
+    * vertex-cardinality, not edge-cardinality.
+    */
+  def clusteringCoeff(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    counts(vertices, edges)
+      .join(deg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        col("n_tri"),
+        when(coalesce(col("deg"), lit(0L)) >= 2,
+          expr("(2 * n_tri * 1000000) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("cc_micro"))
+  }
 }

@@ -528,6 +528,45 @@ object GraphQueries {
          |FROM peel WHERE iter = 40 GROUP BY src""".stripMargin) { (s, dir) =>
       implicit val spark: SparkSession = s
       KCore.run(derivedEdges(s, dir), KCORE_K)
+    },
+
+    // ---- local clustering coefficient (extension): triangles closed /
+    // triangles possible per vertex, in fixed-point micro-units so both
+    // engines do pure integer math. The oracle recomputes triangles by
+    // direct canonical-edge closure (g12's cross-formulation) and degree
+    // from the symmetrized edge list, then replays the identical
+    // `(2·tri·10⁶) div (deg·(deg−1))` division.
+    QueryDef(
+      "g14_clustering_coeff",
+      s"""WITH $EDGES,
+         |tri AS (
+         |  SELECT a.src AS u, a.dst AS v, b.dst AS w
+         |  FROM edges a
+         |  JOIN edges b ON a.dst = b.src
+         |  JOIN edges c ON c.src = a.src AND c.dst = b.dst
+         |), roles AS (
+         |  SELECT u AS id FROM tri
+         |  UNION ALL SELECT v FROM tri
+         |  UNION ALL SELECT w FROM tri
+         |), cnt AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM roles GROUP BY id
+         |), deg AS (
+         |  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+         |  FROM sym GROUP BY src
+         |)
+         |SELECT p.p_partkey AS id,
+         |  COALESCE(deg.deg, 0) AS deg,
+         |  COALESCE(cnt.n_tri, 0) AS n_tri,
+         |  CASE WHEN COALESCE(deg.deg, 0) >= 2
+         |    THEN (2 * COALESCE(cnt.n_tri, 0) * 1000000)
+         |         // (deg.deg * (deg.deg - 1))
+         |    ELSE 0 END AS cc_micro
+         |FROM part p
+         |LEFT JOIN deg ON deg.id = p.p_partkey
+         |LEFT JOIN cnt ON cnt.id = p.p_partkey""".stripMargin) { (s, dir) =>
+      Triangles.clusteringCoeff(
+        t(s, dir, "part").select(col("p_partkey").as("id")),
+        derivedEdges(s, dir))
     }
   )
 

@@ -43,7 +43,7 @@ object PipelineQueries {
   private val SEG_MIN_DOCS = 2L
   private val LM_MIN_COUNT = 2L
   private val TFIDF_K = 5
-  private val BOTTOMK = 10
+  private[queries] val BOTTOMK = 10
   private val QS_K = 64
   private val QS_PROBS = Seq(1000, 2500, 5000, 7500, 9000, 9900)
   private val SEM_PIVOTS = 8
@@ -1064,13 +1064,7 @@ object PipelineQueries {
     // sort).
     QueryDef(
       "p31_bottomk_sample",
-      s"""SELECT lang, doc_id, h, sample_rank FROM (
-         |  SELECT lang, doc_id, h,
-         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
-         |      AS BIGINT) AS sample_rank
-         |  FROM (SELECT lang, doc_id, ${Hashing.sqlH60("text")} AS h
-         |        FROM documents)
-         |) WHERE sample_rank <= $BOTTOMK""".stripMargin) { (s, dir) =>
+      sqlBottomK) { (s, dir) =>
       Sketches.bottomKSample(
         t(s, dir, "documents").select("lang", "doc_id", "text"),
         "lang", "text", "doc_id", BOTTOMK)
@@ -1400,6 +1394,40 @@ object PipelineQueries {
       import s.implicits._
       Retrieval.bm25TopK(t(s, dir, "documents"),
         BM25_QUERIES.toDF("query_id", "qtext"), BM25_K)
+    },
+
+    // ---- z-order layout statistics: interleave the bits of two key
+    // dimensions into one Morton sort key (`functions/ZOrder`) and show
+    // that every contiguous key range covers a bounded RECTANGLE in both
+    // dimensions — per z-bucket (aligned 2^6 × 2^6 tile at shift 12),
+    // the min/max span of each dim is < 64 of the 2^16 domain, which is
+    // exactly why row-group footer stats prune scans on EITHER column
+    // after `ZOrder.writeZOrdered`.
+    // Bit math is closed-form integer mask/shift in both engines.
+    QueryDef(
+      "p41_zorder_stats",
+      s"""WITH d AS (
+         |  SELECT (l_partkey & 65535) AS a, (l_suppkey & 65535) AS b
+         |  FROM lineitem
+         |), z AS (
+         |  SELECT a, b,
+         |    (${graft.functions.ZOrder.sqlZValue16("a", "b")} >> 12) AS zbucket
+         |  FROM d
+         |)
+         |SELECT CAST(zbucket AS BIGINT) AS zbucket,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(min(a) AS BIGINT) AS min_a, CAST(max(a) AS BIGINT) AS max_a,
+         |  CAST(min(b) AS BIGINT) AS min_b, CAST(max(b) AS BIGINT) AS max_b
+         |FROM z GROUP BY zbucket""".stripMargin) { (s, dir) =>
+      import graft.functions.ZOrder
+      val d = t(s, dir, "lineitem").select(
+        col("l_partkey").bitwiseAND(lit(65535L)).as("a"),
+        col("l_suppkey").bitwiseAND(lit(65535L)).as("b"))
+      d.withColumn("zbucket", shiftright(ZOrder.zValue16(col("a"), col("b")), 12))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+          min(col("b")).as("min_b"), max(col("b")).as("max_b"))
     }
   )
 
@@ -1407,6 +1435,19 @@ object PipelineQueries {
     * by p39 (batch sketch) and s10 (streaming twin): the two engines'
     * results are defined to be identical, so one oracle serves both.
     */
+  /** The p31 bottom-k oracle, shared verbatim by the streaming twin
+    * (s12) — bottom-k is an order-free min-merge, so streaming == batch
+    * EXACTLY and the same SQL gates both.
+    */
+  private[queries] def sqlBottomK: String =
+    s"""SELECT lang, doc_id, h, sample_rank FROM (
+       |  SELECT lang, doc_id, h,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+       |      AS BIGINT) AS sample_rank
+       |  FROM (SELECT lang, doc_id, ${Hashing.sqlH60("text")} AS h
+       |        FROM documents)
+       |) WHERE sample_rank <= $BOTTOMK""".stripMargin
+
   private[queries] def sqlCountMinTopK: String =
     s"""WITH toks AS (
        |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents

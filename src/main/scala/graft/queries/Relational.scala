@@ -402,6 +402,29 @@ object Relational {
         .groupBy(col("l_returnflag"))
         .pivot(col("l_linestatus"), Seq("F", "O"))
         .agg(dsum(col("l_quantity")))
+    },
+
+    // ---- offset window functions: lag over each user's event history —
+    // the inter-event-gap signal that feeds sessionization and
+    // bot-cadence detection. ONE hash-partition on user_id with a
+    // per-partition sort (no global sort); gap math is integer epoch
+    // micros so both engines agree bit-for-bit. (ts, event_id) ordering
+    // makes lag deterministic under same-timestamp events.
+    QueryDef(
+      "q20_lag_gaps",
+      """SELECT event_id, user_id,
+        |  lag(event_id) OVER w AS prev_event_id,
+        |  CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events").select(
+          col("event_id"), col("user_id"),
+          lag(col("event_id"), 1).over(w).as("prev_event_id"),
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+            .as("gap_us"))
     }
   )
 }

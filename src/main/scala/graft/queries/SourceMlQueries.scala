@@ -490,6 +490,48 @@ object SourceMlQueries {
         .select(col("p_id"), col("v_id"), col("user_id"), col("v_value"))
     },
 
+    // ---- §2.10 + sketches: streaming bottom-k sample — the third
+    // mergeable-sketch twin (HLL s09, Count-Min s10). Keyed state is the
+    // current bottom-k (h, doc_id) set per language (≤ k entries,
+    // constant on an unbounded stream); "bottom-k of a union = bottom-k
+    // of the parts' bottom-ks" is order-free, so the drained sample
+    // equals the batch sample EXACTLY and p31's oracle SQL gates it
+    // verbatim. Hashes precomputed batch-side (identical to
+    // Sketches.bottomKSample's h60), so the stream exercises precisely
+    // the stateful min-merge.
+    QueryDef(
+      "s12_streaming_bottomk",
+      PipelineQueries.sqlBottomK) { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val base = scratch(dir, "s12")
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("lang").as("key"),
+          graft.pipeline.Hashing.h60(col("text")).as("h"),
+          col("doc_id").as("tie"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/in")
+      val stream = s.readStream.schema("key STRING, h BIGINT, tie BIGINT")
+        .parquet(s"$base/in")
+        .as[graft.streaming.StreamingOps.BkEvent](
+          org.apache.spark.sql.Encoders.product)
+      val samples = graft.streaming.StreamingOps.bottomKStream(
+        stream, PipelineQueries.BOTTOMK)
+      val q = samples.writeStream.format("memory").queryName("s12_bk")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // n_seen is strictly increasing, so max_by picks each key's final
+      // (complete) sample even over a split drain; posexplode recovers
+      // the 1-based sample rank from the sorted array.
+      s.table("s12_bk")
+        .groupBy(col("key"))
+        .agg(max_by(col("sample"), col("n_seen")).as("sample"))
+        .select(col("key"), posexplode(col("sample")))
+        .select(col("key").as("lang"), col("col.tie").as("doc_id"),
+          col("col.h").as("h"), (col("pos") + 1).cast("long").as("sample_rank"))
+    },
+
     // ---- M1-M4: StringIndexer (frequencyDesc, ties alphabetic, SPARK
     // docs) → OneHotEncoder(dropLast=false) → VectorAssembler. The active
     // one-hot indices of each part are fully determined by the per-feature

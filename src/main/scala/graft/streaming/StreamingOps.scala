@@ -212,6 +212,48 @@ object StreamingOps {
       }
   }
 
+  /** One keyed sample candidate: content hash + tiebreaker id. */
+  final case class BkEvent(key: String, h: Long, tie: Long)
+
+  /** A sample member (hash, tiebreaker), ordered by (h, tie). */
+  final case class BkItem(h: Long, tie: Long)
+
+  /** Per-key bottom-k emission: the CURRENT sample after `n_seen` rows. */
+  final case class BkSample(key: String, n_seen: Long, sample: Array[BkItem])
+
+  /** Streaming bottom-k sample per key — the third mergeable-sketch twin
+    * next to [[approxDistinctStream]] (HLL) and [[countMinStream]]
+    * (Count-Min): keyed state is the current bottom-k set of
+    * `(h, tie)` pairs (≤ k entries, constant for an unbounded stream).
+    * "Bottom-k of a union = bottom-k of the parts' bottom-ks" is the
+    * same order-free merge law the batch sketch's shard-merge spec pins
+    * ([[graft.pipeline.Sketches.bottomKSample]]), so the final drained
+    * sample equals the batch sample of the same rows EXACTLY under any
+    * batch/partition interleaving — s12 passes p31's oracle SQL against
+    * the batch formulation's DuckDB replay.
+    */
+  /** Keyed state: cumulative row count + the current bottom-k items. */
+  final case class BkState(n_seen: Long, items: Array[BkItem])
+
+  def bottomKStream(events: Dataset[BkEvent], k: Int): Dataset[BkSample] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .mapGroupsWithState[BkState, BkSample](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[BkEvent], state: GroupState[BkState]) =>
+          val prev = state.getOption.getOrElse(BkState(0L, Array.empty))
+          var n = prev.n_seen
+          val batch = rows.map { e => n += 1; BkItem(e.h, e.tie) }.toArray
+          val merged = (prev.items ++ batch).sortBy(i => (i.h, i.tie)).take(k)
+          state.update(BkState(n, merged))
+          // n_seen is strictly increasing across emissions, so the final
+          // (complete) sample per key is the max_by(sample, n_seen) row
+          // even if the drain splits into several update batches.
+          BkSample(key, n, merged)
+      }
+  }
+
   /** Stream-stream interval join — the remaining first-class Structured
     * Streaming surface (joins between two UNBOUNDED sides): match each
     * left event to the right events of the same key whose event time

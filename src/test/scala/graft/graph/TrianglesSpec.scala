@@ -26,6 +26,23 @@ class TrianglesSpec extends SparkSpec {
       5L -> 0L, 6L -> 0L))
   }
 
+  test("clustering coefficient: K4 + pendant + isolated, exact micro-units") {
+    // K4 vertices: deg 3, tri 3 → cc = 2·3·10⁶/(3·2) = exactly 1.0.
+    // Vertex 4 additionally touches pendant 5: deg 4, tri 3 →
+    // (2·3·10⁶) div (4·3) = 500000. Pendant 5: deg 1 → 0 (guarded
+    // division). Isolated 6: deg 0, tri 0, cc 0.
+    val e = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))
+    val got = Triangles.clusteringCoeff(verts(1L, 2L, 3L, 4L, 5L, 6L), e)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((3L, 3L, 1000000L)), 2L -> ((3L, 3L, 1000000L)),
+      3L -> ((3L, 3L, 1000000L)), 4L -> ((4L, 3L, 500000L)),
+      5L -> ((1L, 0L, 0L)), 6L -> ((0L, 0L, 0L))))
+  }
+
   test("triangles: differential vs naive closing on a random graph") {
     import spark.implicits._
     val rng = new scala.util.Random(11)

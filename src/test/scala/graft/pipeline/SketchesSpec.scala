@@ -320,6 +320,46 @@ class SketchesSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming bottom-k over any batch split equals the batch sample") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    val k = 7
+    val d = (1 to 2000).map(i => (s"g${i % 3}", s"text_$i", i.toLong))
+      .toDF("grp", "txt", "id")
+    val batch = Sketches.bottomKSample(d, "grp", "txt", "id", k)
+      .select(col("grp"), col("id"), col("h"), col("sample_rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("bk-stream")
+    d.select(col("grp").as("key"), Hashing.h60(col("txt")).as("h"),
+        col("id").as("tie"))
+      .repartition(4) // several files: min-merge makes any split equal
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema("key STRING, h BIGINT, tie BIGINT")
+      .parquet(s"$dir/in")
+      .as[StreamingOps.BkEvent]
+    val q = StreamingOps.bottomKStream(stream, k)
+      .writeStream.format("memory").queryName("bk_stream_spec")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("bk_stream_spec")
+      .groupBy(col("key"))
+      .agg(max_by(col("sample"), col("n_seen")).as("sample"),
+        max(col("n_seen")).as("n_seen"))
+      .select(col("key"), col("n_seen"), posexplode(col("sample")))
+      .collect().map(r => (r.getString(0), r.getStruct(3).getLong(1),
+        r.getStruct(3).getLong(0), r.getInt(2).toLong + 1)).toSet
+    assert(got == batch)
+    // and the state really saw every row: n_seen sums to the input size
+    val nSeen = spark.table("bk_stream_spec")
+      .groupBy(col("key")).agg(max(col("n_seen")).as("n"))
+      .agg(sum("n")).head.getLong(0)
+    assert(nSeen == 2000L)
+  }
+
   test("groups sketch independently") {
     import spark.implicits._
     val d = ((1 to 1000).map(i => ("a", s"x$i")) ++
