@@ -38,6 +38,7 @@ object GraphQueries {
   private val MINCOMP = 4
   private val SUPPORT = 2
   private val PR_ITERS = 3
+  private val LPA_ITERS = 3
   private val PR_SCALE = 1000000000000L
 
   /** k for the g13 k-core query (and its oracle): high enough that the
@@ -567,8 +568,44 @@ object GraphQueries {
       Triangles.clusteringCoeff(
         t(s, dir, "part").select(col("p_partkey").as("id")),
         derivedEdges(s, dir))
+    },
+
+    // ---- label propagation communities (extension): synchronous LPA
+    // with the deterministic (count DESC, label ASC) winner rule and a
+    // FIXED iteration count, so the label relation is identical round by
+    // round in both engines (stock LPA's async adoption order is
+    // run-to-run unstable; this formulation is gateable). The oracle
+    // unrolls the three rounds as CTEs.
+    QueryDef(
+      "g15_label_prop",
+      s"""WITH $EDGES,
+         |v AS (SELECT p_partkey AS id FROM part),
+         |l0 AS (SELECT id, id AS label FROM v),
+         |${(1 to LPA_ITERS).map(sqlLpaIter).mkString(",\n")}
+         |SELECT id, CAST(label AS BIGINT) AS label FROM l$LPA_ITERS""".stripMargin) {
+      (s, dir) =>
+        implicit val spark: SparkSession = s
+        LabelProp.run(
+          t(s, dir, "part").select(col("p_partkey").as("id")),
+          derivedEdges(s, dir), LPA_ITERS)
     }
   )
+
+  /** DuckDB fragment: one synchronous LPA round k from l(k-1). */
+  private def sqlLpaIter(k: Int): String =
+    s"""t$k AS (
+       |  SELECT src, nlabel FROM (
+       |    SELECT s.src, l.label AS nlabel,
+       |      row_number() OVER (PARTITION BY s.src
+       |        ORDER BY count(*) DESC, l.label ASC) AS r
+       |    FROM sym s JOIN l${k - 1} l ON l.id = s.dst
+       |    GROUP BY s.src, l.label
+       |  ) WHERE r = 1
+       |),
+       |l$k AS (
+       |  SELECT l.id, COALESCE(t$k.nlabel, l.label) AS label
+       |  FROM l${k - 1} l LEFT JOIN t$k ON t$k.src = l.id
+       |)""".stripMargin
 
   /** DuckDB fragment: one integer-PageRank iteration k from pr(k-1). */
   private def sqlPrIter(k: Int): String =

@@ -425,6 +425,32 @@ object Relational {
           lag(col("event_id"), 1).over(w).as("prev_event_id"),
           (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
             .as("gap_us"))
+    },
+
+    // ---- rolling-frame window: per-user moving sum/count over the last
+    // 3 events (ROWS frame) — the trailing-activity feature next to
+    // q20's offset window. Same single user_id hash-partition +
+    // per-partition sort; the frame sum runs incrementally inside the
+    // sorted partition, no self-join. Money-like 2-dp values sum in
+    // exact DECIMAL so both engines agree bit-for-bit.
+    QueryDef(
+      "q21_rolling_sum",
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS rolling_sum,
+        |  COUNT(*) OVER w AS rolling_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-2, Window.currentRow)
+        t(s, dir, "events").select(
+          col("event_id"), col("user_id"),
+          sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double").as("rolling_sum"),
+          count(lit(1)).over(w).as("rolling_n"))
     }
   )
 }
