@@ -40,7 +40,12 @@ object Exact {
   def dmul(a: Column, b: Column, scale: Int = 2): Column =
     a.cast(DecimalType(18, scale)) * b.cast(DecimalType(18, scale))
 
-  /** Matching DuckDB SQL fragment for dsum. */
-  def sqlDsum(expr: String, scale: Int = 2): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+  /** Matching DuckDB SQL fragment for dsum. `over` (e.g. `"OVER w"`)
+    * turns it into the windowed form — the frame applies to the SUM,
+    * inside the final cast, matching a Spark `dsum`-shaped `.over(w)`.
+    */
+  def sqlDsum(expr: String, scale: Int = 2, over: String = ""): String = {
+    val win = if (over.isEmpty) "" else s" $over"
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale)))$win AS DOUBLE)"
+  }
 }

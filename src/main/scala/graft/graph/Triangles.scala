@@ -75,8 +75,17 @@ object Triangles {
     * exchange (`ReusedExchange` in the plan) rather than re-shuffling the
     * edge list; everything downstream of the wedge join is
     * vertex-cardinality, not edge-cardinality.
+    *
+    * Overflow bound: the `2·tri·10⁶` numerator wraps Long (Spark, ANSI
+    * off, wraps SILENTLY where DuckDB's BIGINT multiply errors loudly)
+    * once `n_tri > Long.MaxValue / 2·10⁶ ≈ 4.6·10¹²` — a hub of degree
+    * ~3·10⁶ with fully-connected neighbors. Per the engine's
+    * loud-failure convention the expression raise_errors at that bound
+    * instead of diverging from the oracle.
     */
   def clusteringCoeff(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    // Largest n_tri whose 2·tri·10⁶ numerator fits a signed 64-bit Long.
+    val maxTri = Long.MaxValue / 2000000L
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
     val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
@@ -86,7 +95,12 @@ object Triangles {
         coalesce(col("deg"), lit(0L)).as("deg"),
         col("n_tri"),
         when(coalesce(col("deg"), lit(0L)) >= 2,
-          expr("(2 * n_tri * 1000000) div (deg * (deg - 1))"))
+          expr(
+            s"""if(n_tri > ${maxTri}L, raise_error(concat(
+               |'cc_micro overflow: n_tri=', cast(n_tri as string),
+               |' exceeds Long.MaxValue div 2e6 = ${maxTri}')),
+               |(2 * n_tri * 1000000) div (deg * (deg - 1)))"""
+              .stripMargin.replaceAll("\n", " ")))
           .otherwise(lit(0L)).as("cc_micro"))
   }
 }

@@ -1431,10 +1431,6 @@ object PipelineQueries {
     }
   )
 
-  /** DuckDB oracle for the Count-Min top-k word probe — shared verbatim
-    * by p39 (batch sketch) and s10 (streaming twin): the two engines'
-    * results are defined to be identical, so one oracle serves both.
-    */
   /** The p31 bottom-k oracle, shared verbatim by the streaming twin
     * (s12) — bottom-k is an order-free min-merge, so streaming == batch
     * EXACTLY and the same SQL gates both.
@@ -1448,6 +1444,10 @@ object PipelineQueries {
        |        FROM documents)
        |) WHERE sample_rank <= $BOTTOMK""".stripMargin
 
+  /** DuckDB oracle for the Count-Min top-k word probe — shared verbatim
+    * by p39 (batch sketch) and s10 (streaming twin): the two engines'
+    * results are defined to be identical, so one oracle serves both.
+    */
   private[queries] def sqlCountMinTopK: String =
     s"""WITH toks AS (
        |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents

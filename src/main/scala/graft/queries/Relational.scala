@@ -435,13 +435,12 @@ object Relational {
     // exact DECIMAL so both engines agree bit-for-bit.
     QueryDef(
       "q21_rolling_sum",
-      """SELECT event_id, user_id,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
-        |    AS rolling_sum,
-        |  COUNT(*) OVER w AS rolling_n
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin) {
+      s"""SELECT event_id, user_id,
+         |  ${sqlDsum("value", over = "OVER w")} AS rolling_sum,
+         |  COUNT(*) OVER w AS rolling_n
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin) {
       (s, dir) =>
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts"), col("event_id"))

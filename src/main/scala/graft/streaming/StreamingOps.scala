@@ -221,6 +221,9 @@ object StreamingOps {
   /** Per-key bottom-k emission: the CURRENT sample after `n_seen` rows. */
   final case class BkSample(key: String, n_seen: Long, sample: Array[BkItem])
 
+  /** Keyed state: cumulative row count + the current bottom-k items. */
+  final case class BkState(n_seen: Long, items: Array[BkItem])
+
   /** Streaming bottom-k sample per key — the third mergeable-sketch twin
     * next to [[approxDistinctStream]] (HLL) and [[countMinStream]]
     * (Count-Min): keyed state is the current bottom-k set of
@@ -232,9 +235,6 @@ object StreamingOps {
     * batch/partition interleaving — s12 passes p31's oracle SQL against
     * the batch formulation's DuckDB replay.
     */
-  /** Keyed state: cumulative row count + the current bottom-k items. */
-  final case class BkState(n_seen: Long, items: Array[BkItem])
-
   def bottomKStream(events: Dataset[BkEvent], k: Int): Dataset[BkSample] = {
     require(k >= 1, s"k must be >= 1, got $k")
     import events.sparkSession.implicits._
