@@ -588,8 +588,85 @@ object GraphQueries {
         LabelProp.run(
           t(s, dir, "part").select(col("p_partkey").as("id")),
           derivedEdges(s, dir), LPA_ITERS)
+    },
+
+    // ---- modularity score (extension): the Newman–Girvan quality
+    // metric of an (id, label) labeling, in exact micro units — scored
+    // for THREE labelings of the same derived graph in one relation, so
+    // the engine's detectors are COMPARED quantitatively, not just
+    // produced: connected components (an upper-mixing baseline), 3-round
+    // LPA (the detector g15 gates), and the all-singleton labeling
+    // (whose modularity is provably NEGATIVE, pinning the sign-safe
+    // truncating division on both engines). DuckDB replays CC via the
+    // recursive CTE, LPA via g15's unrolled rounds, and the integer
+    // arithmetic in HUGEINT against Spark's DECIMAL(38,0).
+    QueryDef(
+      "g16_modularity",
+      s"""WITH RECURSIVE $EDGES,
+         |v AS (SELECT p_partkey AS id FROM part),
+         |mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM edges),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+         |reach AS (
+         |  SELECT id, id AS r FROM v
+         |  UNION
+         |  SELECT s.dst AS id, r.r FROM reach r JOIN sym s ON s.src = r.id
+         |),
+         |cc AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+         |l0 AS (SELECT id, id AS label FROM v),
+         |${(1 to LPA_ITERS).map(sqlLpaIter).mkString(",\n")},
+         |sing AS (SELECT id, id AS label FROM v),
+         |${sqlModScore("cc", "cc")},
+         |${sqlModScore(s"l$LPA_ITERS", "lpa")},
+         |${sqlModScore("sing", "singleton")}
+         |SELECT * FROM cc_score UNION ALL
+         |SELECT * FROM l${LPA_ITERS}_score UNION ALL
+         |SELECT * FROM sing_score""".stripMargin) {
+      (s, dir) =>
+        implicit val spark: SparkSession = s
+        val v = t(s, dir, "part").select(col("p_partkey").as("id"))
+        val e = derivedEdges(s, dir)
+        val labelings = Seq(
+          "cc" -> Communities.connectedComponents(PropertyGraph(v, e))
+            .select(col("id"), col("component").as("label")),
+          "lpa" -> LabelProp.run(v, e, LPA_ITERS),
+          "singleton" -> v.select(col("id"), col("id").as("label")))
+        labelings.map { case (tag, l) =>
+          Modularity.score(l, e).withColumn("labeling", lit(tag))
+        }.reduce(_ unionByName _)
     }
   )
+
+  /** DuckDB fragment: Newman–Girvan micro-modularity of labeling table
+    * `t` (one `(id, label)` row per vertex), tagged `tag`, as CTE
+    * `{t}_score` — the [[graft.graph.Modularity.score]] twin (HUGEINT
+    * where Spark uses DECIMAL(38,0); `//` and `div` both truncate
+    * toward zero, including the singleton labeling's negative Q).
+    */
+  private def sqlModScore(t: String, tag: String): String =
+    s"""${t}_e AS (
+       |  SELECT ls.label, CAST(count(*) AS HUGEINT) AS e_intra
+       |  FROM edges e
+       |  JOIN $t ls ON ls.id = e.src
+       |  JOIN $t ld ON ld.id = e.dst
+       |  WHERE ls.label = ld.label
+       |  GROUP BY ls.label
+       |),
+       |${t}_d AS (
+       |  SELECT l.label, CAST(COALESCE(SUM(d.deg), 0) AS HUGEINT) AS d_tot
+       |  FROM $t l LEFT JOIN deg d ON d.id = l.id GROUP BY l.label
+       |),
+       |${t}_score AS (
+       |  SELECT
+       |    CAST((SELECT m FROM mm) AS BIGINT) AS m,
+       |    CAST(count(*) AS BIGINT) AS n_communities,
+       |    CAST(SUM(COALESCE(e.e_intra, 0)) AS BIGINT) AS e_intra_total,
+       |    CAST((SUM(4 * (SELECT m FROM mm) * COALESCE(e.e_intra, 0)
+       |            - d.d_tot * d.d_tot) * 1000000)
+       |      // (4 * (SELECT m FROM mm) * (SELECT m FROM mm)) AS BIGINT)
+       |      AS q_micro,
+       |    '$tag' AS labeling
+       |  FROM ${t}_d d LEFT JOIN ${t}_e e ON e.label = d.label
+       |)""".stripMargin
 
   /** DuckDB fragment: one synchronous LPA round k from l(k-1). */
   private def sqlLpaIter(k: Int): String =
