@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.pipeline.{Curation, Dedup, TextAnalysis}
 
 /** Production corpus-curation entry point — the full training-data
-  * pipeline (quality gate → exact dedup → near-dedup group resolution →
-  * benchmark decontamination → split assignment → sequence packing) as
-  * ONE tool over parquet, the curation counterpart of
+  * pipeline (quality gate → [PII scrub] → exact dedup → near-dedup
+  * group resolution → benchmark decontamination → [mixture
+  * equalization] → split assignment → sequence packing; bracketed
+  * stages optional) as ONE tool over parquet, the curation counterpart of
   * [[AnnIndex]] (each stage already exists as an oracle-gated operator;
   * this wires the composition a real corpus run executes and reports
   * per-stage yield).
@@ -16,14 +17,20 @@ import graft.pipeline.{Curation, Dedup, TextAnalysis}
   * ```
   * runMain graft.tools.Curate <docs.parquet> <outDir> \
   *     [benchmark.parquet|-] [jaccardT=0.8] [maxContam=0.2] [packBudget=512] \
-  *     [decontam=exact|bloom]
+  *     [decontam=exact|bloom] [pii=on|off] [equalize=on|off]
   * ```
   *
   * `docs.parquet` needs `(doc_id: long, text: string, source: string)`.
   * `benchmark.parquet|-` is an eval set to decontaminate against (`-`
-  * skips the stage). Writes `outDir/curated` (surviving docs + `split`)
-  * and `outDir/packed` (train-split sequence packing), and prints ONE
-  * JSON line of per-stage counts and wall times.
+  * skips the stage). `pii=on` inserts the PII-scrub stage after the
+  * quality gate (emails/IPv4s/phones redacted to typed placeholders —
+  * BEFORE dedup, so documents differing only in their PII spans
+  * coalesce; the yield row reports total redacted spans). `equalize=on`
+  * inserts mixture equalization after decontamination (every source
+  * down-sampled to the smallest source's size by the deterministic
+  * hash-Bernoulli keep). Writes `outDir/curated` (surviving docs +
+  * `split`) and `outDir/packed` (train-split sequence packing), and
+  * prints ONE JSON line of per-stage counts and wall times.
   *
   * Scale: every stage is the oracle-gated distributed operator — no
   * stage collects documents to the driver. Stages are localCheckpointed
@@ -44,7 +51,8 @@ object Curate {
   def run(spark: SparkSession, docsPath: String, outDir: String,
       benchmarkPath: Option[String], jaccardT: Double = 0.8,
       maxContam: Double = 0.2, packBudget: Long = 512L,
-      shingleN: Int = 3, decontamMode: String = "exact"): Map[String, Double] = {
+      shingleN: Int = 3, decontamMode: String = "exact",
+      pii: Boolean = false, equalize: Boolean = false): Map[String, Double] = {
     require(decontamMode == "exact" || decontamMode == "bloom",
       s"decontam mode must be 'exact' or 'bloom', got '$decontamMode'")
     val stats = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -67,10 +75,25 @@ object Curate {
         TextAnalysis.repetitionRatio(col("text"), shingleN) < lit(0.9))
     }
 
+    // Optional PII scrub, BEFORE dedup: redaction normalizes documents
+    // that differ only in their PII spans, so they coalesce downstream.
+    // The stage rewrites text in place (yield = 100% by construction);
+    // its informative stat is the number of redacted spans.
+    val scrubbed = if (!pii) quality else {
+      val s = stage("pii") {
+        quality.withColumn("text", TextAnalysis.piiRedact(col("text")))
+      }
+      val spans = TextAnalysis.piiScrub(quality)
+        .agg(sum(col("n_emails") + col("n_ipv4") + col("n_phones")))
+        .head().getLong(0)
+      stats("pii_redacted_spans") = spans.toDouble
+      s
+    }
+
     val exact = stage("exact_dedup") {
-      val canon = Dedup.exact(quality)
+      val canon = Dedup.exact(scrubbed)
         .select(col("canonical_id").as("doc_id"))
-      quality.join(canon, Seq("doc_id"), "left_semi")
+      scrubbed.join(canon, Seq("doc_id"), "left_semi")
     }
 
     val near = stage("near_dedup") {
@@ -99,8 +122,19 @@ object Curate {
       }
     }
 
+    // Optional mixture equalization: down-sample every source to the
+    // smallest source's size (deterministic hash-Bernoulli keep — a
+    // broadcast rate table + narrow map, nothing about the corpus
+    // shuffles).
+    val balanced = if (!equalize) decontam else stage("equalize") {
+      decontam.join(
+        Curation.equalizeMixture(decontam).filter(col("kept"))
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    }
+
     val curated = stage("split") {
-      decontam.withColumn("split", TextAnalysis.splitAssign(col("text")))
+      balanced.withColumn("split", TextAnalysis.splitAssign(col("text")))
     }
 
     val (_, writeSec) = timed {
@@ -113,14 +147,30 @@ object Curate {
     stats.toMap
   }
 
+  /** Parse an `on|off` toggle flag, loudly rejecting typos. */
+  private def toggled(flags: Map[String, String], key: String): Boolean =
+    flags.get(key) match {
+      case None | Some("off") => false
+      case Some("on") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"$key must be 'on' or 'off', got '$other'")
+    }
+
   def main(args: Array[String]): Unit = {
     val docsPath = args(0)
     val outDir = args(1)
-    val benchmark = args.lift(2).filter(_ != "-")
-    val jaccardT = args.lift(3).map(_.toDouble).getOrElse(0.8)
-    val maxContam = args.lift(4).map(_.toDouble).getOrElse(0.2)
-    val packBudget = args.lift(5).map(_.toLong).getOrElse(512L)
-    val decontamMode = args.lift(6).getOrElse("exact")
+    // key=value toggles may appear anywhere after the two paths; the
+    // remaining args keep their positional meaning.
+    val (flagArgs, positional) = args.drop(2).partition(
+      a => a.startsWith("pii=") || a.startsWith("equalize="))
+    val flags = flagArgs.map { a =>
+      val Array(k, v) = a.split("=", 2); k -> v
+    }.toMap
+    val benchmark = positional.lift(0).filter(_ != "-")
+    val jaccardT = positional.lift(1).map(_.toDouble).getOrElse(0.8)
+    val maxContam = positional.lift(2).map(_.toDouble).getOrElse(0.2)
+    val packBudget = positional.lift(3).map(_.toLong).getOrElse(512L)
+    val decontamMode = positional.lift(4).getOrElse("exact")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -132,7 +182,8 @@ object Curate {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val stats = run(spark, docsPath, outDir, benchmark, jaccardT,
-      maxContam, packBudget, decontamMode = decontamMode)
+      maxContam, packBudget, decontamMode = decontamMode,
+      pii = toggled(flags, "pii"), equalize = toggled(flags, "equalize"))
     val fields = stats.map { case (k, v) =>
       val vs = if (k.endsWith("_docs")) v.toLong.toString
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

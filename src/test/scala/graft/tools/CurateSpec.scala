@@ -63,4 +63,56 @@ class CurateSpec extends SparkSpec {
     assert(bloomKept.nonEmpty && bloomKept.subsetOf(exactKept))
     assert(bloomN == bloomKept.size.toDouble)
   }
+
+  test("optional pii and equalize stages compose into the full pipeline") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // Synthetic corpus: a 4:1 source skew, and PII docs that differ ONLY
+    // in their email span — identical after redaction, so the PII stage
+    // placed BEFORE dedup must make them coalesce to one canonical doc.
+    val filler = (i: Int) => s"doc $i body is about the data and it has " +
+      s"plenty of plain words in it for the quality gate ${i * 37}"
+    val big = (1 to 40).map(i => (i.toLong, filler(i), "web"))
+    val small = (41 to 50).map(i => (i.toLong, filler(i), "books"))
+    val piiDocs = Seq(
+      (101L, "contact me at alice@example.com for the report and the data", "web"),
+      (102L, "contact me at bob@other.org for the report and the data", "web"),
+      (103L, "server is at 10.1.2.3 and the phone is 555-123-4567 for it", "web"))
+    val docsP = java.nio.file.Files.createTempDirectory("curate-pii")
+      .toString + "/docs.parquet"
+    (big ++ small ++ piiDocs).toDF("doc_id", "text", "source")
+      .write.parquet(docsP)
+
+    val out = java.nio.file.Files.createTempDirectory("curate-pii-out").toString
+    val stats = Curate.run(spark, docsP, out, benchmarkPath = None,
+      pii = true, equalize = true)
+
+    // PII stage: rewrites in place (yield 100%) and counts the spans
+    // (2 emails + 1 IP + 1 phone).
+    assert(stats("pii_docs") == stats("quality_docs"))
+    assert(stats("pii_redacted_spans") == 4.0)
+    // Docs 101/102 are identical post-redaction: exact dedup must merge
+    // them (one doc fewer), which the unredacted pipeline cannot do.
+    assert(stats("exact_dedup_docs") <= stats("pii_docs") - 1)
+    // Equalize stage: only drops (no decontam stage in this run, so the
+    // previous stage is near-dedup).
+    assert(stats("equalize_docs") <= stats("near_dedup_docs"))
+    assert(stats("split_docs") == stats("equalize_docs"))
+    // No raw PII survives into the curated output (the redacted docs
+    // themselves may legitimately be sampled out by equalization —
+    // redaction itself is already pinned by the span count above).
+    val texts = spark.read.parquet(s"$out/curated")
+      .select("text").as[String].collect()
+    assert(!texts.exists(t => t.contains("alice@example.com") ||
+      t.contains("10.1.2.3") || t.contains("555-123-4567")))
+    // Post-equalization the mix is balanced: per-source counts within
+    // the hash-Bernoulli tolerance of the smallest source.
+    val bySource = spark.read.parquet(s"$out/curated")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource.size == 2)
+    val (mx, mn) = (bySource.values.max, bySource.values.min)
+    assert(mx <= 2 * math.max(mn, 1),
+      s"equalized mix still skewed: $bySource")
+  }
 }
