@@ -299,4 +299,28 @@ object Ann {
   def lowIdPivots(corpus: DataFrame, numPivots: Int): DataFrame =
     corpus.filter(col("vec_id") < numPivots)
       .select(col("vec_id").as("cluster"), col("embedding").as("rep"))
+
+  /** Corpus-size-SCALED deterministic pivots (VERDICT round 10 #4 — a
+    * fixed pivot count makes [[semDedup]]'s within-cluster pair join
+    * quadratic in corpus size, the one super-linear scaler in SCALE.md):
+    * `k = max(minPivots, floor(sqrt(N)))`. √N is the balance point —
+    * assignment costs `N·k`, the pair join `N·(N/k)`, so both sit at
+    * `N^1.5` (the standard SemDeDup within-cluster-quadratic compromise;
+    * either extreme pushes one side to N²). The count rides a 1-row
+    * broadcast cross join — no driver action. Cross-engine exactness:
+    * IEEE-754 `sqrt` is correctly rounded and `floor` is exact, so
+    * Spark and DuckDB compute the identical k from the identical N
+    * (even where `floor∘sqrt` deviates from ideal isqrt near perfect
+    * squares, it deviates IDENTICALLY). Production still swaps in
+    * [[kmeansQuantizer]] centroids; this scales the ORACLE path.
+    */
+  def scaledLowIdPivots(corpus: DataFrame, minPivots: Long = 8L): DataFrame = {
+    require(minPivots >= 1, s"minPivots must be >= 1, got $minPivots")
+    val kDf = corpus.agg(
+      expr(s"greatest(${minPivots}L, CAST(floor(sqrt(count(1))) AS LONG))")
+        .as("k"))
+    corpus.crossJoin(broadcast(kDf))
+      .filter(col("vec_id") < col("k"))
+      .select(col("vec_id").as("cluster"), col("embedding").as("rep"))
+  }
 }

@@ -46,7 +46,13 @@ object PipelineQueries {
   private[queries] val BOTTOMK = 10
   private val QS_K = 64
   private val QS_PROBS = Seq(1000, 2500, 5000, 7500, 9000, 9900)
-  private val SEM_PIVOTS = 8
+  // Corpus-size-scaled pivot rule (k = max(SEM_MIN_PIVOTS, ⌊√N⌋)):
+  // cluster population tracks √N, so p34's assignment (N·k) and
+  // within-cluster pair join (N²/k) BOTH sit at N^1.5 instead of the
+  // fixed-k quadratic that made p34 the one super-linear 30x row in
+  // SCALE.md before round 11. floor∘sqrt is bit-identical across
+  // engines (IEEE correctly-rounded sqrt + exact floor).
+  private val SEM_MIN_PIVOTS = 8L
   private val SEM_T = 400000L
   private val DSIR_BUCKETS = 1024
   private val DSIR_TARGET = Seq("src0", "src1", "src2")
@@ -1168,7 +1174,8 @@ object PipelineQueries {
       "p34_semdedup",
       s"""WITH piv AS (
          |  SELECT vec_id AS cluster, embedding AS rep FROM embeddings
-         |  WHERE vec_id < $SEM_PIVOTS
+         |  WHERE vec_id < (SELECT greatest($SEM_MIN_PIVOTS,
+         |    CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)
          |), asg AS (
          |  SELECT vec_id, cluster, embedding FROM (
          |    SELECT e.vec_id, p.cluster, e.embedding,
@@ -1186,7 +1193,8 @@ object PipelineQueries {
          |FROM asg a LEFT JOIN drp d ON a.vec_id = d.vec_id""".stripMargin) {
       (s, dir) =>
         val emb = t(s, dir, "embeddings")
-        Ann.semDedup(emb, Ann.lowIdPivots(emb, SEM_PIVOTS), SEM_T)
+        Ann.semDedup(emb,
+          Ann.scaledLowIdPivots(emb, SEM_MIN_PIVOTS), SEM_T)
     },
 
     // ---- DSIR-style importance weighting: hashed-token bucket

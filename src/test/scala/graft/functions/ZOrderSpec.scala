@@ -79,4 +79,57 @@ class ZOrderSpec extends SparkSpec {
     // single-column-sort failure mode improves one dim only).
     assert(fa / za > 2.0 && fb / zb > 2.0)
   }
+
+  test("writeZOrdered: parquet row-group pruning actually skips on a 2-dim predicate") {
+    // MEASURED skipping (VERDICT round 10 #5): the operator's value
+    // claim is that footer min/max stats prune the scan — so read the
+    // scan node's own numOutputRows (rows surviving row-group pruning,
+    // BEFORE Spark's residual filter) on the same data written flat vs
+    // z-ordered, under the same selective two-dim predicate.
+    import spark.implicits._
+    val n = 2000000
+    val rng = new scala.util.Random(41)
+    val d = (1 to n)
+      .map(i => (i.toLong, rng.nextInt(65536).toLong, rng.nextInt(65536).toLong))
+      .toDF("id", "a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("zorder-skip").toString
+    ZOrder.writeZOrdered(d, s"$dir/z", "a", "b", 32)
+    d.repartition(32).write.mode("overwrite").parquet(s"$dir/flat")
+
+    // Rows the parquet reader actually emitted (post-pruning, pre-
+    // residual-filter). AQE is disabled around the measurement so the
+    // executed plan exposes the FileSourceScanExec directly.
+    def scannedRows(path: String): Long = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val q = spark.read.parquet(path)
+          .filter(col("a").between(30000, 34095) &&
+            col("b").between(10000, 14095))
+        // Execute THIS plan (a .count() would build and run a separate
+        // QueryExecution, leaving these metrics untouched).
+        val plan = q.queryExecution.executedPlan
+        plan.execute().count()
+        val scans = plan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }
+        assert(scans.nonEmpty, "no FileSourceScanExec in executed plan")
+        scans.map(_.metrics("numOutputRows").value).sum
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+
+    val zRows = scannedRows(s"$dir/z")
+    val flatRows = scannedRows(s"$dir/flat")
+    info(s"scan emitted rows after row-group pruning: z-ordered $zRows, " +
+      s"flat $flatRows of $n")
+    // Flat layout: every row group spans ~the full domain of both dims,
+    // so stats prune nothing and the reader emits ~all rows. Z-ordered:
+    // only the row groups whose rectangle intersects the 4096x4096
+    // query window survive — a small fraction of the corpus.
+    assert(flatRows > (n * 9L) / 10,
+      s"flat scan unexpectedly pruned: $flatRows of $n")
+    assert(zRows < n / 4L,
+      s"z-ordered scan did not skip: $zRows of $n rows emitted")
+    assert(zRows * 4 < flatRows,
+      s"z/flat scan ratio too weak: $zRows vs $flatRows")
+  }
 }
