@@ -46,7 +46,7 @@ object Skew {
     require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
       "saltedJoin reserves the __salt column name; rename it in the inputs")
     val sl = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(salts.toLong)).cast("int"))
     val sr = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     sl.join(sr, Seq(key, "__salt")).drop("__salt")

@@ -215,6 +215,59 @@ object Curation {
           lit(1000000L)) < col("rate_micro")).as("kept"))
   }
 
+  /** Weighted sample WITHOUT replacement, k docs per group, inclusion
+    * probability proportional to `weight` — the exponential-race /
+    * A-ES construction (Efraimidis & Spirakis 2006): each row draws a
+    * deterministic uniform `u` from its id hash, its race key is
+    * `-ln(u) / w` (an `Exp(w)` variate), and the k smallest keys per
+    * group win. One pass, no rejection loop, no driver RNG state.
+    *
+    * Determinism: `u` is hash-derived (`h60("ws:" || doc_id)`, micro
+    * resolution), `-ln(u)` is floored to integer MICRO-nats before the
+    * divide (the repo's p27/p40 fixed-point-ln convention — a 1-ulp
+    * cross-engine `ln` difference only flips the floor with ~1e-10
+    * probability), and the divide is integer floor division at nano
+    * resolution, so the race key is a BIGINT both engines compute
+    * identically; ties (~nil at nano resolution) break on doc_id.
+    *
+    * Output: `(group, doc_id, weight, samp_rank)` — the k winners per
+    * group, `samp_rank` 1..k by race key.
+    *
+    * Scale: key derivation is a narrow codegen map (no `ln` table, no
+    * UDF); the per-group top-k is ONE hash-partition on the group key
+    * with `WindowGroupLimit` pruning candidates map-side before the
+    * exchange — a group never globally sorts, and nothing beyond k rows
+    * per group per partition shuffles. At 100 TB this is the cheapest
+    * correct shape for "sample k docs per source, long docs more often".
+    */
+  def weightedSample(docs: DataFrame, k: Int,
+      groupCol: String = "source", weightCol: String = "n_chars")
+      : DataFrame = {
+    require(k >= 1, s"weightedSample needs k >= 1, got $k")
+    val keyed = docs.select(
+      col(groupCol).as("group"), col("doc_id"),
+      // Loud failure on a non-positive weight (the div below would
+      // yield a silent NULL race key that sorts the row out of every
+      // sample) — the repo's raise_error convention.
+      when(col(weightCol) <= 0, raise_error(concat(
+        lit(s"weightedSample: non-positive $weightCol for doc_id="),
+        col("doc_id").cast("string"))).cast("long"))
+        .otherwise(col(weightCol).cast("long")).as("weight"))
+      // u in (0, 1]: (h mod 1e6 + 1) / 1e6 — never 0, so ln is finite.
+      .withColumn("u_micro",
+        pmod(Hashing.h60(concat(lit("ws:"), col("doc_id").cast("string"))),
+          lit(1000000L)) + 1L)
+      // e_micro = floor(-1e6 * ln(u)) = floor(1e6 * (ln(1e6) - ln(u_micro*1)))
+      .withColumn("e_micro",
+        floor(-log(col("u_micro").cast("double") / 1e6) * 1e6).cast("long"))
+      .withColumn("race_nano", expr("(e_micro * 1000000) div weight"))
+    val w = Window.partitionBy(col("group"))
+      .orderBy(col("race_nano"), col("doc_id"))
+    keyed.withColumn("samp_rank", row_number().over(w).cast("long"))
+      .filter(col("samp_rank") <= k)
+      .select(col("group"), col("doc_id"), col("weight"), col("samp_rank"))
+  }
+
   /** DSIR-style importance weighting (arXiv:2302.03169 shape): score
     * every document by how much its hashed-token distribution looks like
     * a small trusted TARGET slice of the corpus versus the raw rest,

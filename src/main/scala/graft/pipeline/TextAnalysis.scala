@@ -164,6 +164,49 @@ object TextAnalysis {
       .otherwise(lit("test"))
   }
 
+  /** Sliding-window document chunking — the RAG / context-window
+    * pre-processing pass: split every document into overlapping
+    * `chunkLen`-token windows advancing by `stride` tokens. The last
+    * window may be shorter; a doc shorter than `chunkLen` yields
+    * exactly one chunk. Chunk count is the closed integer form
+    * `1 + max(0, ceil((n_tok - chunkLen) / stride))` computed with
+    * integer floor division (`(n - L + S - 1) div S`) so both engines
+    * agree without float ceil.
+    *
+    * Output: one row per chunk — `(doc_id, chunk_id, start_tok, n_tok,
+    * chunk_text, chunk_hash)`; `chunk_id` is 0-based within the doc,
+    * `start_tok` the 0-based token offset, `chunk_hash` the 60-bit
+    * content hash (the key exact-dedup / decontamination runs on at
+    * the chunk grain).
+    *
+    * Scale: tokenize → `sequence` → `explode` → `slice` is a purely
+    * NARROW codegen'd map — zero shuffles, no UDF, no driver state;
+    * output size is `~n_tok/stride` rows per doc regardless of corpus
+    * size. The natural pre-pass before [[Curation.packSequences]] and
+    * chunk-grain [[Dedup]].
+    */
+  def chunk(docs: DataFrame, chunkLen: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      mode: Hashing.HashMode = Hashing.HashMode.Oracle): DataFrame = {
+    require(chunkLen >= 1, s"chunkLen must be >= 1, got $chunkLen")
+    require(stride >= 1 && stride <= chunkLen,
+      s"stride must be in [1, chunkLen]; got stride=$stride len=$chunkLen")
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        lit(1L) + greatest(lit(0L),
+          expr(s"(n_tok - $chunkLen + ${stride - 1}) div $stride")))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("chunk_toks",
+        slice(col("toks"), (col("start_tok") + 1L).cast("int"), lit(chunkLen)))
+      .withColumn("chunk_text", array_join(col("chunk_toks"), " "))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("chunk_toks")).cast("long").as("n_tok"),
+        col("chunk_text"), mode(col("chunk_text")).as("chunk_hash"))
+  }
+
   /** Per-document top-`k` keywords by TF-IDF — the standard
     * keyword-extraction / feature-selection pass. IDF is quantized to
     * integer micro-nats (`floor(1e6 * ln(N/df))`) so the score

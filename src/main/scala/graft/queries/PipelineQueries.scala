@@ -63,6 +63,20 @@ object PipelineQueries {
   private[queries] val CM_DEPTH = 4
   private[queries] val CM_WIDTH = 2048
   private[queries] val CM_TOPK = 20
+  private val WS_K = 15
+  private val CHUNK_LEN = 32
+  private val CHUNK_STRIDE = 16
+  private val ED_MAX = 2
+  // q is THE candidate-volume lever on low-entropy corpora: candidate
+  // pairs scale as Σ_rare-grams df², and this synthetic corpus's word
+  // vocabulary is fixed, so 5-grams inside shared word stems go hot as
+  // the corpus grows (measured 7.2M candidate occurrences at 10x data
+  // with q=5 vs 0.8M with q=7 — identical verified pairs at both).
+  // Real corpora grow gram vocabulary with size (Heaps' law), which is
+  // what keeps Ed-Join linear in production; q=7 restores that regime
+  // here without changing results.
+  private val ED_Q = 7
+  private val ED_TITLE_TOKS = 8
   private val BM25_K = 10
   private val BM25_QUERIES = Seq(
     (0L, "join hash row"), (1L, "scan filter merge batch"),
@@ -1436,6 +1450,128 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"),
           min(col("a")).as("min_a"), max(col("a")).as("max_a"),
           min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+    },
+
+    // ---- weighted sample without replacement (A-ES exponential race):
+    // k docs per source, inclusion probability ∝ n_chars. The race key
+    // is integer end to end — hash-micro uniform, floored micro-nat ln,
+    // nano-resolution floor division — so both engines rank identically.
+    QueryDef(
+      "p42_weighted_sample",
+      s"""WITH keyed AS (
+         |  SELECT source AS "group", doc_id, CAST(n_chars AS BIGINT) AS weight,
+         |    (${Hashing.sqlH60("'ws:' || CAST(doc_id AS VARCHAR)")} % 1000000) + 1
+         |      AS u_micro
+         |  FROM documents
+         |), raced AS (
+         |  SELECT "group", doc_id, weight,
+         |    (CAST(floor(-ln(CAST(u_micro AS DOUBLE) / 1000000.0) * 1000000.0)
+         |       AS BIGINT) * 1000000) // weight AS race_nano
+         |  FROM keyed
+         |)
+         |SELECT "group", doc_id, weight,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY "group" ORDER BY race_nano, doc_id) AS BIGINT)
+         |    AS samp_rank
+         |FROM raced QUALIFY samp_rank <= $WS_K""".stripMargin) { (s, dir) =>
+      Curation.weightedSample(t(s, dir, "documents"), WS_K)
+    },
+
+    // ---- sliding-window chunking: overlapping CHUNK_LEN-token windows
+    // at CHUNK_STRIDE — the RAG/context-window pre-pass. Pure narrow
+    // map + explode, zero shuffles; chunk count is closed-form integer
+    // math so both engines enumerate identical windows.
+    QueryDef(
+      "p43_chunks",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM documents
+         |), nt AS (
+         |  SELECT doc_id, tokens, CAST(len(tokens) AS BIGINT) AS n_tok FROM toks
+         |), ch AS (
+         |  SELECT doc_id, tokens,
+         |    CAST(unnest(range(0, 1 + greatest(0,
+         |      (n_tok - $CHUNK_LEN + ${CHUNK_STRIDE - 1}) // $CHUNK_STRIDE)))
+         |      AS BIGINT) AS chunk_id
+         |  FROM nt
+         |), sl AS (
+         |  SELECT doc_id, chunk_id,
+         |    CAST(chunk_id * $CHUNK_STRIDE AS BIGINT) AS start_tok,
+         |    CAST(len(list_slice(tokens, chunk_id * $CHUNK_STRIDE + 1,
+         |      chunk_id * $CHUNK_STRIDE + $CHUNK_LEN)) AS BIGINT) AS n_tok,
+         |    array_to_string(list_slice(tokens, chunk_id * $CHUNK_STRIDE + 1,
+         |      chunk_id * $CHUNK_STRIDE + $CHUNK_LEN), ' ') AS chunk_text
+         |  FROM ch
+         |)
+         |SELECT doc_id, chunk_id, start_tok, n_tok, chunk_text,
+         |  ${Hashing.sqlH60("chunk_text")} AS chunk_hash
+         |FROM sl""".stripMargin) { (s, dir) =>
+      TextAnalysis.chunk(t(s, dir, "documents"), CHUNK_LEN, CHUNK_STRIDE)
+    },
+
+    // ---- edit-distance similarity join (Ed-Join): fuzzy-match document
+    // titles (first ED_TITLE_TOKS tokens) within Levenshtein ED_MAX,
+    // with a PLANTED ground truth — every doc_id ≡ 0 (mod 3) also
+    // contributes a copy with one hash-picked character deleted, so the
+    // join provably finds each planted (original, perturbed) pair at
+    // distance 1 alongside any natural near-matches. Candidate
+    // generation (positional q-gram prefix + position + length filters)
+    // is replayed identically by the oracle — the gate covers the whole
+    // filter-verify pipeline, not just the DP.
+    QueryDef(
+      "p44_edit_join",
+      s"""WITH titles AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_slice(string_split(lower(text), ' '),
+         |      1, $ED_TITLE_TOKS), ' ') AS name
+         |  FROM documents
+         |), base AS (
+         |  SELECT doc_id * 2 AS id, name FROM titles
+         |), pert0 AS (
+         |  SELECT doc_id, name,
+         |    CAST(${Hashing.sqlH60("name")} % length(name) AS INTEGER) + 1 AS pos
+         |  FROM titles WHERE doc_id % 3 = 0
+         |), pert AS (
+         |  SELECT doc_id * 2 + 1 AS id,
+         |    substr(name, 1, pos - 1) || substr(name, pos + 1, 100000) AS name
+         |  FROM pert0
+         |), rel AS (
+         |  SELECT id, name FROM base UNION ALL SELECT id, name FROM pert
+         |), pos0 AS (
+         |  SELECT id, length(name) AS len,
+         |    CAST(unnest(range(1, length(name) - ${ED_Q - 2})) AS INTEGER) AS i
+         |  FROM rel WHERE length(name) >= $ED_Q
+         |), post AS (
+         |  SELECT p.id, p.len, p.i, substr(r.name, p.i, $ED_Q) AS g
+         |  FROM pos0 p JOIN rel r USING (id)
+         |), dfreq AS (
+         |  SELECT g, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY g
+         |), pre AS (
+         |  SELECT id, len, i, g FROM (
+         |    SELECT p.id, p.len, p.i, p.g,
+         |      row_number() OVER (PARTITION BY p.id ORDER BY f.df, p.g, p.i) AS rk
+         |    FROM post p JOIN dfreq f USING (g))
+         |  WHERE rk <= ${ED_Q * ED_MAX + 1}
+         |), cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM pre a JOIN pre b ON a.g = b.g AND a.id < b.id
+         |    AND abs(a.i - b.i) <= $ED_MAX AND abs(a.len - b.len) <= $ED_MAX
+         |)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(levenshtein(ra.name, rb.name) AS BIGINT) AS dist
+         |FROM cand c JOIN rel ra ON ra.id = c.id_a JOIN rel rb ON rb.id = c.id_b
+         |WHERE levenshtein(ra.name, rb.name) <= $ED_MAX""".stripMargin) { (s, dir) =>
+      val titles = t(s, dir, "documents").select(col("doc_id"),
+        array_join(slice(TextAnalysis.tokens(col("text")), 1, ED_TITLE_TOKS), " ")
+          .as("name"))
+      val base = titles.select((col("doc_id") * 2).as("id"), col("name"))
+      val pert = titles.filter(col("doc_id") % 3 === 0)
+        .withColumn("pos",
+          (pmod(Hashing.h60(col("name")), length(col("name")).cast("long")) + 1L)
+            .cast("int"))
+        .select((col("doc_id") * 2 + 1).as("id"),
+          expr("concat(substring(name, 1, pos - 1), " +
+            "substring(name, pos + 1, 100000))").as("name"))
+      Dedup.editDistanceJoin(base.unionByName(pert), ED_MAX, ED_Q)
     }
   )
 

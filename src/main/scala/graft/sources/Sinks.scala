@@ -141,7 +141,7 @@ object Sinks {
     def scriptSafe(c: org.apache.spark.sql.Column) =
       regexp_replace(c, "<", "\\\\u003c")
     val nodeLines = v.select(concat(lit("    "),
-      scriptSafe(to_json(struct(v.columns.map(col): _*))), lit(",")).as("line"))
+      scriptSafe(to_json(struct(v.columns.toIndexedSeq.map(col): _*))), lit(",")).as("line"))
     val edgeLines = e.select(concat(lit("    "),
       scriptSafe(to_json(struct(col("src"), col("dst")))), lit(",")).as("line"))
     val header =

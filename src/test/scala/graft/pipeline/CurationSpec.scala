@@ -19,6 +19,35 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) == ((1L, 0L, 0.0))) // zero-overlap docs still reported
   }
 
+  test("weighted sample: k per group, weight-proportional, loud on bad weight") {
+    import spark.implicits._
+    // 200 groups, each with one heavy (w=10000) and one light (w=1) doc.
+    // A-ES: P[heavy wins a group] = 10000/10001; the hash-derived race
+    // is deterministic, so assert the aggregate skew, not exact picks.
+    val docs = (0 until 200).flatMap { g =>
+      Seq((g.toLong * 2, s"g$g", 10000L), (g.toLong * 2 + 1, s"g$g", 1L))
+    }.toDF("doc_id", "source", "n_chars")
+    val won = Curation.weightedSample(docs, k = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(won.length == 200) // exactly k=1 winners per group
+    assert(won.forall(_._3 == 1L))
+    val heavyWins = won.count(_._2 % 2 == 0)
+    assert(heavyWins >= 190, s"heavy docs won only $heavyWins/200")
+    // Determinism: a second run picks the identical sample.
+    val again = Curation.weightedSample(docs, k = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(won.sorted.toSeq == again.sorted.toSeq)
+    // k larger than the group: every doc sampled, ranks 1..n.
+    val all = Curation.weightedSample(docs, k = 5)
+    assert(all.count() == 400L)
+    // Non-positive weight fails loudly instead of silently dropping.
+    val bad = Seq((1L, "g", 0L)).toDF("doc_id", "source", "n_chars")
+    val e = intercept[Exception] {
+      Curation.weightedSample(bad, k = 1).collect()
+    }
+    assert(e.getMessage.contains("non-positive"))
+  }
+
   test("sequence packing: start-offset bins per shard") {
     import spark.implicits._
     // Shard s1 in doc_id order: 3, 4, 2 tokens; budget 5 →

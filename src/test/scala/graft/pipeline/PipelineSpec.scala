@@ -34,6 +34,29 @@ class PipelineSpec extends SparkSpec {
     assert(sh(2L) == Set("a b")) // shorter than n: whole doc
   }
 
+  test("chunking: window enumeration, overlap, short-doc fallback") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e"), (2L, "x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(d, chunkLen = 3, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // doc 1: n_chunks = 1 + (5-3+1) div 2 = 2 → [a b c] at 0, [c d e] at 2.
+    assert(got((1L, 0L)) == ((0L, 3L, "a b c")))
+    assert(got((1L, 1L)) == ((2L, 3L, "c d e")))
+    // doc 2 shorter than chunkLen: exactly one (short) chunk.
+    assert(got((2L, 0L)) == ((0L, 2L, "x y")))
+    assert(got.size == 3)
+    // Non-overlapping chunks (stride == chunkLen) reassemble the doc.
+    val rejoined = TextAnalysis.chunk(d, 2, 2)
+      .groupBy("doc_id")
+      // collect_list order is partition-dependent; sort by chunk_id.
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+        x => x.getField("chunk_text")), " ").as("txt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rejoined(1L) == "a b c d e" && rejoined(2L) == "x y")
+  }
+
   test("exact dedup: canonical id and group size") {
     val d = docs((5L, "same text"), (3L, "same text"), (9L, "Other"))
     val r = Dedup.exact(d).collect()
@@ -182,6 +205,56 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact == Set((1L, 2L)))
     assert(mh == exact) // 24 bands x 2 rows: catch probability ~1 at J~0.6
+  }
+
+  test("edit-distance join: finds near pairs, respects the bound") {
+    import spark.implicits._
+    val rel = Seq(
+      (1L, "hello world foo"),
+      (2L, "hello world fooz"), // dist 1 from id 1
+      (3L, "hello world foXzY"), // dist 3 from id 1, 2 from id 2
+      (4L, "completely different"),
+      (5L, "ab")) // shorter than q: no grams, excluded
+      .toDF("id", "name")
+    val got = Dedup.editDistanceJoin(rel, maxDist = 2, q = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 2L)))
+    // Tighter bound drops the dist-2 pair.
+    val tight = Dedup.editDistanceJoin(rel, maxDist = 1, q = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tight == Set((1L, 2L, 1L)))
+  }
+
+  test("edit-distance join: complete vs brute force on perturbed titles") {
+    import spark.implicits._
+    // 40 distinct-ish titles + a 1-char-deleted copy of every third one;
+    // the q-gram prefix + position + length filters must find exactly
+    // the pairs brute-force levenshtein finds.
+    val base = (0 until 40).map { i =>
+      (i.toLong * 2, s"title alpha$i beta${i % 7} gamma${i % 5} delta")
+    }
+    val pert = base.collect { case (id, nm) if (id / 2) % 3 == 0 =>
+      val pos = math.floorMod(nm.hashCode, nm.length)
+      (id + 1, nm.substring(0, pos) + nm.substring(pos + 1))
+    }
+    val rel = (base ++ pert).toDF("id", "name")
+    val got = Dedup.editDistanceJoin(rel, maxDist = 2, q = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val strs = (base ++ pert)
+    val brute = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+      d = {
+        // classic DP
+        val dp = Array.tabulate(sa.length + 1)(i => Array.tabulate(sb.length + 1)(j =>
+          if (i == 0) j else if (j == 0) i else 0))
+        for (i <- 1 to sa.length; j <- 1 to sb.length)
+          dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+            dp(i - 1)(j - 1) + (if (sa(i - 1) == sb(j - 1)) 0 else 1))
+        dp(sa.length)(sb.length)
+      } if d <= 2
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == brute)
+    assert(got.nonEmpty) // the planted copies guarantee pairs exist
   }
 
   test("simhash: identical docs collide, disjoint docs differ") {

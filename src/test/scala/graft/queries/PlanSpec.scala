@@ -52,6 +52,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("p42/p43/p44: sample group-limits, chunking is shuffle-free, edit join never crosses") {
+    // p42: the per-group top-k must plan as WindowGroupLimit (partial
+    // limit before the exchange), not a full per-group sort.
+    assert(planOf("p42_weighted_sample").contains("WindowGroupLimit"))
+    // p43: chunking is a purely narrow map+explode — ZERO exchanges.
+    // (The scan itself plans as one stage; any Exchange here means the
+    // operator silently grew a shuffle.)
+    val chunkPlan = planOf("p43_chunks")
+    assert(!chunkPlan.contains("Exchange"), s"chunking shuffles:\n$chunkPlan")
+    // p44: the q-gram candidate join must stay an equi hash join.
+    assert(!planOf("p44_edit_join").contains("CartesianProduct"))
+  }
+
   test("p35: the bucket weight and cut tables broadcast") {
     val p = planOf("p35_dsir_weights")
     assert(p.contains("BroadcastHashJoin"), s"weight table not broadcast:\n$p")
