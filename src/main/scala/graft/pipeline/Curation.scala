@@ -246,26 +246,43 @@ object Curation {
     require(k >= 1, s"weightedSample needs k >= 1, got $k")
     val keyed = docs.select(
       col(groupCol).as("group"), col("doc_id"),
-      // Loud failure on a non-positive weight (the div below would
-      // yield a silent NULL race key that sorts the row out of every
-      // sample) — the repo's raise_error convention.
-      when(col(weightCol) <= 0, raise_error(concat(
-        lit(s"weightedSample: non-positive $weightCol for doc_id="),
-        col("doc_id").cast("string"))).cast("long"))
-        .otherwise(col(weightCol).cast("long")).as("weight"))
-      // u in (0, 1]: (h mod 1e6 + 1) / 1e6 — never 0, so ln is finite.
-      .withColumn("u_micro",
-        pmod(Hashing.h60(concat(lit("ws:"), col("doc_id").cast("string"))),
-          lit(1000000L)) + 1L)
-      // e_micro = floor(-1e6 * ln(u)) = floor(1e6 * (ln(1e6) - ln(u_micro*1)))
-      .withColumn("e_micro",
-        floor(-log(col("u_micro").cast("double") / 1e6) * 1e6).cast("long"))
-      .withColumn("race_nano", expr("(e_micro * 1000000) div weight"))
+      checkedWeight(col(weightCol), col("doc_id")).as("weight"))
+      .withColumn("race_nano", raceKey(col("doc_id"), col("weight")))
     val w = Window.partitionBy(col("group"))
       .orderBy(col("race_nano"), col("doc_id"))
     keyed.withColumn("samp_rank", row_number().over(w).cast("long"))
       .filter(col("samp_rank") <= k)
       .select(col("group"), col("doc_id"), col("weight"), col("samp_rank"))
+  }
+
+  /** Loud failure on a non-positive weight (the race-key division would
+    * yield a silent NULL that sorts the row out of every sample) — the
+    * repo's raise_error convention.
+    */
+  private[graft] def checkedWeight(weight: Column, id: Column): Column =
+    when(weight <= 0, raise_error(concat(
+      lit("weightedSample: non-positive weight for doc_id="),
+      id.cast("string"))).cast("long"))
+      .otherwise(weight.cast("long"))
+
+  /** The A-ES race key of one row as an integer column — shared by the
+    * batch [[weightedSample]] and its streaming twin (smaller key wins;
+    * a per-group bottom-k of these keys IS a weighted sample without
+    * replacement). `u ∈ (0, 1]` is hash-derived at micro resolution,
+    * `-ln(u)` floors to integer micro-nats (the p27/p40 fixed-point-ln
+    * convention), and the divide by `weight` is integer floor division
+    * at nano resolution — a BIGINT both engines compute identically.
+    */
+  def raceKey(docId: Column, weight: Column): Column = {
+    val uMicro = pmod(Hashing.h60(concat(lit("ws:"), docId.cast("string"))),
+      lit(1000000L)) + 1L
+    val eMicro = floor(-log(uMicro.cast("double") / 1e6) * 1e6).cast("long")
+    val num = eMicro * 1000000L
+    // Integer floor division without an `expr` string: (num - num % w)
+    // is exactly divisible by w, so the double `/` is exact (correctly
+    // rounded IEEE division of a representable quotient; num ≤ ~1.4e13
+    // is far inside 2^53).
+    ((num - pmod(num, weight)) / weight).cast("long")
   }
 
   /** DSIR-style importance weighting (arXiv:2302.03169 shape): score

@@ -164,6 +164,34 @@ object TextAnalysis {
       .otherwise(lit("test"))
   }
 
+  /** Near-dup-group-aware train/val/test split — the leakage-free
+    * composition [[splitAssign]]'s doc promises: exact duplicates
+    * already co-assign (content-hash bucketing), but NEAR-duplicates
+    * hash differently and can leak a near-copy of a training doc into
+    * test. Here the split is keyed on each doc's dup-GROUP canonical
+    * member's content ([[Dedup.resolveDupGroups]] output), so every
+    * member of a transitive near-dup group lands in the same split by
+    * construction.
+    *
+    * @param groups `(doc_id, canonical_id)` from [[Dedup.resolveDupGroups]]
+    * @return `(doc_id, canonical_id, split)` for every input doc
+    *
+    * Scale: one equi hash join of the group table with the canonical
+    * members' text on an 8-byte key (canonical docs are ≤ corpus size;
+    * group resolution itself is the DF-native CC already measured in
+    * p14); the bucket decision is the same narrow codegen map as
+    * [[splitAssign]].
+    */
+  def groupSplitAssign(docs: DataFrame, groups: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10,
+      mode: Hashing.HashMode = Hashing.HashMode.Oracle): DataFrame = {
+    val repText = docs.select(col("doc_id").as("canonical_id"), col("text"))
+    groups.select(col("doc_id"), col("canonical_id"))
+      .join(repText, Seq("canonical_id"))
+      .select(col("doc_id"), col("canonical_id"),
+        splitAssign(col("text"), trainPct, valPct, mode).as("split"))
+  }
+
   /** Sliding-window document chunking — the RAG / context-window
     * pre-processing pass: split every document into overlapping
     * `chunkLen`-token windows advancing by `stride` tokens. The last

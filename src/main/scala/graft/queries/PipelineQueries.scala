@@ -63,7 +63,7 @@ object PipelineQueries {
   private[queries] val CM_DEPTH = 4
   private[queries] val CM_WIDTH = 2048
   private[queries] val CM_TOPK = 20
-  private val WS_K = 15
+  private[queries] val WS_K = 15
   private val CHUNK_LEN = 32
   private val CHUNK_STRIDE = 16
   private val ED_MAX = 2
@@ -130,6 +130,44 @@ object PipelineQueries {
 
   private def sqlJaccard(interExpr: String, naExpr: String, nbExpr: String): String =
     s"$interExpr / CAST($naExpr + $nbExpr - $interExpr AS DOUBLE)"
+
+  /** Dup-group resolution as DuckDB CTEs (exact-Jaccard pairs at DUP_T
+    * → recursive-CTE connected components → min-id canonical member),
+    * ending in `grp(doc_id, canonical_id)` — shared by p14 (the group
+    * operator itself) and p45 (the group-aware split built on it).
+    * Callers prepend `WITH RECURSIVE `.
+    */
+  private def sqlGroupCtes: String =
+    s"""$DOCS,
+       |post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+       |  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT id_a, id_b,
+       |      ${sqlJaccard("common", "sa.n_sh", "sb.n_sh")} AS j
+       |    FROM inter
+       |    JOIN hsh sa ON sa.doc_id = id_a
+       |    JOIN hsh sb ON sb.doc_id = id_b
+       |  ) WHERE j >= $DUP_T
+       |),
+       |sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
+       |),
+       |reach AS (
+       |  SELECT DISTINCT src AS id, src AS r FROM sym
+       |  UNION
+       |  SELECT s.dst AS id, r.r FROM reach r JOIN sym s ON s.src = r.id
+       |),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+       |grp AS (
+       |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
+       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+       |)""".stripMargin
 
   /** Fixed-point micro-cosine between two FLOAT[] exprs (dim 64). */
   private def sqlMicroCos(a: String, b: String): String = {
@@ -546,34 +584,8 @@ object PipelineQueries {
     // and resolves groups with a recursive CTE.
     QueryDef(
       "p14_dup_groups",
-      s"""WITH RECURSIVE $DOCS,
-         |post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-         |  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |),
-         |pairs AS (
-         |  SELECT id_a, id_b FROM (
-         |    SELECT id_a, id_b,
-         |      ${sqlJaccard("common", "sa.n_sh", "sb.n_sh")} AS j
-         |    FROM inter
-         |    JOIN hsh sa ON sa.doc_id = id_a
-         |    JOIN hsh sb ON sb.doc_id = id_b
-         |  ) WHERE j >= $DUP_T
-         |),
-         |sym AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
-         |),
-         |reach AS (
-         |  SELECT DISTINCT src AS id, src AS r FROM sym
-         |  UNION
-         |  SELECT s.dst AS id, r.r FROM reach r JOIN sym s ON s.src = r.id
-         |),
-         |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
-         |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
-         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin) {
+      s"""WITH RECURSIVE $sqlGroupCtes
+         |SELECT doc_id, canonical_id FROM grp""".stripMargin) {
       (s, dir) =>
         val docs = t(s, dir, "documents")
         Dedup.resolveDupGroups(docs,
@@ -1458,22 +1470,7 @@ object PipelineQueries {
     // nano-resolution floor division — so both engines rank identically.
     QueryDef(
       "p42_weighted_sample",
-      s"""WITH keyed AS (
-         |  SELECT source AS "group", doc_id, CAST(n_chars AS BIGINT) AS weight,
-         |    (${Hashing.sqlH60("'ws:' || CAST(doc_id AS VARCHAR)")} % 1000000) + 1
-         |      AS u_micro
-         |  FROM documents
-         |), raced AS (
-         |  SELECT "group", doc_id, weight,
-         |    (CAST(floor(-ln(CAST(u_micro AS DOUBLE) / 1000000.0) * 1000000.0)
-         |       AS BIGINT) * 1000000) // weight AS race_nano
-         |  FROM keyed
-         |)
-         |SELECT "group", doc_id, weight,
-         |  CAST(row_number() OVER (
-         |    PARTITION BY "group" ORDER BY race_nano, doc_id) AS BIGINT)
-         |    AS samp_rank
-         |FROM raced QUALIFY samp_rank <= $WS_K""".stripMargin) { (s, dir) =>
+      sqlWeightedSample) { (s, dir) =>
       Curation.weightedSample(t(s, dir, "documents"), WS_K)
     },
 
@@ -1572,8 +1569,51 @@ object PipelineQueries {
           expr("concat(substring(name, 1, pos - 1), " +
             "substring(name, pos + 1, 100000))").as("name"))
       Dedup.editDistanceJoin(base.unionByName(pert), ED_MAX, ED_Q)
+    },
+
+    // ---- near-dup-group-aware train/val/test split: the leakage-free
+    // composition p15's splitAssign doc promises — split keyed on each
+    // doc's dup-group CANONICAL member's content, so transitive
+    // near-dup groups co-assign by construction (a near-copy of a
+    // training doc can never land in test).
+    QueryDef(
+      "p45_group_split",
+      s"""WITH RECURSIVE $sqlGroupCtes
+         |SELECT g.doc_id, g.canonical_id,
+         |  CASE WHEN ${Hashing.sqlH60("lower(r.text)")} % 100 < 80 THEN 'train'
+         |       WHEN ${Hashing.sqlH60("lower(r.text)")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM grp g JOIN documents r ON r.doc_id = g.canonical_id""".stripMargin) {
+      (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val groups = Dedup.resolveDupGroups(docs,
+          pairsCached(s, dir).filter(col("jaccard") >= DUP_T))
+        TextAnalysis.groupSplitAssign(docs, groups)
     }
   )
+
+  /** The p42 A-ES weighted-sample oracle, shared VERBATIM by the
+    * streaming twin (s13): a per-group bottom-k of the integer race
+    * keys is order-free (same min-merge law as p31/s12), so streaming
+    * == batch EXACTLY and one SQL gates both.
+    */
+  private[queries] def sqlWeightedSample: String =
+    s"""WITH keyed AS (
+       |  SELECT source AS "group", doc_id, CAST(n_chars AS BIGINT) AS weight,
+       |    (${Hashing.sqlH60("'ws:' || CAST(doc_id AS VARCHAR)")} % 1000000) + 1
+       |      AS u_micro
+       |  FROM documents
+       |), raced AS (
+       |  SELECT "group", doc_id, weight,
+       |    (CAST(floor(-ln(CAST(u_micro AS DOUBLE) / 1000000.0) * 1000000.0)
+       |       AS BIGINT) * 1000000) // weight AS race_nano
+       |  FROM keyed
+       |)
+       |SELECT "group", doc_id, weight,
+       |  CAST(row_number() OVER (
+       |    PARTITION BY "group" ORDER BY race_nano, doc_id) AS BIGINT)
+       |    AS samp_rank
+       |FROM raced QUALIFY samp_rank <= $WS_K""".stripMargin
 
   /** The p31 bottom-k oracle, shared verbatim by the streaming twin
     * (s12) — bottom-k is an order-free min-merge, so streaming == batch

@@ -532,6 +532,48 @@ object SourceMlQueries {
           col("col.h").as("h"), (col("pos") + 1).cast("long").as("sample_rank"))
     },
 
+    // ---- streaming weighted sample — pure operator REUSE: the A-ES
+    // race key (Curation.raceKey, the batch p42 formula) turns
+    // bottomKStream into streaming weighted sampling without
+    // replacement, because "k smallest race keys win" IS a bottom-k and
+    // min-merge is order-free. Streaming == batch EXACTLY, so p42's
+    // oracle SQL gates this verbatim; weight rides back in via one
+    // batch-side join on doc_id after the drain.
+    QueryDef(
+      "s13_streaming_weighted_sample",
+      PipelineQueries.sqlWeightedSample) { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val base = scratch(dir, "s13")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("source").as("key"),
+          graft.pipeline.Curation.raceKey(col("doc_id"),
+            graft.pipeline.Curation.checkedWeight(col("n_chars"), col("doc_id")))
+            .as("h"),
+          col("doc_id").as("tie"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/in")
+      val stream = s.readStream.schema("key STRING, h BIGINT, tie BIGINT")
+        .parquet(s"$base/in")
+        .as[graft.streaming.StreamingOps.BkEvent](
+          org.apache.spark.sql.Encoders.product)
+      val samples = graft.streaming.StreamingOps.bottomKStream(
+        stream, PipelineQueries.WS_K)
+      val q = samples.writeStream.format("memory").queryName("s13_ws")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("s13_ws")
+        .groupBy(col("key"))
+        .agg(max_by(col("sample"), col("n_seen")).as("sample"))
+        .select(col("key"), posexplode(col("sample")))
+        .select(col("key").as("group"), col("col.tie").as("doc_id"),
+          (col("pos") + 1).cast("long").as("samp_rank"))
+        .join(docs.select(col("doc_id"), col("n_chars").cast("long").as("weight")),
+          Seq("doc_id"))
+        .select(col("group"), col("doc_id"), col("weight"), col("samp_rank"))
+    },
+
     // ---- M1-M4: StringIndexer (frequencyDesc, ties alphabetic, SPARK
     // docs) → OneHotEncoder(dropLast=false) → VectorAssembler. The active
     // one-hot indices of each part are fully determined by the per-feature

@@ -207,6 +207,28 @@ class PipelineSpec extends SparkSpec {
     assert(mh == exact) // 24 bands x 2 rows: catch probability ~1 at J~0.6
   }
 
+  test("group-aware split: near-dup groups co-assign on the canonical content") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "w x y z q a b c d e"),  // near-dup of 2 (J = 6/8 = 0.75)
+      (2L, "w x y z q a b c d f"),
+      (7L, "m n o p r s t u v w")). // singleton group
+      toDF("doc_id", "text").withColumn("source", lit("s"))
+    val pairs = Dedup.jaccardPairs(d, 3, 0.5)
+    val groups = Dedup.resolveDupGroups(d, pairs)
+    val got = TextAnalysis.groupSplitAssign(d, groups).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // 1 and 2 share the min-id canonical (1) and therefore the split —
+    // and that split is splitAssign of doc 1's OWN text, so the near-dup
+    // pair can never straddle train/test.
+    val rep1Split = d.filter(col("doc_id") === 1L)
+      .select(TextAnalysis.splitAssign(col("text"))).head().getString(0)
+    assert(got(1L) == ((1L, rep1Split)))
+    assert(got(2L) == ((1L, rep1Split)))
+    assert(got(7L)._1 == 7L) // singleton keeps its own id and content key
+    assert(got.size == 3)
+  }
+
   test("edit-distance join: finds near pairs, respects the bound") {
     import spark.implicits._
     val rel = Seq(
