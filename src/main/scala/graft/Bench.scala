@@ -156,6 +156,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Shuffle files are only deleted when ContextCleaner sees their
+      // plan get GC'd — and a large-heap driver may never GC across a
+      // whole bench session, so repeated heavy queries ACCUMULATE every
+      // run's shuffle spill on disk until the device fills (measured:
+      // the 100x stress run died ENOSPC with 79 GB free at start under
+      // the 30-minute default). One-minute periodic GC bounds standing
+      // spill to roughly one query's working set.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.setCheckpointDir(

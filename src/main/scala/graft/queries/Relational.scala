@@ -450,6 +450,58 @@ object Relational {
           sum(col("value").cast("decimal(18,2)")).over(w)
             .cast("double").as("rolling_sum"),
           count(lit(1)).over(w).as("rolling_n"))
+    },
+
+    // ---- trailing-window anomaly flags: z-score outlier detection per
+    // user (the fraud/monitoring primitive) made bit-exact cross-engine
+    // by never leaving the integers — values in exact cents, the
+    // variance test algebraically cleared of division and sqrt:
+    //   (x − mean)² > K²·var  ⇔  (x·n − s1)² > K²·(n·s2 − s1²)
+    // over the trailing frame's integer sums s1 = Σv, s2 = Σv². The
+    // frame EXCLUDES the current row (1 PRECEDING) so an anomaly can't
+    // suppress itself. Same single user_id hash-partition + sort as
+    // q20/q21; all frame sums incremental inside the sorted partition.
+    QueryDef(
+      "q22_anomaly",
+      s"""SELECT event_id, user_id, v_cents, n_prev, dev2, thr,
+         |  (n_prev >= $AN_MIN_N AND dev2 > thr) AS is_anomaly
+         |FROM (
+         |  SELECT event_id, user_id, v_cents,
+         |    COUNT(*) OVER w AS n_prev,
+         |    (v_cents * COUNT(*) OVER w - SUM(v_cents) OVER w)
+         |      * (v_cents * COUNT(*) OVER w - SUM(v_cents) OVER w) AS dev2,
+         |    ${AN_K * AN_K} * (COUNT(*) OVER w * SUM(v_cents * v_cents) OVER w
+         |      - SUM(v_cents) OVER w * SUM(v_cents) OVER w) AS thr
+         |  FROM (
+         |    SELECT event_id, user_id, ts,
+         |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
+         |    FROM events)
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN $AN_W PRECEDING AND 1 PRECEDING)
+         |)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-AN_W, -1)
+      val n = count(lit(1)).over(w)
+      val s1 = sum(col("v_cents")).over(w)
+      val s2 = sum(col("v_cents") * col("v_cents")).over(w)
+      val dev = col("v_cents") * n - s1
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("v_cents"))
+        .select(col("event_id"), col("user_id"), col("v_cents"),
+          n.as("n_prev"),
+          (dev * dev).as("dev2"),
+          (lit(AN_K * AN_K) * (n * s2 - s1 * s1)).as("thr"))
+        .withColumn("is_anomaly",
+          col("n_prev") >= AN_MIN_N && col("dev2") > col("thr"))
     }
   )
+
+  /** q22 anomaly-window constants: trailing frame length, z threshold,
+    * minimum history before a flag can fire.
+    */
+  private val AN_W = 10
+  private val AN_K = 3
+  private val AN_MIN_N = 4
 }
