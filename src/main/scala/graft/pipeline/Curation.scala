@@ -255,13 +255,17 @@ object Curation {
       .select(col("group"), col("doc_id"), col("weight"), col("samp_rank"))
   }
 
-  /** Loud failure on a non-positive weight (the race-key division would
-    * yield a silent NULL that sorts the row out of every sample) — the
-    * repo's raise_error convention.
+  /** Loud failure on a NULL or non-positive weight (the race-key
+    * division would yield a silent NULL that Spark's window sorts
+    * NULLS FIRST — always sampled — while DuckDB sorts NULLS LAST —
+    * never sampled: a silent cross-engine divergence) — the repo's
+    * raise_error convention. The NULL arm is explicit because
+    * `NULL <= 0` is NULL, which `when` treats as false and would have
+    * slipped past the guard.
     */
   private[graft] def checkedWeight(weight: Column, id: Column): Column =
-    when(weight <= 0, raise_error(concat(
-      lit("weightedSample: non-positive weight for doc_id="),
+    when(weight.isNull || weight <= 0, raise_error(concat(
+      lit("weightedSample: NULL or non-positive weight for doc_id="),
       id.cast("string"))).cast("long"))
       .otherwise(weight.cast("long"))
 

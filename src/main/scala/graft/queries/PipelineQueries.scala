@@ -1526,7 +1526,7 @@ object PipelineQueries {
          |), pert0 AS (
          |  SELECT doc_id, name,
          |    CAST(${Hashing.sqlH60("name")} % length(name) AS INTEGER) + 1 AS pos
-         |  FROM titles WHERE doc_id % 3 = 0
+         |  FROM titles WHERE doc_id % 3 = 0 AND length(name) > 0
          |), pert AS (
          |  SELECT doc_id * 2 + 1 AS id,
          |    substr(name, 1, pos - 1) || substr(name, pos + 1, 100000) AS name
@@ -1561,7 +1561,11 @@ object PipelineQueries {
         array_join(slice(TextAnalysis.tokens(col("text")), 1, ED_TITLE_TOKS), " ")
           .as("name"))
       val base = titles.select((col("doc_id") * 2).as("id"), col("name"))
-      val pert = titles.filter(col("doc_id") % 3 === 0)
+      // length(name) > 0 mirrors the oracle's pert0 filter: an empty
+      // title would make DuckDB abort on `% length(name)` (modulo by
+      // zero) while Spark's pmod yields NULL — engine divergence on
+      // degenerate input, so neither side perturbs empty titles.
+      val pert = titles.filter(col("doc_id") % 3 === 0 && length(col("name")) > 0)
         .withColumn("pos",
           (pmod(Hashing.h60(col("name")), length(col("name")).cast("long")) + 1L)
             .cast("int"))

@@ -20,6 +20,26 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** q22 anomaly-window constants: trailing frame length, z threshold,
+    * minimum history before a flag can fire. MUST be defined BEFORE
+    * `queries`: the oracle SQL interpolates them EAGERLY at object
+    * init, and a forward reference silently reads 0 (Scala object-init
+    * order) — exactly the round-11 q22 failure, where the emitted SQL
+    * carried `ROWS BETWEEN 0 PRECEDING AND 1 PRECEDING` (empty frame,
+    * NULL sums) while the lazily-invoked Spark closure read the
+    * correct 10/3/4.
+    */
+  private val AN_W = 10
+  private val AN_K = 3
+  private val AN_MIN_N = 4
+
+  /** Loud-overflow bound for q22's Long arithmetic: with |v| ≤ 1e8
+    * cents ($1M), thr ≤ K²·n²·v² = 9·100·1e16 = 9e18 < 2⁶³−1 and
+    * dev2 ≤ (2n·v)² = 4e18, so every intermediate fits in Long; a
+    * larger value raise_errors instead of silently wrapping.
+    */
+  private val AN_V_MAX = 100000000L
+
   val queries: Seq[QueryDef] = Seq(
     // ---- A: aggregation over a filtered scan (TPC-H Q1 shape). Filter +
     // column pruning push into the parquet scan; partial aggregation is
@@ -461,6 +481,14 @@ object Relational {
     // frame EXCLUDES the current row (1 PRECEDING) so an anomaly can't
     // suppress itself. Same single user_id hash-partition + sort as
     // q20/q21; all frame sums incremental inside the sorted partition.
+    // Type pinning (round-12 fix): DuckDB's SUM(BIGINT) OVER returns
+    // HUGEINT, so without the CASTs the oracle's dev2/thr materialize
+    // as DECIMAL(38,0) vs Spark's int64 and the hash compare sinks on
+    // type alone — same pinning as g16's modularity aggregates. DuckDB
+    // computes exactly in HUGEINT and its CAST errors loudly on
+    // overflow; Spark computes in Long behind a raise_error guard
+    // (|v_cents| ≤ AN_V_MAX ⇒ thr ≤ 9·10·10·v² < 2⁶³), so both
+    // engines fail loudly rather than silently wrapping.
     QueryDef(
       "q22_anomaly",
       s"""SELECT event_id, user_id, v_cents, n_prev, dev2, thr,
@@ -468,10 +496,11 @@ object Relational {
          |FROM (
          |  SELECT event_id, user_id, v_cents,
          |    COUNT(*) OVER w AS n_prev,
-         |    (v_cents * COUNT(*) OVER w - SUM(v_cents) OVER w)
-         |      * (v_cents * COUNT(*) OVER w - SUM(v_cents) OVER w) AS dev2,
-         |    ${AN_K * AN_K} * (COUNT(*) OVER w * SUM(v_cents * v_cents) OVER w
-         |      - SUM(v_cents) OVER w * SUM(v_cents) OVER w) AS thr
+         |    CAST((v_cents * COUNT(*) OVER w - SUM(v_cents) OVER w)
+         |      * (v_cents * COUNT(*) OVER w - SUM(v_cents) OVER w)
+         |      AS BIGINT) AS dev2,
+         |    CAST(${AN_K * AN_K} * (COUNT(*) OVER w * SUM(v_cents * v_cents) OVER w
+         |      - SUM(v_cents) OVER w * SUM(v_cents) OVER w) AS BIGINT) AS thr
          |  FROM (
          |    SELECT event_id, user_id, ts,
          |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
@@ -489,6 +518,12 @@ object Relational {
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("ts"),
           (col("value").cast("decimal(18,2)") * 100).cast("long").as("v_cents"))
+        .withColumn("v_cents",
+          when(abs(col("v_cents")) > AN_V_MAX,
+            raise_error(concat(lit(s"q22_anomaly: |v_cents| exceeds $AN_V_MAX; " +
+              "Long arithmetic for dev2/thr would overflow: "),
+              col("v_cents").cast("string"))))
+            .otherwise(col("v_cents")))
         .select(col("event_id"), col("user_id"), col("v_cents"),
           n.as("n_prev"),
           (dev * dev).as("dev2"),
@@ -498,10 +533,4 @@ object Relational {
     }
   )
 
-  /** q22 anomaly-window constants: trailing frame length, z threshold,
-    * minimum history before a flag can fire.
-    */
-  private val AN_W = 10
-  private val AN_K = 3
-  private val AN_MIN_N = 4
 }

@@ -29,8 +29,11 @@ import graft.pipeline.{Curation, Dedup, TextAnalysis}
   * inserts mixture equalization after decontamination (every source
   * down-sampled to the smallest source's size by the deterministic
   * hash-Bernoulli keep). Writes `outDir/curated` (surviving docs +
-  * `split`) and `outDir/packed` (train-split sequence packing), and
-  * prints ONE JSON line of per-stage counts and wall times.
+  * group-aware `split` — near-dup groups co-assign by construction),
+  * `outDir/groups` (the dup-group artifact `(doc_id, group_id,
+  * is_canonical)` for downstream audit/re-split), and `outDir/packed`
+  * (train-split sequence packing), and prints ONE JSON line of
+  * per-stage counts and wall times.
   *
   * Scale: every stage is the oracle-gated distributed operator — no
   * stage collects documents to the driver. Stages are localCheckpointed
@@ -96,10 +99,20 @@ object Curate {
       scrubbed.join(canon, Seq("doc_id"), "left_semi")
     }
 
-    val near = stage("near_dedup") {
+    // The dup-group mapping is a first-class ARTIFACT, not a dedup
+    // byproduct (VERDICT round 11 #8): it feeds the group-aware split
+    // below (a near-copy of a training doc must never land in test) and
+    // ships to outDir/groups so downstream consumers can audit or
+    // re-split without re-resolving.
+    val (groups, groupsSec) = timed {
       val pairs = Dedup.jaccardPairsPrefix(exact, shingleN, jaccardT)
-      val canon = Dedup.resolveDupGroups(exact, pairs)
-      exact.join(canon.filter(col("doc_id") === col("canonical_id"))
+      val g = Dedup.resolveDupGroups(exact, pairs).localCheckpoint()
+      g
+    }
+    stats("groups_sec") = groupsSec
+
+    val near = stage("near_dedup") {
+      exact.join(groups.filter(col("doc_id") === col("canonical_id"))
         .select("doc_id"), Seq("doc_id"), "left_semi")
     }
 
@@ -133,12 +146,25 @@ object Curate {
         Seq("doc_id"), "left_semi")
     }
 
+    // Group-aware split (p45 semantics via the CLI path): the split is
+    // keyed on each doc's dup-group CANONICAL member's content, so the
+    // whole transitive near-dup group co-assigns — plain content-hash
+    // splitAssign would let a surviving near-copy of a training doc
+    // land in test. Canonical text is looked up in `exact` (the
+    // relation `groups` was resolved over), so a canonical later
+    // dropped by decontam/equalize still anchors its group's split.
     val curated = stage("split") {
-      balanced.withColumn("split", TextAnalysis.splitAssign(col("text")))
+      balanced.join(
+        TextAnalysis.groupSplitAssign(exact, groups)
+          .select(col("doc_id"), col("split")),
+        Seq("doc_id"))
     }
 
     val (_, writeSec) = timed {
       curated.write.mode(SaveMode.Overwrite).parquet(s"$outDir/curated")
+      groups.select(col("doc_id"), col("canonical_id").as("group_id"),
+          (col("doc_id") === col("canonical_id")).as("is_canonical"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/groups")
       Curation.packSequences(curated.filter(col("split") === "train"),
         packBudget)
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/packed")

@@ -247,6 +247,20 @@ class PipelineSpec extends SparkSpec {
     assert(tight == Set((1L, 2L, 1L)))
   }
 
+  test("edit-distance join: short-string incompleteness is observable") {
+    import spark.implicits._
+    val rel = Seq(
+      (1L, "hello world foo"), // 15 chars: above both thresholds
+      (2L, "hello world fooz"),
+      (3L, "tiny"), // < q=5: excluded entirely
+      (4L, "short str")) // 9 chars <= q*(maxDist+1)-1 = 14: below exactness
+      .toDF("id", "name")
+    val obs = new org.apache.spark.sql.Observation("ed-cov")
+    Dedup.editDistanceJoin(rel, maxDist = 2, q = 5, coverage = Some(obs)).count()
+    assert(obs.get("n_no_grams") == 1L)
+    assert(obs.get("n_below_exact") == 2L) // "tiny" counts in both tiers
+  }
+
   test("edit-distance join: complete vs brute force on perturbed titles") {
     import spark.implicits._
     // 40 distinct-ish titles + a 1-char-deleted copy of every third one;

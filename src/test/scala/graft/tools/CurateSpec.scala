@@ -25,6 +25,59 @@ class CurateSpec extends SparkSpec {
     assert(packed.count() > 0)
   }
 
+  test("curate emits the dup-group artifact and co-assigns near-dup splits") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // Synthetic corpus with PLANTED near-dup pairs: doc 2i+1 is doc 2i
+    // with one word substituted (Jaccard on 3-shingles well above 0.8
+    // for these long docs), plus unrelated singleton docs. The CLI path
+    // must (a) ship the groups artifact and (b) assign both members of
+    // every surviving near-dup group... except near-dedup keeps only
+    // canonicals — so the stronger CLI-path assertion is on the GROUPS
+    // artifact + the split key: a doc's split equals its canonical's
+    // content-hash split, which is exactly what makes a near-copy
+    // unable to cross the train/test boundary.
+    val body = (i: Int) => (0 until 40).map(w =>
+      s"the word${(i * 53 + w * 7) % 23} is about token$w and it").mkString(" ")
+    val pairs = (0 until 30).flatMap { i =>
+      val t = s"doc $i " + body(i)
+      Seq((i * 2L, t, "web"), (i * 2L + 1, t + " tail", "web"))
+    }
+    val singles = (100 until 120).map(i =>
+      (i.toLong * 2, s"unique doc $i " + body(i + 1000), "books"))
+    val docsP = java.nio.file.Files.createTempDirectory("curate-grp")
+      .toString + "/docs.parquet"
+    (pairs ++ singles).toDF("doc_id", "text", "source").write.parquet(docsP)
+
+    val out = java.nio.file.Files.createTempDirectory("curate-grp-out").toString
+    Curate.run(spark, docsP, out, benchmarkPath = None, jaccardT = 0.8)
+
+    val groups = spark.read.parquet(s"$out/groups")
+    assert(groups.columns.toSet == Set("doc_id", "group_id", "is_canonical"))
+    // Every planted pair resolved into one group with one canonical.
+    val gm = groups.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    (0 until 30).foreach { i =>
+      assert(gm(i * 2L)._1 == gm(i * 2L + 1)._1,
+        s"planted pair ${i * 2} / ${i * 2 + 1} not in one group")
+    }
+    assert(groups.filter(col("is_canonical")).count() ==
+      groups.select("group_id").distinct().count())
+    // CLI-path split is keyed on the canonical: recompute the expected
+    // split from each surviving doc's group canonical's text and match.
+    val canonSplit = spark.read.parquet(docsP)
+      .join(groups.filter(col("is_canonical"))
+        .select(col("doc_id"), col("group_id")), Seq("doc_id"))
+      .select(col("group_id"),
+        graft.pipeline.TextAnalysis.splitAssign(col("text")).as("want"))
+    val got = spark.read.parquet(s"$out/curated")
+      .join(groups.select(col("doc_id"), col("group_id")), Seq("doc_id"))
+      .join(canonSplit, Seq("group_id"))
+    assert(got.count() > 0)
+    assert(got.filter(col("split") =!= col("want")).count() == 0,
+      "a doc's split diverged from its group canonical's split")
+  }
+
   test("curate decontamination stage drops overlapping docs") {
     val out = java.nio.file.Files.createTempDirectory("curate-spec2").toString
     // Benchmark = the corpus itself: every doc is 100% contaminated,
