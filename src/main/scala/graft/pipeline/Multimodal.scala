@@ -152,6 +152,66 @@ object Multimodal {
     }
   }
 
+  // ----------------------------------------------------- real BMP decode
+
+  /** A generated BMP asset: id + the actual encoded BMP byte payload. */
+  final case class BmpAsset(asset_id: Long, payload: Array[Byte])
+
+  /** Stats decoded from a real BMP payload (see [[Bmp.Stats]]). */
+  final case class DecodedBmp(asset_id: Long, width: Long, height: Long,
+      n_bytes: Long, px_sum: Long, px_wsum: Long)
+
+  /** Deterministic per-asset geometry for the planted BMP corpus:
+    * `(2 + h mod 8, 2 + (h div 8) mod 8)` — 2..9 pixels a side, so the
+    * oracle's unnest stays tiny while padding widths (w mod 4) all occur.
+    */
+  def bmpDims(h: Long): (Int, Int) =
+    ((2 + h % 8).toInt, (2 + (h / 8) % 8).toInt)
+
+  /** Deterministic pixel formula in IMAGE coordinates; the formula is
+    * what the ORACLE recomputes in SQL, while the Spark side must
+    * round-trip it through genuine BMP bytes ([[Bmp.encode]] →
+    * [[Bmp.decode]]) — so a hash match proves the codec handles
+    * little-endian headers, bottom-up rows, BGR order, and row padding
+    * bit-exactly, not merely that both sides share a formula.
+    */
+  def bmpPixel(h: Long)(x: Int, y: Int, c: Int): Int =
+    ((h + 7L * x + 13L * y + 31L * c) % 256L).toInt
+
+  /** Build a REAL BMP corpus from a documents-like table: one 24-bit
+    * BI_RGB image per doc, dims and pixels derived from the doc id.
+    * Same batched mapPartitions shape as [[decodeAssets]]; encoding is
+    * a narrow map (no shuffle).
+    */
+  def bmpAssetsFromDocuments(docs: DataFrame, idCol: String = "doc_id")
+      : Dataset[BmpAsset] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val h = Hashing.h60(id.toString)
+        val (w, hgt) = bmpDims(h)
+        BmpAsset(id, Bmp.encode(w, hgt, bmpPixel(h)))
+      }
+    }
+  }
+
+  /** The real decode pass: parse each BMP payload ([[Bmp.decode]] —
+    * loud on malformed bytes) into geometry + pixel checksums. One
+    * decoder pass per partition iterator, no shuffle, constant memory.
+    */
+  def decodeBmpAssets(assets: Dataset[BmpAsset]): Dataset[DecodedBmp] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { rows =>
+      rows.map { a =>
+        val s = Bmp.decode(a.payload)
+        DecodedBmp(a.asset_id, s.width, s.height, s.n_bytes,
+          s.px_sum, s.px_wsum)
+      }
+    }
+  }
+
   /** DuckDB SQL computing [[FakeDecoder.decode]]'s output from the same
     * source table (for the oracle): `idExpr`/`textExpr` are column exprs.
     */

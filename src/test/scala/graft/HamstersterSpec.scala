@@ -1,7 +1,8 @@
 package graft
 
 import graft.config.HgnConfig
-import graft.graph.Communities
+import graft.graph.{Communities, LabelProp, Modularity, PropertyGraph}
+import graft.sources.GraphCsv
 import org.apache.spark.sql.functions._
 
 /** Hamsterster-scale parity run (VERDICT round 2, "Next round" #7): the
@@ -51,5 +52,45 @@ class HamstersterSpec extends SparkSpec {
     assert(hist == Map(2L -> 18L, 3L -> 6L, 4L -> 2L, 5L -> 4L,
       6L -> 2L, 7L -> 3L, 10L -> 1L, 11L -> 1L, 13L -> 1L, 1610L -> 1L),
       s"converged community histogram drifted: $hist")
+
+    // --- Detector quality on the ORIGINAL graph (VERDICT round 11 #3):
+    // the reference's entire purpose is the deletion-loop communities;
+    // g16's modularity metric grades them against the engine's other
+    // detectors on the SAME original Hamsterster edge set. Q is scored
+    // on the original edges (partition quality of the input network,
+    // the standard convention), with vertices the HGN loop isolated
+    // kept as singleton labels.
+    val nodes0 = GraphCsv.loadNodes(spark, conf.nodesPath, conf.featureNames,
+      conf.nodesDelimiter, conf.nodesHasHeader, conf.nodesEncoding)
+    val edges0 = GraphCsv.loadEdges(spark, conf.edgesPath,
+      conf.edgesHaveWeights, conf.edgesDelimiter, conf.edgesHasHeader)
+    val g0 = PropertyGraph(nodes0, edges0)
+    val canon = graft.plans.Lineage.cut(
+      g0.adjacency.filter(col("src") < col("dst")))
+    val v0 = g0.vertices.select(col("id"))
+    val hgnLabels = v0
+      .join(comp.select(col("id"), col("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("label"))
+    val labelings = Seq(
+      "hgn" -> hgnLabels,
+      "cc" -> Communities.connectedComponents(g0)
+        .select(col("id"), col("component").as("label")),
+      "lpa" -> LabelProp.run(v0, canon, iters = 3),
+      "singleton" -> v0.select(col("id"), col("id").as("label")))
+    val q = labelings.map { case (tag, l) =>
+      val r = Modularity.score(l, canon).collect()(0)
+      tag -> ((r.getAs[Long]("q_micro"), r.getAs[Long]("n_communities")))
+    }.toMap
+    info(s"modularity on original Hamsterster (q_micro, n_communities): " +
+      q.toSeq.sortBy(-_._2._1).map { case (t, (qm, nc)) => s"$t=$qm/$nc" }
+        .mkString(", "))
+    // The deletion-loop communities must beat both degenerate baselines:
+    // all-singletons (negative Q) and raw connected components (the
+    // giant component scores near zero).
+    assert(q("hgn")._1 > q("singleton")._1,
+      s"HGN Q ${q("hgn")._1} not above singleton ${q("singleton")._1}")
+    assert(q("hgn")._1 > q("cc")._1,
+      s"HGN Q ${q("hgn")._1} not above CC ${q("cc")._1}")
+    assert(q("hgn")._1 > 0, s"HGN Q not positive: ${q("hgn")._1}")
   }
 }

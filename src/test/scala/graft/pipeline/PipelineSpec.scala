@@ -194,6 +194,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("capped-postings jaccard is a subset of exact with true scores") {
+    // Docs 1/2 near-dup via RARE shared shingles; docs 3/4/5 share only
+    // the ubiquitous "w x y" stem. A df cap of 2 drops the hot shingles
+    // from candidate generation: the 1-2 pair must survive (its rare
+    // shingles are under the cap) with its EXACT uncapped Jaccard, and
+    // every capped pair must appear in the uncapped result with the
+    // same score (candidates shrink, the metric never deflates).
+    val d = docs(
+      (1L, "w x y rare1 rare2 rare3 a b"),
+      (2L, "w x y rare1 rare2 rare3 a c"),
+      (3L, "w x y k l m n o"),
+      (4L, "w x y p q r s t"),
+      (5L, "w x y u v z1 z2 z3"))
+    for (tau <- Seq(0.2, 0.4)) {
+      val exact = Dedup.jaccardPairs(d, 3, tau).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val capped = Dedup.jaccardPairs(d, 3, tau, maxPostings = 2L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(capped.subsetOf(exact), s"tau $tau: capped ⊄ exact")
+      assert(capped.exists { case (a, b, _) => a == 1L && b == 2L },
+        s"tau $tau: rare-shingle pair lost by the cap")
+    }
+  }
+
   test("minhash pairs find the same near-dups as exact jaccard") {
     val d = docs(
       (1L, "w x y z q a b c d e"),

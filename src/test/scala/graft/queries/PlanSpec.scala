@@ -65,6 +65,17 @@ class PlanSpec extends SparkSpec {
     assert(!planOf("p44_edit_join").contains("CartesianProduct"))
   }
 
+  test("p46/p47: capped-posting join stays equi, BMP decode is shuffle-free") {
+    // p46: the df-capped posting self-join and the verify joins must
+    // all be equi joins — the cap exists precisely so no all-pairs
+    // shape can appear.
+    assert(!planOf("p46_capped_jaccard").contains("CartesianProduct"))
+    // p47: encode→decode is a purely narrow mapPartitions chain — any
+    // Exchange means the codec plumbing silently grew a shuffle.
+    val p = planOf("p47_bmp_decode")
+    assert(!p.contains("Exchange"), s"BMP decode shuffles:\n$p")
+  }
+
   test("p35: the bucket weight and cut tables broadcast") {
     val p = planOf("p35_dsir_weights")
     assert(p.contains("BroadcastHashJoin"), s"weight table not broadcast:\n$p")
