@@ -150,12 +150,29 @@ object Bench {
       SessionTuning.autoShufflePartitions(sfDir, cpus.toInt)
     System.err.println(s"[bench] shuffle partitions: $shufflePartitions " +
       s"(input ${SessionTuning.dirBytes(sfDir) >> 20} MB, $cpus cores)")
-    val spark = SparkSession.builder()
+    // Extra session confs for scale experiments, e.g.
+    // SPARK_GRAFT_EXTRA_CONF="spark.sql.adaptive.coalescePartitions.enabled=false;spark.io.compression.codec=zstd".
+    // Semicolon-separated k=v pairs, applied at BUILDER time (core confs
+    // like the compression codec are immutable after session creation) —
+    // the 100x stress lesson (SCALE.md): AQE's coalescing decides from
+    // COMPRESSED map-output sizes and (with parallelismFirst=true, the
+    // default) happily repacks data-sized shuffle partitions back down
+    // toward the core count, multiplying per-task aggregate STATE far
+    // past what the compressed bytes suggest; pinning coalescing off for
+    // a stress run keeps partition count tracking data.
+    val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    extraConf.foreach { case (k, v) =>
+      System.err.println(s"[bench] extra conf: $k=$v") }
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    val spark = extraConf.foldLeft(builder0) {
+      case (b, (k, v)) => b.config(k, v) }
       // Shuffle files are only deleted when ContextCleaner sees their
       // plan get GC'd — and a large-heap driver may never GC across a
       // whole bench session, so repeated heavy queries ACCUMULATE every

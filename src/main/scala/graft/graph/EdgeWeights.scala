@@ -85,9 +85,19 @@ object EdgeWeights {
       .select(col("src").as("nb_src"), col("dst").as("nb_dst"),
         explode(col("common_neighbors")).as("peer"))
     val j3 = j1.join(member, Seq("nb_src", "nb_dst", "peer"), "left_semi")
-    j3.groupBy(col("nb_src").as("src"), col("nb_dst").as("dst"))
-      .agg((countDistinct(when(col("similarity") >= featureMinAvg, col("similarity"))) /
-        countDistinct(col("similarity"))).as("edge_weight"))
+    // "Distinct values then count" as an EXPLICIT pre-dedup, not a
+    // double countDistinct: Spark plans two distinct aggregates over
+    // one relation via Expand (×2 row multiplication, two concurrent
+    // per-task distinct-state maps) — measured as the 100x stress's
+    // spill/OOM hot spot. The manual (edge, value) dedup ships each
+    // row once, collapses duplicates map-side BEFORE the exchange, and
+    // leaves the ratio as two plain map-side-combinable counts.
+    j3.select(col("nb_src").as("src"), col("nb_dst").as("dst"),
+        col("similarity"))
+      .distinct()
+      .groupBy(col("src"), col("dst"))
+      .agg((count(when(col("similarity") >= featureMinAvg, lit(1))) /
+        count(lit(1))).as("edge_weight"))
   }
 
   /** Reference-structural implementation (the j_1/j_2/j_3 chain verbatim:

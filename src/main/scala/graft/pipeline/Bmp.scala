@@ -16,7 +16,8 @@ package graft.pipeline
   *   - bytes 10-13 pixel-array offset (LE u32, 54 here)
   *   - bytes 14-17 info-header size (LE u32, 40)
   *   - bytes 18-21 width  (LE i32, > 0)
-  *   - bytes 22-25 height (LE i32, > 0 ⇒ bottom-up rows)
+  *   - bytes 22-25 height (LE i32; > 0 ⇒ bottom-up rows, < 0 ⇒
+  *     top-down rows at |height| — both directions decoded)
   *   - bytes 26-27 planes (1), 28-29 bits-per-pixel (24)
   *   - bytes 30-33 compression (0 = BI_RGB)
   *   - pixel array: rows bottom-to-top, each row 3·width bytes of
@@ -108,11 +109,15 @@ object Bmp {
       f"not a BMP: magic 0x${bytes(0)}%02x 0x${bytes(1)}%02x")
     val pxOff = le32(bytes, 10)
     val width = le32(bytes, 18)
-    val height = le32(bytes, 22)
+    val rawHeight = le32(bytes, 22)
+    // Negative height is the format's top-down marker (rows stored in
+    // image order, no flip) — Windows commonly writes it.
+    val topDown = rawHeight < 0
+    val height = if (topDown) -rawHeight else rawHeight
     val bpp = le16(bytes, 28)
     val compression = le32(bytes, 30)
     require(width > 0 && height > 0,
-      s"unsupported BMP dims ${width}x$height (top-down/zero not handled)")
+      s"unsupported BMP dims ${width}x$rawHeight")
     require(bpp == 24, s"unsupported bpp $bpp (only 24-bit)")
     require(compression == 0, s"unsupported compression $compression (only BI_RGB)")
     val stride = rowStride(width)
@@ -123,7 +128,9 @@ object Bmp {
     var pxWsum = 0L
     var y = 0
     while (y < height) {
-      val rowOff = pxOff + (height - 1 - y) * stride // undo bottom-up
+      val rowOff = // bottom-up flips row order; top-down is image order
+        if (topDown) pxOff + y * stride
+        else pxOff + (height - 1 - y) * stride
       var x = 0
       while (x < width) {
         val o = rowOff + 3 * x

@@ -1606,13 +1606,20 @@ object PipelineQueries {
     // route (VERDICT round 11 #4): shingles posted by more than CAP_DF
     // docs are dropped for CANDIDATE GENERATION (bounding every posting
     // list, hence the join fan-out, by a constant), while the Jaccard
-    // itself is still computed over FULL shingle sets. The oracle
-    // replays the same df-cap selection deterministically, so the gate
-    // covers the cap semantics — not just the uncapped ideal p04 checks.
+    // itself is still computed over FULL shingle sets. Runs on the
+    // 60-bit HASHED shingle keys (8-byte postings, long-array verify —
+    // the same machinery as the p04 prefix path; the first string-array
+    // cut measured 3x slower on array shipping alone). The oracle
+    // replays the identical hashed df-cap selection deterministically,
+    // so the gate covers the cap semantics end to end.
     QueryDef(
       "p46_capped_jaccard",
       s"""WITH $DOCS,
-         |post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |h60 AS (
+         |  SELECT doc_id, list_transform(shingles, s -> ${Hashing.sqlH60("s")}) AS hs
+         |  FROM sh
+         |),
+         |post AS (SELECT doc_id, unnest(hs) AS s FROM h60),
          |rare AS (SELECT s FROM post GROUP BY s HAVING count(*) <= $CAP_DF),
          |capped AS (SELECT p.doc_id, p.s FROM post p JOIN rare USING (s)),
          |cand AS (
@@ -1621,13 +1628,13 @@ object PipelineQueries {
          |)
          |SELECT id_a, id_b, j AS jaccard FROM (
          |  SELECT id_a, id_b,
-         |    ${sqlJaccard("len(list_intersect(sa.shingles, sb.shingles))",
-               "sa.n_sh", "sb.n_sh")} AS j
+         |    ${sqlJaccard("len(list_intersect(sa.hs, sb.hs))",
+               "len(sa.hs)", "len(sb.hs)")} AS j
          |  FROM cand
-         |  JOIN hsh sa ON sa.doc_id = id_a
-         |  JOIN hsh sb ON sb.doc_id = id_b
+         |  JOIN h60 sa ON sa.doc_id = id_a
+         |  JOIN h60 sb ON sb.doc_id = id_b
          |) WHERE j >= $JACCARD_T""".stripMargin) { (s, dir) =>
-      Dedup.jaccardPairs(t(s, dir, "documents"), SHINGLE_N, JACCARD_T,
+      Dedup.jaccardPairsCapped(t(s, dir, "documents"), SHINGLE_N, JACCARD_T,
         maxPostings = CAP_DF)
     },
 

@@ -70,6 +70,18 @@ class BmpSpec extends AnyFunSuite {
     assert(Bmp.decode(swapped).px_wsum != Bmp.decode(golden).px_wsum)
   }
 
+  test("top-down BMP (negative height) decodes identically") {
+    // Same golden image re-encoded top-down: height = -2, rows in IMAGE
+    // order (y=0 first), no flip.
+    val td = golden.clone()
+    // -2 as LE i32 at offset 22
+    td(22) = 0xfe.toByte; td(23) = 0xff.toByte
+    td(24) = 0xff.toByte; td(25) = 0xff.toByte
+    Array.copy(golden, 62, td, 54, 8) // y=0 row first
+    Array.copy(golden, 54, td, 62, 8) // y=1 row second
+    assert(Bmp.decode(td) == Bmp.decode(golden).copy(n_bytes = 70))
+  }
+
   test("malformed input fails loudly") {
     def msg(b: Array[Byte]): String =
       intercept[IllegalArgumentException](Bmp.decode(b)).getMessage

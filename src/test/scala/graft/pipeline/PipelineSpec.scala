@@ -215,6 +215,12 @@ class PipelineSpec extends SparkSpec {
       assert(capped.subsetOf(exact), s"tau $tau: capped ⊄ exact")
       assert(capped.exists { case (a, b, _) => a == 1L && b == 2L },
         s"tau $tau: rare-shingle pair lost by the cap")
+      // The hashed-key production variant (p46's operator) selects the
+      // same capped pairs: df per shingle is identical whether keyed by
+      // the string or its 60-bit hash.
+      val cappedHashed = Dedup.jaccardPairsCapped(d, 3, tau, maxPostings = 2L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(cappedHashed == capped, s"tau $tau: hashed != string capped")
     }
   }
 
