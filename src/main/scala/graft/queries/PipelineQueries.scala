@@ -26,6 +26,15 @@ object PipelineQueries {
     * not vacuously equal to uncapped.
     */
   private val CAP_DF = 5L
+
+  /** p48 containment constants: excerpt length (tokens), minimum doc
+    * tokens before an excerpt is planted (so excerpt ≠ whole doc and
+    * Jaccard stays visibly below the containment), and the directional
+    * threshold.
+    */
+  private val CONT_EXCERPT = 8
+  private val CONT_MIN_TOKS = 12
+  private val CONT_T = 0.9
   private val DUP_T = 0.8
   private val STRAT_K = 25
   private val MH_BANDS = 24
@@ -1670,6 +1679,58 @@ object PipelineQueries {
          |FROM px GROUP BY doc_id""".stripMargin) { (s, dir) =>
       Multimodal.decodeBmpAssets(
         Multimodal.bmpAssetsFromDocuments(t(s, dir, "documents"))).toDF()
+    },
+
+    // ---- containment (asymmetric) similarity pairs — the quote/
+    // excerpt detector Jaccard is blind to: C(A→B) = |A∩B|/|A| ≈ 1 for
+    // a short doc embedded in a long one while Jaccard stays low. The
+    // natural corpus has NO contained-but-not-Jaccard pairs (measured),
+    // so the gate PLANTS them: every doc_id ≡ 0 (mod 4) with ≥ 12
+    // tokens also contributes its first-8-token excerpt as a "quote"
+    // doc — containment 1.0 by construction, Jaccard ≤ 6/n_sh. The
+    // oracle replays planting + the hashed intersection counts, so the
+    // asymmetric semantics are what the hash compare certifies.
+    QueryDef(
+      "p48_containment",
+      s"""WITH base AS (
+         |  SELECT doc_id * 2 AS id, text FROM documents
+         |), exc AS (
+         |  SELECT doc_id * 2 + 1 AS id,
+         |    array_to_string(list_slice(string_split(lower(text), ' '),
+         |      1, $CONT_EXCERPT), ' ') AS text
+         |  FROM documents
+         |  WHERE doc_id % 4 = 0
+         |    AND len(string_split(lower(text), ' ')) >= $CONT_MIN_TOKS
+         |), rel AS (
+         |  SELECT id, text FROM base UNION ALL SELECT id, text FROM exc
+         |), rtoks AS (
+         |  SELECT id, string_split(lower(text), ' ') AS tokens FROM rel
+         |), rsh AS (
+         |  SELECT id, ${Shingles.sqlWordShingles("tokens", SHINGLE_N)} AS shingles
+         |  FROM rtoks
+         |), h AS (
+         |  SELECT id, list_transform(shingles, s -> ${Hashing.sqlH60("s")}) AS hs,
+         |    CAST(len(shingles) AS BIGINT) AS n FROM rsh
+         |), post AS (SELECT id, unnest(hs) AS s FROM h),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+         |  FROM post a JOIN post b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b,
+         |  c / CAST(ha.n AS DOUBLE) AS cont_a_in_b,
+         |  c / CAST(hb.n AS DOUBLE) AS cont_b_in_a
+         |FROM inter JOIN h ha ON ha.id = id_a JOIN h hb ON hb.id = id_b
+         |WHERE greatest(c / CAST(ha.n AS DOUBLE), c / CAST(hb.n AS DOUBLE))
+         |  >= $CONT_T""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val base = docs.select((col("doc_id") * 2).as("doc_id"), col("text"))
+      val toks = TextAnalysis.tokens(col("text"))
+      val exc = docs
+        .filter(col("doc_id") % 4 === 0 && size(toks) >= CONT_MIN_TOKS)
+        .select((col("doc_id") * 2 + 1).as("doc_id"),
+          array_join(slice(toks, 1, CONT_EXCERPT), " ").as("text"))
+      Dedup.containmentPairs(base.unionByName(exc), SHINGLE_N, CONT_T)
     }
   )
 

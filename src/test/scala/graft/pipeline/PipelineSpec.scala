@@ -224,6 +224,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("containment finds the embedded quote that jaccard misses") {
+    // Doc 1 = 20 tokens; doc 2 = its first 8 tokens (a quote). Every
+    // quote shingle is in the doc: containment(quote→doc) = 1.0, while
+    // Jaccard = 6/18 = 1/3 — below any dedup threshold.
+    val long = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val quote = (1 to 8).map(i => s"tok$i").mkString(" ")
+    val d = docs((1L, long), (2L, quote), (3L, "x y z unrelated words"))
+    val got = Dedup.containmentPairs(d, 3, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 6.0 / 18.0, 1.0)),
+      s"containment pairs: ${got.toSeq}")
+    // The symmetric operator is blind to the same pair at dedup-grade
+    // thresholds — precisely the blind spot containment closes.
+    val jac = Dedup.jaccardPairs(d, 3, 0.8).collect()
+    assert(jac.isEmpty)
+    // Identical docs score 1.0 in BOTH directions.
+    val twin = docs((1L, long), (2L, long))
+    val both = Dedup.containmentPairs(twin, 3, 0.9).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(both.toSeq == Seq((1.0, 1.0)))
+  }
+
   test("minhash pairs find the same near-dups as exact jaccard") {
     val d = docs(
       (1L, "w x y z q a b c d e"),

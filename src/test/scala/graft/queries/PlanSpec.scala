@@ -149,7 +149,7 @@ class PlanSpec extends SparkSpec {
         "g10_pagerank", "g11_pagerank_weighted", "g12_triangles",
         "p18_ann_ivf_probed", "p19_contamination",
         "p20_seq_packing", "p26_segment_dedup", "p27_unigram_lm",
-        "p28_tfidf_keywords")) {
+        "p28_tfidf_keywords", "p46_capped_jaccard")) {
       val df = SparkEntry.queries(name)(spark, sf1)
       // Execute through the df's OWN QueryExecution (finalizes the
       // adaptive plan) without driver-materializing the result — g04's
