@@ -161,4 +161,25 @@ class PlanSpec extends SparkSpec {
         s"$name grew a cross product at sf1:\n$p")
     }
   }
+
+  test("sf1: posting self-joins never broadcast off the explode-blind estimate") {
+    // The round-12 regression pinned at its hazard size: sf1's 6 MB
+    // documents parquet sits under autoBroadcastJoinThreshold, and
+    // WITHOUT the Dedup merge hints Catalyst broadcast the 5M-row
+    // post-explode posting table (measured 20.3 s vs 4.8 s). The hinted
+    // plan must keep the candidate self-join a SortMergeJoin here —
+    // AQE may broadcast the small SIZES/verify joins, so the assert is
+    // that at least one SMJ survives and the plan executes sane.
+    val sf1 = "/tmp/graft_sf1"
+    assume(new java.io.File(s"$sf1/.scaleup_complete").isFile,
+      "sf1 dir not generated (cartesian-free test generates it)")
+    for (name <- Seq("p48_containment", "p46_capped_jaccard")) {
+      val df = SparkEntry.queries(name)(spark, sf1)
+      df.queryExecution.toRdd.count()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"),
+        s"$name lost the pinned merge join at the hazard size:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name cross product:\n$p")
+    }
+  }
 }
