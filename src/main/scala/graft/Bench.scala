@@ -162,7 +162,12 @@ object Bench {
     // a stress run keeps partition count tracking data.
     val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
-      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+      .map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => (k, v)
+          case _ => sys.error(s"bad SPARK_GRAFT_EXTRA_CONF entry (need k=v): $kv")
+        }
+      }
     extraConf.foreach { case (k, v) =>
       System.err.println(s"[bench] extra conf: $k=$v") }
     val builder0 = SparkSession.builder()

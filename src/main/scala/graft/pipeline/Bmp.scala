@@ -120,10 +120,15 @@ object Bmp {
       s"unsupported BMP dims ${width}x$rawHeight")
     require(bpp == 24, s"unsupported bpp $bpp (only 24-bit)")
     require(compression == 0, s"unsupported compression $compression (only BI_RGB)")
-    val stride = rowStride(width)
-    require(pxOff >= 54 && pxOff.toLong + stride.toLong * height <= bytes.length,
-      s"truncated BMP: need ${pxOff + stride.toLong * height} bytes, " +
+    // Stride bound computed in LONG (ADVICE round 12): an adversarial
+    // header width near 2^31/3 overflows `3 * width` to a small positive
+    // Int, letting the truncation check pass and the pixel loop explode
+    // later with an index error instead of the documented loud require.
+    val strideL = (3L * width + 3) / 4 * 4
+    require(pxOff >= 54 && pxOff.toLong + strideL * height <= bytes.length,
+      s"truncated BMP: need ${pxOff + strideL * height} bytes, " +
         s"have ${bytes.length}")
+    val stride = strideL.toInt // safe: bounded by bytes.length above
     var pxSum = 0L
     var pxWsum = 0L
     var y = 0

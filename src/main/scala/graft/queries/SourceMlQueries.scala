@@ -63,7 +63,14 @@ object SourceMlQueries {
   private val stagedPaths =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def stageOnce(path: String)(write: => Unit): Unit =
-    if (stagedPaths.add(path)) write
+    if (stagedPaths.add(path)) {
+      // Mark staged only if the write SUCCEEDS (ADVICE round 12): a
+      // failed staging write must not leave the path marked, or every
+      // later execution in this JVM would silently stream from a
+      // missing/partial directory instead of erroring.
+      try write
+      catch { case e: Throwable => stagedPaths.remove(path); throw e }
+    }
 
   private val NODES_SQL = s"""
     |nodes AS (

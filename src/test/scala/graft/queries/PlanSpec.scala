@@ -121,16 +121,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"probe ranking is a full sort:\n$p")
   }
 
-  test("sf1: heavy-family plans stay cartesian-free at 10x data") {
-    // Scale guard (VERDICT round 5 "Next round" #1): the same plan facts
-    // on the 10x generated directory — AQE re-plans per run, and a
-    // broadcast that silently degrades to a cartesian/shuffle blowup at
-    // larger stats is exactly what sf0.001 cannot catch. Round 9's run
-    // CANCELED here because the directory was a manual pre-step; the
-    // test now (re)generates it itself (VERDICT round 9 #2), so the
-    // assertion always EXECUTES. A marker file written only after a
-    // complete generation guards against a half-written dir from a
-    // killed earlier run.
+  /** (Re)generate the 10x directory if its completion marker is absent
+    * and return its path. Shared by BOTH sf1 tests (ADVICE round 12:
+    * the merge-hint guard was gated on an `assume` that a different
+    * test had already generated the dir, so run in isolation it
+    * silently skipped — each sf1 test now self-provisions). A marker
+    * file written only after a complete generation guards against a
+    * half-written dir from a killed earlier run.
+    */
+  private def ensureSf1(): String = {
     val sf1 = "/tmp/graft_sf1"
     val marker = new java.io.File(s"$sf1/.scaleup_complete")
     if (!marker.isFile) {
@@ -138,6 +137,18 @@ class PlanSpec extends SparkSpec {
       graft.tools.ScaleUp.run(spark, "/root/testdata/sf0.1", sf1, 10)
       assert(marker.createNewFile() || marker.isFile)
     }
+    sf1
+  }
+
+  test("sf1: heavy-family plans stay cartesian-free at 10x data") {
+    // Scale guard (VERDICT round 5 "Next round" #1): the same plan facts
+    // on the 10x generated directory — AQE re-plans per run, and a
+    // broadcast that silently degrades to a cartesian/shuffle blowup at
+    // larger stats is exactly what sf0.001 cannot catch. Round 9's run
+    // CANCELED here because the directory was a manual pre-step; the
+    // test now (re)generates it itself (VERDICT round 9 #2), so the
+    // assertion always EXECUTES.
+    val sf1 = ensureSf1()
     // Round 7 extends the list with the full HGN iteration family
     // (VERDICT round 6 "What's missing" #1) — g04's motif join-chain is
     // the survey's flagged exponential risk and needs the plan guard at
@@ -170,9 +181,7 @@ class PlanSpec extends SparkSpec {
     // plan must keep the candidate self-join a SortMergeJoin here —
     // AQE may broadcast the small SIZES/verify joins, so the assert is
     // that at least one SMJ survives and the plan executes sane.
-    val sf1 = "/tmp/graft_sf1"
-    assume(new java.io.File(s"$sf1/.scaleup_complete").isFile,
-      "sf1 dir not generated (cartesian-free test generates it)")
+    val sf1 = ensureSf1()
     for (name <- Seq("p48_containment", "p46_capped_jaccard")) {
       val df = SparkEntry.queries(name)(spark, sf1)
       df.queryExecution.toRdd.count()
