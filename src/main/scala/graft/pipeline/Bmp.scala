@@ -98,11 +98,13 @@ object Bmp {
     b
   }
 
-  /** Parse a 24-bit BI_RGB BMP and return its [[Stats]]. Loud on
-    * malformed input: wrong magic, unsupported bpp/compression,
-    * truncated pixel array, or non-positive dims.
+  /** Validated header facts of a 24-bit BI_RGB BMP — one loud parse
+    * shared by the stats and pixel-grid decoders.
     */
-  def decode(bytes: Array[Byte]): Stats = {
+  private final case class Header(
+      pxOff: Int, width: Int, height: Int, topDown: Boolean, stride: Int)
+
+  private def parseHeader(bytes: Array[Byte]): Header = {
     require(bytes.length >= 54,
       s"BMP too short: ${bytes.length} bytes < 54-byte header")
     require(bytes(0) == 'B' && bytes(1) == 'M',
@@ -128,7 +130,16 @@ object Bmp {
     require(pxOff >= 54 && pxOff.toLong + strideL * height <= bytes.length,
       s"truncated BMP: need ${pxOff + strideL * height} bytes, " +
         s"have ${bytes.length}")
-    val stride = strideL.toInt // safe: bounded by bytes.length above
+    Header(pxOff, width, height, topDown, strideL.toInt)
+  }
+
+  /** Parse a 24-bit BI_RGB BMP and return its [[Stats]]. Loud on
+    * malformed input: wrong magic, unsupported bpp/compression,
+    * truncated pixel array, or non-positive dims.
+    */
+  def decode(bytes: Array[Byte]): Stats = {
+    val hd = parseHeader(bytes)
+    import hd.{pxOff, width, height, topDown, stride}
     var pxSum = 0L
     var pxWsum = 0L
     var y = 0
@@ -152,5 +163,40 @@ object Bmp {
       y += 1
     }
     Stats(width.toLong, height.toLong, bytes.length.toLong, pxSum, pxWsum)
+  }
+
+  /** The fully decoded pixel grid in IMAGE coordinates: `data` holds
+    * `(y·width + x)·3 + c` → channel value, channel order R,G,B — the
+    * representation the resize/embed passes operate on. Bottom-up flip,
+    * BGR→RGB swizzle and padding skip all happen HERE, once.
+    */
+  final case class Pixels(width: Int, height: Int, data: Array[Int]) {
+    def apply(x: Int, y: Int, c: Int): Int = data((y * width + x) * 3 + c)
+  }
+
+  /** Parse a 24-bit BI_RGB BMP into its full pixel grid (same loud
+    * validation as [[decode]]).
+    */
+  def decodePixels(bytes: Array[Byte]): Pixels = {
+    val hd = parseHeader(bytes)
+    import hd.{pxOff, width, height, topDown, stride}
+    val data = new Array[Int](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val rowOff =
+        if (topDown) pxOff + y * stride
+        else pxOff + (height - 1 - y) * stride
+      var x = 0
+      while (x < width) {
+        val o = rowOff + 3 * x
+        val base = (y * width + x) * 3
+        data(base) = bytes(o + 2) & 0xff // R
+        data(base + 1) = bytes(o + 1) & 0xff // G
+        data(base + 2) = bytes(o) & 0xff // B
+        x += 1
+      }
+      y += 1
+    }
+    Pixels(width, height, data)
   }
 }

@@ -48,9 +48,27 @@ object PipelineQueries {
   private val IVF_K = 5
   private val NPROBE = 2
   private val PACK_BUDGET = 512L
-  private val MM_MAXDIM = 96L
-  private val MM_STRIDE = 4
-  private val MM_EMBED_DIM = 8
+
+  /** Multimodal constants for the planted BMP corpus (dims 2..9 a
+    * side, see [[Multimodal.bmpDims]]): resize bound 4 so both the
+    * no-op and the downscale branch occur, frame stride 2 so sampled
+    * counts vary, and a 2×2 region lattice (12-component embedding).
+    */
+  private val BMP_MAXDIM = 4
+  private val MM_STRIDE = 2
+  private val MM_GRID = 2
+
+  /** Shared oracle CTE replaying the planted-BMP formula: per-doc hash
+    * `h`, dims `w`×`hh` ([[Multimodal.bmpDims]]). Appended after a
+    * `WITH `; callers add their own pixel CTEs on top.
+    */
+  private def sqlBmpDims: String =
+    s"""d AS (
+       |  SELECT doc_id, ${Hashing.sqlH60("CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents
+       |), dims AS (
+       |  SELECT doc_id, h, 2 + h % 8 AS w, 2 + (h // 8) % 8 AS hh FROM d
+       |)""".stripMargin
   private val PQ_M = 8
   private val PQ_NBITS = 4
   private val PQ_SUBDIM = 8 // 64 / PQ_M
@@ -549,45 +567,77 @@ object PipelineQueries {
         tables = 4, minMicroCos = 400000L)
     },
 
-    // ---- multimodal decode plumbing: binary payload + mapPartitions
-    // batch decode (deterministic stub), oracle-verified end to end.
+    // ---- multimodal decode, PIXEL-DERIVED (round 13; no stub): encode
+    // a real 24-bit BMP per doc, then parse the BYTES back into the
+    // full pixel grid and emit geometry + per-channel value sums
+    // (channel sums catch a B/R swizzle a total sum is blind to). The
+    // oracle replays the planted pixel formula; Spark must recover
+    // every value from the encoded bytes.
     QueryDef(
       "p10_multimodal_decode",
-      Multimodal.sqlDecodeFragment("doc_id", "text") + "\nFROM documents") {
-      (s, dir) =>
-        Multimodal.decodeAssets(
-          Multimodal.assetsFromDocuments(t(s, dir, "documents"))).toDF()
+      s"""WITH $sqlBmpDims, px AS (
+         |  SELECT doc_id, w, hh, c.c AS c,
+         |    ((h + 7 * x.x + 13 * y.y + 31 * c.c) % 256) AS v
+         |  FROM dims,
+         |    UNNEST(range(0, w)) AS x(x),
+         |    UNNEST(range(0, hh)) AS y(y),
+         |    UNNEST(range(0, 3)) AS c(c)
+         |)
+         |SELECT doc_id AS asset_id,
+         |  CAST(54 + MIN(hh) * ((3 * MIN(w) + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+         |  CAST(MIN(w) AS BIGINT) AS width, CAST(MIN(hh) AS BIGINT) AS height,
+         |  CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS r_sum,
+         |  CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS g_sum,
+         |  CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS b_sum
+         |FROM px GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Multimodal.decodeAssets(
+        Multimodal.bmpAssetsFromDocuments(t(s, dir, "documents"))).toDF()
     },
 
-    // ---- multimodal resize + frame-sample plumbing: decode → aspect-
-    // preserving integer resize to MAXDIM, and every-4th-frame sampling
-    // of the fake container (n_bytes/100+1 frames) — both per-partition
-    // passes, geometry/indexing arithmetic oracle-verified.
+    // ---- multimodal resize + frame-sample, PIXEL-DERIVED (round 13):
+    // decode the real BMP grid, nearest-neighbor stride-resize to the
+    // aspect-floor target, and CHECKSUM THE RESIZED PIXELS (so the pass
+    // provably transformed pixels, not just dims); plus every-2nd-frame
+    // sampling with the frame count derived from the real payload
+    // length. The oracle recomputes each output pixel as the planted
+    // formula at its floor-mapped source coordinate.
     QueryDef(
       "p21_multimodal_resize",
-      s"""WITH dec AS (
-         |  ${Multimodal.sqlDecodeFragment("doc_id", "text")}
-         |  FROM documents
-         |), rez AS (
-         |  SELECT asset_id,
-         |    CASE WHEN greatest(width, height) <= $MM_MAXDIM THEN width
-         |      ELSE width * $MM_MAXDIM // greatest(width, height) END AS out_w,
-         |    CASE WHEN greatest(width, height) <= $MM_MAXDIM THEN height
-         |      ELSE height * $MM_MAXDIM // greatest(width, height) END AS out_h
-         |  FROM dec
+      s"""WITH $sqlBmpDims, rd AS (
+         |  SELECT doc_id, h, w, hh,
+         |    CASE WHEN greatest(w, hh) <= $BMP_MAXDIM THEN w
+         |      ELSE greatest(1, w * $BMP_MAXDIM // greatest(w, hh)) END AS ow,
+         |    CASE WHEN greatest(w, hh) <= $BMP_MAXDIM THEN hh
+         |      ELSE greatest(1, hh * $BMP_MAXDIM // greatest(w, hh)) END AS oh
+         |  FROM dims
+         |), px AS (
+         |  SELECT doc_id, w, hh, ow, oh,
+         |    ((h + 7 * (x.x * w // ow) + 13 * (y.y * hh // oh) + 31 * c.c)
+         |      % 256) AS v,
+         |    ((y.y * ow + x.x) * 3 + c.c + 1) AS wt
+         |  FROM rd,
+         |    UNNEST(range(0, ow)) AS x(x),
+         |    UNNEST(range(0, oh)) AS y(y),
+         |    UNNEST(range(0, 3)) AS c(c)
+         |), rz AS (
+         |  SELECT doc_id AS asset_id,
+         |    CAST(MIN(w) AS BIGINT) AS src_w, CAST(MIN(hh) AS BIGINT) AS src_h,
+         |    CAST(MIN(ow) AS BIGINT) AS out_w, CAST(MIN(oh) AS BIGINT) AS out_h,
+         |    CAST(SUM(v) AS BIGINT) AS px_sum,
+         |    CAST(SUM(wt * v) AS BIGINT) AS px_wsum
+         |  FROM px GROUP BY doc_id
          |), fr AS (
          |  SELECT doc_id AS asset_id,
-         |    CAST(len(range(0, octet_length(encode(text)) // 100 + 1, $MM_STRIDE))
+         |    CAST(len(range(0,
+         |      (54 + hh * ((3 * w + 3) // 4 * 4)) // 100 + 1, $MM_STRIDE))
          |      AS BIGINT) AS n_sampled
-         |  FROM documents
+         |  FROM dims
          |)
-         |SELECT r.asset_id, CAST(out_w AS BIGINT) AS out_w,
-         |  CAST(out_h AS BIGINT) AS out_h, n_sampled
-         |FROM rez r JOIN fr USING (asset_id)""".stripMargin) { (s, dir) =>
-      val assets = Multimodal.assetsFromDocuments(t(s, dir, "documents"))
-      val resized = Multimodal
-        .resizeAssets(Multimodal.decodeAssets(assets), MM_MAXDIM)
-        .select(col("asset_id"), col("out_w"), col("out_h"))
+         |SELECT r.asset_id, src_w, src_h, out_w, out_h, px_sum, px_wsum,
+         |  n_sampled
+         |FROM rz r JOIN fr USING (asset_id)""".stripMargin) { (s, dir) =>
+      val assets = Multimodal.bmpAssetsFromDocuments(t(s, dir, "documents"))
+      val resized = Multimodal.resizeAssets(assets, BMP_MAXDIM).toDF()
       val sampled = Multimodal.sampleFrames(assets, MM_STRIDE)
         .groupBy("asset_id").agg(count(lit(1)).as("n_sampled"))
       resized.join(sampled, Seq("asset_id"))
@@ -742,26 +792,40 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
     },
 
-    // ---- multimodal feature extraction: asset → embedding vector (the
-    // fourth multimodal pass; mapPartitions batch shape, stub encoder).
-    // The float components are integer-exact under a ×1000 round-trip,
-    // so the oracle compares the recovered integer lists as strings —
-    // verifying the batched plumbing end to end without cross-engine
-    // float formatting.
+    // ---- multimodal feature extraction, PIXEL-DERIVED (round 13):
+    // decode the real BMP grid and pool a 2×2 region lattice of integer
+    // channel means — a 12-component embedding of genuinely
+    // pixel-derived statistics (region of pixel (x,y) is floor
+    // (x·G/w, y·G/h); mean is floor division, exact in Float32). The
+    // oracle groups the planted formula's pixels by the same region
+    // assignment; components compare as an ordered integer string, so
+    // the batched decode→pool plumbing is hash-verified without
+    // cross-engine float formatting.
     QueryDef(
       "p22_multimodal_embed",
-      s"""SELECT doc_id AS asset_id,
-         |  array_to_string(list_transform(range(0, $MM_EMBED_DIM), i ->
-         |    CAST(${Hashing.sqlH60(
-        "CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 2001
-         |      - 1000 AS BIGINT)), ',') AS emb_q
-         |FROM documents""".stripMargin) { (s, dir) =>
+      s"""WITH $sqlBmpDims, px AS (
+         |  SELECT doc_id,
+         |    (y.y * $MM_GRID // hh) * $MM_GRID + (x.x * $MM_GRID // w) AS reg,
+         |    c.c AS c,
+         |    ((h + 7 * x.x + 13 * y.y + 31 * c.c) % 256) AS v
+         |  FROM dims,
+         |    UNNEST(range(0, w)) AS x(x),
+         |    UNNEST(range(0, hh)) AS y(y),
+         |    UNNEST(range(0, 3)) AS c(c)
+         |), comp AS (
+         |  SELECT doc_id, reg, c,
+         |    CAST(SUM(v) // COUNT(*) AS BIGINT) AS mean
+         |  FROM px GROUP BY doc_id, reg, c
+         |)
+         |SELECT doc_id AS asset_id,
+         |  array_to_string(list(mean ORDER BY reg, c), ',') AS emb_q
+         |FROM comp GROUP BY doc_id""".stripMargin) { (s, dir) =>
       Multimodal.embedAssets(
-          Multimodal.assetsFromDocuments(t(s, dir, "documents")), MM_EMBED_DIM)
+          Multimodal.bmpAssetsFromDocuments(t(s, dir, "documents")), MM_GRID)
         .toDF()
         .select(col("asset_id"),
           concat_ws(",", transform(col("embedding"),
-            x => round(x.cast("double") * 1000).cast("long"))).as("emb_q"))
+            x => x.cast("long"))).as("emb_q"))
     },
 
     // ---- product quantization, deterministic variant: integer LCG

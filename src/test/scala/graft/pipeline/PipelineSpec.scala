@@ -3,6 +3,24 @@ package graft.pipeline
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
+/** Output row of the spec-fixture [[FakeDecoder]] — top-level so
+  * Spark's Encoder derivation sees a stable class name.
+  */
+final case class FakeDecoded(asset_id: Long, n_bytes: Long, feature: Long)
+
+/** The round-12 hash-stub decoder, DEMOTED to a test fixture (VERDICT
+  * round 12 #1): it demonstrates the pluggable-decoder shape — any
+  * `Asset => T` body slots into the same batched `mapPartitions` pass
+  * the real BMP decoders use — without any production path depending
+  * on id-derived fake values. Top-level so the task closure doesn't
+  * capture the (non-serializable) spec instance.
+  */
+object FakeDecoder {
+  def decode(a: Multimodal.Asset): FakeDecoded =
+    FakeDecoded(a.asset_id, a.payload.length.toLong,
+      Hashing.h60(a.asset_id.toString) % 1000003L)
+}
+
 class PipelineSpec extends SparkSpec {
 
   private def docs(rows: (Long, String)*) = {
@@ -408,47 +426,94 @@ class PipelineSpec extends SparkSpec {
     assert(hits(p1) == hits(unprobed))
   }
 
-  test("multimodal: decode plumbing preserves rows and derives metadata") {
-    val d = docs((1L, "hello world"), (2L, "abc"))
-    val out = Multimodal.decodeAssets(Multimodal.assetsFromDocuments(
-      d.withColumn("doc_id", col("doc_id")))).collect()
+  test("multimodal: a custom decoder slots into the batched partition pass") {
+    import spark.implicits._
+    val assets = Multimodal.assetsFromDocuments(docs((1L, "hello world"), (2L, "abc")))
+    val out = assets.mapPartitions(_.map(FakeDecoder.decode)).collect()
       .map(a => a.asset_id -> a).toMap
     assert(out(1L).n_bytes == 11 && out(2L).n_bytes == 3)
-    assert(out(1L).width >= 32 && out(1L).width < 256)
-    // deterministic: same id -> same fake geometry
-    assert(out(1L).width == 32L + Hashing.h60("1") % 224L)
+    assert(out(1L).feature == Hashing.h60("1") % 1000003L)
   }
 
-  test("multimodal: resize keeps aspect ratio, frame sampling strides") {
-    val d = docs((1L, "x" * 250), (2L, "y"))
-    val assets = Multimodal.assetsFromDocuments(d)
-    val rez = Multimodal.resizeAssets(Multimodal.decodeAssets(assets), 96L)
-      .collect().map(r => r.asset_id -> r).toMap
-    for ((_, r) <- rez) {
-      assert(math.max(r.out_w, r.out_h) <= 96L)
-      if (math.max(r.src_w, r.src_h) <= 96L)
-        assert((r.out_w, r.out_h) == ((r.src_w, r.src_h))) // no upscale
-      else // floor integer scaling of the max dimension hits the target
-        assert(math.max(r.out_w, r.out_h) == 96L ||
-          math.max(r.out_w, r.out_h) == 95L)
+  test("multimodal: decode recovers pixel-derived channel sums from real bytes") {
+    val ids = Seq(1L, 2L, 7L, 42L)
+    val out = Multimodal.decodeAssets(Multimodal.bmpAssetsFromDocuments(
+        docs(ids.map(i => (i, "t")): _*))).collect()
+      .map(a => a.asset_id -> a).toMap
+    for (id <- ids) {
+      val h = Hashing.h60(id.toString)
+      val (w, hh) = Multimodal.bmpDims(h)
+      // Reference sums straight from the planted formula — decode must
+      // recover them from the encoded bytes.
+      def chSum(c: Int): Long = (for {
+        y <- 0 until hh; x <- 0 until w
+      } yield Multimodal.bmpPixel(h)(x, y, c).toLong).sum
+      val d = out(id)
+      assert((d.width, d.height) == ((w.toLong, hh.toLong)))
+      assert(d.n_bytes == 54L + Bmp.rowStride(w).toLong * hh)
+      assert((d.r_sum, d.g_sum, d.b_sum) == ((chSum(0), chSum(1), chSum(2))))
     }
-    // 250-byte payload -> 3 fake frames -> stride 2 samples frames 0, 2.
+  }
+
+  test("multimodal: resize transforms pixels (checksummed), frames stride real lengths") {
+    val ids = (1L to 40L).toSeq
+    val assets = Multimodal.bmpAssetsFromDocuments(docs(ids.map(i => (i, "t")): _*))
+    val rez = Multimodal.resizeAssets(assets, maxDim = 4)
+      .collect().map(r => r.asset_id -> r).toMap
+    var sawNoop = false; var sawScale = false
+    for (id <- ids) {
+      val r = rez(id)
+      val h = Hashing.h60(id.toString)
+      val (w, hh) = Multimodal.bmpDims(h)
+      val (ow, oh) = Multimodal.resizeDims(w, hh, 4)
+      assert((r.src_w, r.src_h, r.out_w, r.out_h) ==
+        ((w.toLong, hh.toLong, ow.toLong, oh.toLong)))
+      if ((ow, oh) == ((w, hh))) sawNoop = true else sawScale = true
+      // Reference checksums over the nearest-neighbor-resized grid,
+      // recomputed from the formula at floor-mapped source coords.
+      var es = 0L; var ews = 0L
+      for (y <- 0 until oh; x <- 0 until ow; c <- 0 until 3) {
+        val v = Multimodal.bmpPixel(h)(x * w / ow, y * hh / oh, c).toLong
+        es += v; ews += ((y.toLong * ow + x) * 3 + c + 1) * v
+      }
+      assert((r.px_sum, r.px_wsum) == ((es, ews)),
+        s"resize checksum diverged for id $id (${w}x$hh -> ${ow}x$oh)")
+    }
+    assert(sawNoop && sawScale, "both resize branches must occur")
+    // Frame sampling derives counts from the REAL payload byte length.
     val frames = Multimodal.sampleFrames(assets, 2).collect()
       .groupBy(_.asset_id).view.mapValues(_.map(_.frame_idx).sorted.toSeq).toMap
-    assert(frames(1L) == Seq(0L, 2L))
-    assert(frames(2L) == Seq(0L)) // 1-byte payload -> 1 frame
+    for (id <- ids) {
+      val h = Hashing.h60(id.toString)
+      val (w, hh) = Multimodal.bmpDims(h)
+      val nBytes = 54 + Bmp.rowStride(w) * hh
+      assert(frames(id) == (0 until nBytes / 100 + 1 by 2).map(_.toLong))
+    }
   }
 
-  test("multimodal: extracted embeddings compose with the ANN family") {
-    val d = docs((1L, "a b"), (2L, "c d"), (3L, "e f"), (4L, "g h"))
+  test("multimodal: pooled-pixel embeddings compose with the ANN family") {
+    val d = docs((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
     val emb = Multimodal
-      .embedAssets(Multimodal.assetsFromDocuments(d), dim = 8).toDF()
+      .embedAssets(Multimodal.bmpAssetsFromDocuments(d), grid = 2).toDF()
       .select(col("asset_id").as("vec_id"), col("embedding"))
-    // Components bounded in [-1, 1] (the stub's contract), dim as asked.
-    val mx = emb.select(max(aggregate(col("embedding"), lit(0.0d),
-      (acc, x) => greatest(acc, abs(x.cast("double")))))).head().getDouble(0)
-    assert(mx <= 1.0)
-    assert(emb.select(size(col("embedding"))).head().getInt(0) == 8)
+    // 2x2 regions x 3 channels = 12 components, each an integer channel
+    // mean in 0..255.
+    assert(emb.select(size(col("embedding"))).head().getInt(0) == 12)
+    val bounds = emb.select(
+      min(array_min(col("embedding"))), max(array_max(col("embedding")))).head()
+    assert(bounds.getFloat(0) >= 0f && bounds.getFloat(1) <= 255f)
+    // One id checked against the formula: region means = floor mean of
+    // the planted pixels falling in the region.
+    val h = Hashing.h60("1")
+    val (w, hh) = Multimodal.bmpDims(h)
+    val cells = for {
+      y <- 0 until hh; x <- 0 until w; c <- 0 until 3
+    } yield ((y * 2 / hh) * 2 + x * 2 / w, c) -> Multimodal.bmpPixel(h)(x, y, c).toLong
+    val expected = cells.groupBy(_._1).view
+      .mapValues(vs => (vs.map(_._2).sum / vs.size).toFloat).toMap
+    val got = emb.filter(col("vec_id") === 1L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    for (((reg, c), v) <- expected) assert(got(reg * 3 + c) == v)
     // The embedding column type plugs directly into the ANN operators.
     val top = Ann.bruteForceTopK(emb.filter(col("vec_id") === 1L), emb, k = 2)
       .collect()
