@@ -108,6 +108,19 @@ object Bench {
     }.toSeq.groupMapReduce(_._1)(_._2)(math.min)
   }
 
+  /** Queries whose final headline median exceeds 2x the best COMMITTED
+    * minimum for the same data dir (0.2 s absolute floor — sub-100ms
+    * queries must not thrash on fixed-overhead noise). The committed
+    * min is the one reference sustained whole-run contention cannot
+    * inflate; a query named here is carrying a number above the
+    * engine's demonstrated capability.
+    */
+  private[graft] def overCommittedNames(times: Map[String, Double],
+      prevMin: Map[String, Double]): Seq[String] =
+    times.keys.toSeq.sorted.filter { n =>
+      prevMin.get(n).exists(p => times(n) > p * 2.0 && times(n) - p > 0.2)
+    }
+
   /** Emit the artifact line on stdout AND to `SPARK_GRAFT_BENCH_OUT`
     * (VERDICT round 7 #8 / round 9 #7: the driver's log-tail capture of
     * a crashed run yielded `parsed: null` and cost a round of
@@ -146,9 +159,9 @@ object Bench {
     // ScaleUp factor 30 OOMs under cores-count partitioning) — derived
     // from the input directory's size by SessionTuning; the env var is
     // now an override, not a requirement.
-    val shufflePartitions =
-      SessionTuning.autoShufflePartitions(sfDir, cpus.toInt)
-    System.err.println(s"[bench] shuffle partitions: $shufflePartitions " +
+    val autoConfs = SessionTuning.autoConfs(sfDir, cpus.toInt)
+    System.err.println(s"[bench] derived confs: ${autoConfs.map {
+      case (k, v) => s"$k=$v" }.mkString(", ")} " +
       s"(input ${SessionTuning.dirBytes(sfDir) >> 20} MB, $cpus cores)")
     // Extra session confs for scale experiments, e.g.
     // SPARK_GRAFT_EXTRA_CONF="spark.sql.adaptive.coalescePartitions.enabled=false;spark.io.compression.codec=zstd".
@@ -170,10 +183,11 @@ object Bench {
       }
     extraConf.foreach { case (k, v) =>
       System.err.println(s"[bench] extra conf: $k=$v") }
-    val builder0 = SparkSession.builder()
+    val builder00 = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
+    val builder0 = autoConfs.foldLeft(builder00) {
+      case (b, (k, v)) => b.config(k, v) }
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     val spark = extraConf.foldLeft(builder0) {
@@ -273,7 +287,21 @@ object Bench {
       case (Some(t), Some(m)) => t > m * 1.5 && t - m > 0.2
       case _ => false
     })
-    val contended = confirmed.nonEmpty || unstable.nonEmpty
+    // SUSTAINED-contention flag (VERDICT round 12 #6): within-run
+    // policing compares a batch against the same session's own samples,
+    // so a VM slice contended for the WHOLE run sails through with
+    // every query uniformly 2-3x its real cost (round 12 committed g05
+    // at 9.4 s vs 3.1 s uncontended, flag-free except the driver's own
+    // self-report). The committed historical minimum is the one
+    // reference the contention can't inflate: any query whose FINAL
+    // headline median sits >2x above the best committed min for the
+    // same data dir (0.2 s floor) is named in `over_committed`, and the
+    // artifact is marked contended — a reader diffing rounds sees
+    // exactly which numbers exceed the engine's demonstrated capability
+    // instead of trusting a silently inflated headline.
+    val overCommitted = overCommittedNames(times.toMap, prevMin)
+    val contended = confirmed.nonEmpty || unstable.nonEmpty ||
+      overCommitted.nonEmpty
     def jnum(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     def jmap(m: scala.collection.Map[String, Double]): String =
@@ -287,7 +315,7 @@ object Bench {
     val st = stabilized.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     val total = times.values.sum
-    val jsonLine = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${jmap(times)},"min_queries":${jmap(mins)},"contended":$contended,"contention":{"confirmed":${jarr(confirmed)},"unstable":${jarr(unstable)}},"reruns":$rr,"stability_reruns":$st,"errors":$es,"sf":"$sfDir"}"""
+    val jsonLine = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${jmap(times)},"min_queries":${jmap(mins)},"contended":$contended,"contention":{"confirmed":${jarr(confirmed)},"unstable":${jarr(unstable)},"over_committed":${jarr(overCommitted)}},"reruns":$rr,"stability_reruns":$st,"errors":$es,"sf":"$sfDir"}"""
     emit(jsonLine)
     spark.stop()
     // Regression loudness (VERDICT round 4 #3): an erroring query must

@@ -68,4 +68,38 @@ object SessionTuning {
       case Some(v) => v.trim.toInt
       case None => partitionsForBytes(dirBytes(dataDir), cores)
     }
+
+  /** The full derived conf set for a session reading `dataDir` — the
+    * partition count above PLUS, in data-sized mode (derived count
+    * above the core count), the AQE-coalescing confs that stop AQE
+    * from silently UNDOING it (VERDICT round 12 #2, measured at 100x:
+    * `coalescePartitions` targets `advisoryPartitionSizeInBytes` over
+    * COMPRESSED map-output bytes, and with `parallelismFirst=true` —
+    * the default — repacks data-sized partitions back toward the core
+    * count; an aggregate whose in-memory state expands far beyond its
+    * compressed shuffle bytes then OOMs exactly as if the partition
+    * count had never been raised):
+    *
+    *   - `parallelismFirst=false` — coalescing targets bytes-per-task,
+    *     not core count;
+    *   - `advisoryPartitionSizeInBytes` = the SAME 2 MB bytes-per-
+    *     partition rate the partition count was derived from, so the
+    *     two knobs agree: AQE may merge genuinely tiny partitions but
+    *     cannot repack below the measured-safe state density.
+    *
+    * Below the data-sized threshold the pair is omitted — small inputs
+    * keep stock AQE behavior (and bench comparability across rounds).
+    * This is what makes the 100x g05 lesson engine policy instead of a
+    * manual `SPARK_GRAFT_EXTRA_CONF` knob.
+    */
+  def autoConfs(dataDir: String, cores: Int): Seq[(String, String)] = {
+    val parts = autoShufflePartitions(dataDir, cores)
+    val base = Seq("spark.sql.shuffle.partitions" -> parts.toString)
+    if (parts > cores)
+      base ++ Seq(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+          BytesPerShufflePartition.toString)
+    else base
+  }
 }

@@ -58,6 +58,105 @@ object PipelineQueries {
   private val MM_STRIDE = 2
   private val MM_GRID = 2
 
+  /** The planted edit-distance corpus (Spark side), shared by p44/p50:
+    * every doc's first-[[ED_TITLE_TOKS]]-token "title" (id doubled)
+    * plus, for doc_id ≡ 0 (mod 3) with a nonempty title, a one-char
+    * deletion at a hash-derived position (id·2+1) — a guaranteed
+    * dist-1 neighbor per planted pair.
+    */
+  private def edPlanted(s: SparkSession, dir: String): DataFrame = {
+    val titles = t(s, dir, "documents").select(col("doc_id"),
+      array_join(slice(TextAnalysis.tokens(col("text")), 1, ED_TITLE_TOKS), " ")
+        .as("name"))
+    val base = titles.select((col("doc_id") * 2).as("id"), col("name"))
+    // length(name) > 0 mirrors the oracle's pert0 filter: an empty
+    // title would make DuckDB abort on `% length(name)` (modulo by
+    // zero) while Spark's pmod yields NULL — engine divergence on
+    // degenerate input, so neither side perturbs empty titles.
+    val pert = titles.filter(col("doc_id") % 3 === 0 && length(col("name")) > 0)
+      .withColumn("pos",
+        (pmod(Hashing.h60(col("name")), length(col("name")).cast("long")) + 1L)
+          .cast("int"))
+      .select((col("doc_id") * 2 + 1).as("id"),
+        expr("concat(substring(name, 1, pos - 1), " +
+          "substring(name, pos + 1, 100000))").as("name"))
+    base.unionByName(pert)
+  }
+
+  /** Oracle CTEs replaying [[edPlanted]]: yields `rel(id, name)`. */
+  private def sqlEdPlantedCtes: String =
+    s"""titles AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_slice(string_split(lower(text), ' '),
+       |      1, $ED_TITLE_TOKS), ' ') AS name
+       |  FROM documents
+       |), base AS (
+       |  SELECT doc_id * 2 AS id, name FROM titles
+       |), pert0 AS (
+       |  SELECT doc_id, name,
+       |    CAST(${Hashing.sqlH60("name")} % length(name) AS INTEGER) + 1 AS pos
+       |  FROM titles WHERE doc_id % 3 = 0 AND length(name) > 0
+       |), pert AS (
+       |  SELECT doc_id * 2 + 1 AS id,
+       |    substr(name, 1, pos - 1) || substr(name, pos + 1, 100000) AS name
+       |  FROM pert0
+       |), rel AS (
+       |  SELECT id, name FROM base UNION ALL SELECT id, name FROM pert
+       |)""".stripMargin
+
+  /** The planted containment corpus (Spark side), shared by p48/p49:
+    * every doc (id doubled) plus, for doc_id ≡ 0 (mod 4) with ≥
+    * [[CONT_MIN_TOKS]] tokens, its first-[[CONT_EXCERPT]]-token excerpt
+    * as a "quote" doc at id·2+1 — containment 1.0 by construction,
+    * Jaccard ≤ 6/n_sh, so the asymmetric detector is genuinely
+    * exercised (the natural corpus has no such pairs; measured).
+    */
+  private def contPlanted(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = docs.select((col("doc_id") * 2).as("doc_id"), col("text"))
+    val toks = TextAnalysis.tokens(col("text"))
+    val exc = docs
+      .filter(col("doc_id") % 4 === 0 && size(toks) >= CONT_MIN_TOKS)
+      .select((col("doc_id") * 2 + 1).as("doc_id"),
+        array_join(slice(toks, 1, CONT_EXCERPT), " ").as("text"))
+    base.unionByName(exc)
+  }
+
+  /** Oracle CTEs replaying [[contPlanted]] + hashed shingle sets:
+    * yields `h(id, hs, n)` and `post(id, s)`; callers append their
+    * candidate/intersection CTEs producing `inter(id_a, id_b, c)`.
+    */
+  private def sqlContPlantedCtes: String =
+    s"""base AS (
+       |  SELECT doc_id * 2 AS id, text FROM documents
+       |), exc AS (
+       |  SELECT doc_id * 2 + 1 AS id,
+       |    array_to_string(list_slice(string_split(lower(text), ' '),
+       |      1, $CONT_EXCERPT), ' ') AS text
+       |  FROM documents
+       |  WHERE doc_id % 4 = 0
+       |    AND len(string_split(lower(text), ' ')) >= $CONT_MIN_TOKS
+       |), rel AS (
+       |  SELECT id, text FROM base UNION ALL SELECT id, text FROM exc
+       |), rtoks AS (
+       |  SELECT id, string_split(lower(text), ' ') AS tokens FROM rel
+       |), rsh AS (
+       |  SELECT id, ${Shingles.sqlWordShingles("tokens", SHINGLE_N)} AS shingles
+       |  FROM rtoks
+       |), h AS (
+       |  SELECT id, list_transform(shingles, s -> ${Hashing.sqlH60("s")}) AS hs,
+       |    CAST(len(shingles) AS BIGINT) AS n FROM rsh
+       |), post AS (SELECT id, unnest(hs) AS s FROM h)""".stripMargin
+
+  /** Shared p48/p49 final projection over `inter(id_a, id_b, c)`. */
+  private def sqlContSelect: String =
+    s"""SELECT id_a, id_b,
+       |  c / CAST(ha.n AS DOUBLE) AS cont_a_in_b,
+       |  c / CAST(hb.n AS DOUBLE) AS cont_b_in_a
+       |FROM inter JOIN h ha ON ha.id = id_a JOIN h hb ON hb.id = id_b
+       |WHERE greatest(c / CAST(ha.n AS DOUBLE), c / CAST(hb.n AS DOUBLE))
+       |  >= $CONT_T""".stripMargin
+
   /** Shared oracle CTE replaying the planted-BMP formula: per-doc hash
     * `h`, dims `w`×`hh` ([[Multimodal.bmpDims]]). Appended after a
     * `WITH `; callers add their own pixel CTEs on top.
@@ -1596,24 +1695,7 @@ object PipelineQueries {
     // filter-verify pipeline, not just the DP.
     QueryDef(
       "p44_edit_join",
-      s"""WITH titles AS (
-         |  SELECT doc_id,
-         |    array_to_string(list_slice(string_split(lower(text), ' '),
-         |      1, $ED_TITLE_TOKS), ' ') AS name
-         |  FROM documents
-         |), base AS (
-         |  SELECT doc_id * 2 AS id, name FROM titles
-         |), pert0 AS (
-         |  SELECT doc_id, name,
-         |    CAST(${Hashing.sqlH60("name")} % length(name) AS INTEGER) + 1 AS pos
-         |  FROM titles WHERE doc_id % 3 = 0 AND length(name) > 0
-         |), pert AS (
-         |  SELECT doc_id * 2 + 1 AS id,
-         |    substr(name, 1, pos - 1) || substr(name, pos + 1, 100000) AS name
-         |  FROM pert0
-         |), rel AS (
-         |  SELECT id, name FROM base UNION ALL SELECT id, name FROM pert
-         |), pos0 AS (
+      s"""WITH $sqlEdPlantedCtes, pos0 AS (
          |  SELECT id, length(name) AS len,
          |    CAST(unnest(range(1, length(name) - ${ED_Q - 2})) AS INTEGER) AS i
          |  FROM rel WHERE length(name) >= $ED_Q
@@ -1637,22 +1719,28 @@ object PipelineQueries {
          |  CAST(levenshtein(ra.name, rb.name) AS BIGINT) AS dist
          |FROM cand c JOIN rel ra ON ra.id = c.id_a JOIN rel rb ON rb.id = c.id_b
          |WHERE levenshtein(ra.name, rb.name) <= $ED_MAX""".stripMargin) { (s, dir) =>
-      val titles = t(s, dir, "documents").select(col("doc_id"),
-        array_join(slice(TextAnalysis.tokens(col("text")), 1, ED_TITLE_TOKS), " ")
-          .as("name"))
-      val base = titles.select((col("doc_id") * 2).as("id"), col("name"))
-      // length(name) > 0 mirrors the oracle's pert0 filter: an empty
-      // title would make DuckDB abort on `% length(name)` (modulo by
-      // zero) while Spark's pmod yields NULL — engine divergence on
-      // degenerate input, so neither side perturbs empty titles.
-      val pert = titles.filter(col("doc_id") % 3 === 0 && length(col("name")) > 0)
-        .withColumn("pos",
-          (pmod(Hashing.h60(col("name")), length(col("name")).cast("long")) + 1L)
-            .cast("int"))
-        .select((col("doc_id") * 2 + 1).as("id"),
-          expr("concat(substring(name, 1, pos - 1), " +
-            "substring(name, pos + 1, 100000))").as("name"))
-      Dedup.editDistanceJoin(base.unionByName(pert), ED_MAX, ED_Q)
+      Dedup.editDistanceJoin(edPlanted(s, dir), ED_MAX, ED_Q)
+    },
+
+    // ---- Ed-Join coverage counters surfaced (round 13 — VERDICT
+    // round 12 #5): the SAME Observation attachment p44's join carries
+    // (`n_no_grams` = strings too short to post any q-gram, silently
+    // excluded; `n_below_exact` = strings where the prefix filter may
+    // miss qualifying pairs), reported as a first-class one-row
+    // relation over the SAME planted title corpus. The oracle
+    // recomputes both counts directly, so this gates the Observation
+    // plumbing's VALUES — a caller sizing q for short keys reads this
+    // row, and the p44-at-scale artifacts carry it.
+    QueryDef(
+      "p50_edit_coverage",
+      s"""WITH $sqlEdPlantedCtes
+         |SELECT
+         |  CAST(SUM(CASE WHEN length(name) < $ED_Q THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_no_grams,
+         |  CAST(SUM(CASE WHEN length(name) <= ${ED_Q} * (${ED_MAX} + 1) - 1
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_below_exact
+         |FROM rel""".stripMargin) { (s, dir) =>
+      Dedup.editJoinCoverage(edPlanted(s, dir), ED_MAX, ED_Q)
     },
 
     // ---- near-dup-group-aware train/val/test split: the leakage-free
@@ -1756,45 +1844,43 @@ object PipelineQueries {
     // asymmetric semantics are what the hash compare certifies.
     QueryDef(
       "p48_containment",
-      s"""WITH base AS (
-         |  SELECT doc_id * 2 AS id, text FROM documents
-         |), exc AS (
-         |  SELECT doc_id * 2 + 1 AS id,
-         |    array_to_string(list_slice(string_split(lower(text), ' '),
-         |      1, $CONT_EXCERPT), ' ') AS text
-         |  FROM documents
-         |  WHERE doc_id % 4 = 0
-         |    AND len(string_split(lower(text), ' ')) >= $CONT_MIN_TOKS
-         |), rel AS (
-         |  SELECT id, text FROM base UNION ALL SELECT id, text FROM exc
-         |), rtoks AS (
-         |  SELECT id, string_split(lower(text), ' ') AS tokens FROM rel
-         |), rsh AS (
-         |  SELECT id, ${Shingles.sqlWordShingles("tokens", SHINGLE_N)} AS shingles
-         |  FROM rtoks
-         |), h AS (
-         |  SELECT id, list_transform(shingles, s -> ${Hashing.sqlH60("s")}) AS hs,
-         |    CAST(len(shingles) AS BIGINT) AS n FROM rsh
-         |), post AS (SELECT id, unnest(hs) AS s FROM h),
+      s"""WITH $sqlContPlantedCtes,
          |inter AS (
          |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
          |  FROM post a JOIN post b ON a.s = b.s AND a.id < b.id
          |  GROUP BY 1, 2
          |)
-         |SELECT id_a, id_b,
-         |  c / CAST(ha.n AS DOUBLE) AS cont_a_in_b,
-         |  c / CAST(hb.n AS DOUBLE) AS cont_b_in_a
-         |FROM inter JOIN h ha ON ha.id = id_a JOIN h hb ON hb.id = id_b
-         |WHERE greatest(c / CAST(ha.n AS DOUBLE), c / CAST(hb.n AS DOUBLE))
-         |  >= $CONT_T""".stripMargin) { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val base = docs.select((col("doc_id") * 2).as("doc_id"), col("text"))
-      val toks = TextAnalysis.tokens(col("text"))
-      val exc = docs
-        .filter(col("doc_id") % 4 === 0 && size(toks) >= CONT_MIN_TOKS)
-        .select((col("doc_id") * 2 + 1).as("doc_id"),
-          array_join(slice(toks, 1, CONT_EXCERPT), " ").as("text"))
-      Dedup.containmentPairs(base.unionByName(exc), SHINGLE_N, CONT_T)
+         |$sqlContSelect""".stripMargin) { (s, dir) =>
+      Dedup.containmentPairs(contPlanted(s, dir), SHINGLE_N, CONT_T)
+    },
+
+    // ---- capped containment (round 13 — VERDICT round 12 #3): the
+    // SAME planted corpus and asymmetric semantics as p48, but
+    // candidate generation runs on the p46 stop-shingle selection
+    // (df ≤ cap) — the production route on a skewed corpus, where the
+    // uncapped posting self-join is exactly the hazard the cap exists
+    // for — and the intersection is then recomputed over FULL shingle
+    // sets so neither direction deflates. The oracle replays capped
+    // selection + full-set intersection; the subset-of-p48 and
+    // short-side-survival properties are spec-pinned.
+    QueryDef(
+      "p49_containment_capped",
+      s"""WITH $sqlContPlantedCtes,
+         |rare AS (SELECT s FROM post GROUP BY s HAVING count(*) <= $CAP_DF),
+         |capped AS (SELECT p.id, p.s FROM post p JOIN rare USING (s)),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM capped a JOIN capped b ON a.s = b.s AND a.id < b.id
+         |),
+         |inter AS (
+         |  SELECT id_a, id_b, len(list_intersect(sa.hs, sb.hs)) AS c
+         |  FROM cand
+         |  JOIN h sa ON sa.id = id_a
+         |  JOIN h sb ON sb.id = id_b
+         |)
+         |$sqlContSelect""".stripMargin) { (s, dir) =>
+      Dedup.containmentPairs(contPlanted(s, dir), SHINGLE_N, CONT_T,
+        maxPostings = Some(CAP_DF))
     }
   )
 

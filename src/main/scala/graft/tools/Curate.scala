@@ -198,13 +198,13 @@ object Curate {
     val packBudget = positional.lift(3).map(_.toLong).getOrElse(512L)
     val decontamMode = positional.lift(4).getOrElse("exact")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions",
-        graft.SessionTuning.autoShufflePartitions(docsPath, cpus.toInt))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.SessionTuning.autoConfs(docsPath, cpus.toInt)
+      .foldLeft(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")) {
+        case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val stats = run(spark, docsPath, outDir, benchmark, jaccardT,

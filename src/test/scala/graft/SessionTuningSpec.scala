@@ -31,6 +31,28 @@ class SessionTuningSpec extends AnyFunSuite {
       SessionTuning.MaxPartitions)
   }
 
+  test("autoConfs derives the AQE coalescing pair exactly in data-sized mode") {
+    // Small input (sf0.1-like): partition count only — stock AQE
+    // behavior and cross-round bench comparability are preserved.
+    val small = java.nio.file.Files.createTempDirectory("tuning-small")
+    java.nio.file.Files.write(small.resolve("a.parquet"), new Array[Byte](1 << 20))
+    assert(SessionTuning.autoConfs(small.toString, 32) ==
+      Seq("spark.sql.shuffle.partitions" -> "32"))
+    // Data-sized input (30x calibration point, ~247 MB): the derived
+    // partition count AND the coalescing confs that keep AQE from
+    // repacking it toward the core count — advisory bytes pinned to
+    // the SAME rate the count was derived from, so the knobs agree.
+    val big = java.nio.file.Files.createTempDirectory("tuning-big")
+    val chunk = new Array[Byte](1 << 20)
+    val f = java.nio.file.Files.newOutputStream(big.resolve("b.parquet"))
+    try (1 to 247).foreach(_ => f.write(chunk)) finally f.close()
+    val confs = SessionTuning.autoConfs(big.toString, 32).toMap
+    assert(confs("spark.sql.shuffle.partitions").toInt >= 128)
+    assert(confs("spark.sql.adaptive.coalescePartitions.parallelismFirst") == "false")
+    assert(confs("spark.sql.adaptive.advisoryPartitionSizeInBytes") ==
+      SessionTuning.BytesPerShufflePartition.toString)
+  }
+
   test("dirBytes sums recursively and tolerates missing paths") {
     val dir = java.nio.file.Files.createTempDirectory("tuning-spec")
     java.nio.file.Files.write(dir.resolve("a.bin"), new Array[Byte](1000))

@@ -264,6 +264,42 @@ class PipelineSpec extends SparkSpec {
     assert(both.toSeq == Seq((1.0, 1.0)))
   }
 
+  test("capped containment: subset of uncapped, undeflated, short side survives") {
+    // A popular boilerplate shingle shared by MANY docs (df > cap) plus
+    // one genuine quote pair. Docs 10..15 all share the 3-token phrase
+    // "the same header" (df = 8 with the quote pair included at cap 5).
+    val long = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val quote = (1 to 8).map(i => s"tok$i").mkString(" ")
+    val boiler = (10L to 15L).map(i =>
+      (i, s"the same header unique$i filler${i}a filler${i}b"))
+    val d = docs(Seq((1L, s"the same header $long"),
+      (2L, s"the same header $quote")) ++ boiler: _*)
+    // Threshold 0.25 makes boiler-boiler pairs (overlap = ONLY the
+    // ubiquitous header shingle; cont = 1/4) qualify UNCAPPED, so the
+    // cap's one documented loss mode — every shared shingle ubiquitous
+    // — is actually exercised, not vacuously absent.
+    def pairs(cap: Option[Long]) =
+      Dedup.containmentPairs(d, 3, 0.25, maxPostings = cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toSet
+    val capped = pairs(Some(5L))
+    val uncapped = pairs(None)
+    // Strict subset: capping only removes candidate pairs.
+    assert(capped.subsetOf(uncapped), s"capped=$capped uncapped=$uncapped")
+    // The pruned pairs are EXACTLY the boilerplate-only ones (their
+    // whole overlap is the df-8 header shingle, capped out at df 5)...
+    assert(uncapped.exists(p => p._1 >= 10L && p._2 >= 10L))
+    assert(!capped.exists(p => p._1 >= 10L && p._2 >= 10L))
+    // ...while the genuine quote pair SURVIVES — it shares df-2
+    // tok-shingles, so one rare candidate key remains even though its
+    // boilerplate prefix is capped out — and its values are IDENTICAL
+    // to the uncapped run's (full-set verify: the metric still counts
+    // the capped-out header shingle in the overlap; never deflates).
+    val q = capped.find(p => p._1 == 1L && p._2 == 2L)
+    assert(q.isDefined, s"quote pair lost under the cap: $capped")
+    assert(q.get._4 == 1.0 && uncapped.contains(q.get))
+  }
+
   test("minhash pairs find the same near-dups as exact jaccard") {
     val d = docs(
       (1L, "w x y z q a b c d e"),

@@ -65,11 +65,12 @@ class PlanSpec extends SparkSpec {
     assert(!planOf("p44_edit_join").contains("CartesianProduct"))
   }
 
-  test("p46/p47: capped-posting join stays equi, BMP decode is shuffle-free") {
-    // p46: the df-capped posting self-join and the verify joins must
-    // all be equi joins — the cap exists precisely so no all-pairs
-    // shape can appear.
+  test("p46/p47/p49: capped-posting joins stay equi, BMP decode is shuffle-free") {
+    // p46/p49: the df-capped posting self-joins and the verify joins
+    // must all be equi joins — the cap exists precisely so no
+    // all-pairs shape can appear.
     assert(!planOf("p46_capped_jaccard").contains("CartesianProduct"))
+    assert(!planOf("p49_containment_capped").contains("CartesianProduct"))
     // p47: encode→decode is a purely narrow mapPartitions chain — any
     // Exchange means the codec plumbing silently grew a shuffle.
     val p = planOf("p47_bmp_decode")
@@ -182,7 +183,8 @@ class PlanSpec extends SparkSpec {
     // AQE may broadcast the small SIZES/verify joins, so the assert is
     // that at least one SMJ survives and the plan executes sane.
     val sf1 = ensureSf1()
-    for (name <- Seq("p48_containment", "p46_capped_jaccard")) {
+    for (name <- Seq("p48_containment", "p46_capped_jaccard",
+        "p49_containment_capped")) {
       val df = SparkEntry.queries(name)(spark, sf1)
       df.queryExecution.toRdd.count()
       val p = df.queryExecution.executedPlan.toString
