@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
-  private val SHINGLE_N = 3
+  private[queries] val SHINGLE_N = 3
   private val JACCARD_T = 0.3
 
   /** p46 stop-shingle cap: shingles in more than this many docs never
@@ -37,9 +37,9 @@ object PipelineQueries {
   private val CONT_T = 0.9
   private val DUP_T = 0.8
   private val STRAT_K = 25
-  private val MH_BANDS = 24
-  private val MH_ROWS = 2
-  private val MH_T = 0.5
+  private[queries] val MH_BANDS = 24
+  private[queries] val MH_ROWS = 2
+  private[queries] val MH_T = 0.5
   private val SH_BITS = 48
   private val SH_BANDS = 4
   private val SH_MAXHAM = 12
@@ -404,33 +404,7 @@ object PipelineQueries {
     // bucket join → exact-Jaccard verify. The oracle replays the LSH
     // pipeline itself (same hash family), so the compare is exact.
     QueryDef(
-      "p05_minhash_pairs",
-      s"""WITH $DOCS,
-         |sigs AS (
-         |  SELECT doc_id, shingles, n_sh,
-         |    list_transform(range(0, ${MH_BANDS * MH_ROWS}), i ->
-         |      CAST(list_min(list_transform(hs, x ->
-         |        ((37 + 2*i) * x + 10007*i + 17) % ${Hashing.P})) AS BIGINT)) AS sig
-         |  FROM hsh
-         |),
-         |buckets AS (
-         |  SELECT doc_id, shingles, n_sh, CAST(j AS BIGINT) AS band,
-         |    CAST(sig[CAST(2*j+1 AS INT)] AS VARCHAR) || ',' ||
-         |    CAST(sig[CAST(2*j+2 AS INT)] AS VARCHAR) AS bucket
-         |  FROM sigs, range(0, $MH_BANDS) t(j)
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM buckets a JOIN buckets b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |)
-         |SELECT id_a, id_b, j AS jaccard FROM (
-         |  SELECT id_a, id_b,
-         |    ${sqlJaccard("len(list_intersect(sa.shingles, sb.shingles))", "sa.n_sh", "sb.n_sh")} AS j
-         |  FROM cand
-         |  JOIN hsh sa ON sa.doc_id = id_a
-         |  JOIN hsh sb ON sb.doc_id = id_b
-         |) WHERE j >= $MH_T""".stripMargin) { (s, dir) =>
+      "p05_minhash_pairs", sqlMinhashPairs) { (s, dir) =>
       Dedup.minHashPairs(t(s, dir, "documents"), SHINGLE_N, MH_BANDS, MH_ROWS, MH_T)
     },
 
@@ -1906,6 +1880,41 @@ object PipelineQueries {
        |    PARTITION BY "group" ORDER BY race_nano, doc_id) AS BIGINT)
        |    AS samp_rank
        |FROM raced QUALIFY samp_rank <= $WS_K""".stripMargin
+
+  /** The p05 MinHash-LSH oracle, shared VERBATIM by the streaming twin
+    * (s14): the emitted candidate-pair SET of the streaming bucket
+    * state equals the batch band-bucket self-join's for any arrival
+    * order (each unordered pair emitted exactly once, when the later
+    * doc reaches the bucket), and the verify stage is the same exact
+    * Jaccard — so streaming == batch EXACTLY and one SQL gates both.
+    */
+  private[queries] def sqlMinhashPairs: String =
+    s"""WITH $DOCS,
+       |sigs AS (
+       |  SELECT doc_id, shingles, n_sh,
+       |    list_transform(range(0, ${MH_BANDS * MH_ROWS}), i ->
+       |      CAST(list_min(list_transform(hs, x ->
+       |        ((37 + 2*i) * x + 10007*i + 17) % ${Hashing.P})) AS BIGINT)) AS sig
+       |  FROM hsh
+       |),
+       |buckets AS (
+       |  SELECT doc_id, shingles, n_sh, CAST(j AS BIGINT) AS band,
+       |    CAST(sig[CAST(2*j+1 AS INT)] AS VARCHAR) || ',' ||
+       |    CAST(sig[CAST(2*j+2 AS INT)] AS VARCHAR) AS bucket
+       |  FROM sigs, range(0, $MH_BANDS) t(j)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, j AS jaccard FROM (
+       |  SELECT id_a, id_b,
+       |    ${sqlJaccard("len(list_intersect(sa.shingles, sb.shingles))", "sa.n_sh", "sb.n_sh")} AS j
+       |  FROM cand
+       |  JOIN hsh sa ON sa.doc_id = id_a
+       |  JOIN hsh sb ON sb.doc_id = id_b
+       |) WHERE j >= $MH_T""".stripMargin
 
   /** The p31 bottom-k oracle, shared verbatim by the streaming twin
     * (s12) — bottom-k is an order-free min-merge, so streaming == batch

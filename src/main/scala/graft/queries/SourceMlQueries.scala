@@ -613,6 +613,48 @@ object SourceMlQueries {
         .select(col("group"), col("doc_id"), col("weight"), col("samp_rank"))
     },
 
+    // ---- §2.10 + dedup: streaming MinHash-LSH near-dup — dedup AT
+    // INGEST, the streaming twin of p05 (round 13). The narrow
+    // band-bucket map (`Dedup.minHashBandBuckets`, no shuffle) runs on
+    // the stream; per-(band, bucket) `flatMapGroupsWithState` holds
+    // the member-id set and emits each new doc paired against existing
+    // members — every unordered pair exactly once, when the LATER doc
+    // arrives, so the candidate SET is arrival-order- and
+    // batch-boundary-free and equals the batch self-join's. Staged as
+    // 2 files with maxFilesPerTrigger=1, so cross-micro-batch state is
+    // genuinely exercised; the verify stage is the same exact Jaccard,
+    // hence streaming == batch EXACTLY and p05's oracle SQL gates it
+    // VERBATIM.
+    QueryDef(
+      "s14_streaming_lsh_dedup",
+      PipelineQueries.sqlMinhashPairs) { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val base = scratch(dir, "s14")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      stageOnce(s"$base/in") {
+        docs.select(col("doc_id"), col("text"))
+          .repartition(2)
+          .write.mode(SaveMode.Overwrite).parquet(s"$base/in")
+      }
+      val stream = s.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in")
+      val buckets = graft.pipeline.Dedup.minHashBandBuckets(stream,
+          PipelineQueries.SHINGLE_N, PipelineQueries.MH_BANDS,
+          PipelineQueries.MH_ROWS)
+        .as[graft.streaming.StreamingOps.BandEvent](
+          org.apache.spark.sql.Encoders.product)
+      val cands = graft.streaming.StreamingOps.lshCandidatesStream(buckets)
+      val q = cands.writeStream.format("memory").queryName("s14_lsh")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.pipeline.Dedup.verifyJaccardPairs(docs,
+        s.table("s14_lsh").dropDuplicates(),
+        PipelineQueries.SHINGLE_N, PipelineQueries.MH_T)
+    },
+
     // ---- M1-M4: StringIndexer (frequencyDesc, ties alphabetic, SPARK
     // docs) → OneHotEncoder(dropLast=false) → VectorAssembler. The active
     // one-hot indices of each part are fully determined by the per-feature

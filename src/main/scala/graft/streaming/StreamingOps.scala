@@ -133,6 +133,64 @@ object StreamingOps {
       }
   }
 
+  /** One (doc, band) bucket assignment for the streaming LSH near-dup
+    * detector (produced by the narrow
+    * [[graft.pipeline.Dedup.minHashBandBuckets]] map over the stream).
+    */
+  final case class BandEvent(id: Long, band: Int, bucket: Long)
+
+  /** Bucket-membership state: the distinct doc ids seen in one
+    * (band, bucket) — bounded by the band-bucket collision count, the
+    * same quantity that bounds the BATCH LSH join's fan-out, so state
+    * scales exactly as the batch operator's shuffle does.
+    */
+  final case class BucketState(ids: Array[Long])
+
+  /** A candidate near-dup pair (`id_a < id_b`), possibly emitted by
+    * several bands — dedup downstream, as batch LSH dedups its
+    * candidate join.
+    */
+  final case class CandPair(id_a: Long, id_b: Long)
+
+  /** Streaming MinHash-LSH candidate generation — dedup-at-ingest, the
+    * streaming twin of the batch band-bucket self-join: per
+    * (band, bucket) key, `flatMapGroupsWithState` holds the distinct
+    * member ids and emits each NEW id paired against every existing
+    * member. Each unordered pair within a bucket is emitted exactly
+    * once (when the later of its two docs arrives), so the emitted
+    * pair SET equals the batch self-join's output for the same input
+    * regardless of arrival order or batch boundaries — streaming ==
+    * batch exactly after the downstream pair-dedup + verify
+    * ([[graft.pipeline.Dedup.verifyJaccardPairs]]), which is how the
+    * s14 oracle (p05's SQL verbatim) gates it.
+    *
+    * No timeout: a corpus-dedup bucket must remember its members for
+    * the stream's lifetime (state ≈ one long per doc per band — for
+    * bounded-window dedup compose with an event-time timeout the way
+    * [[sessionize]] does).
+    */
+  def lshCandidatesStream(events: Dataset[BandEvent]): Dataset[CandPair] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.band, e.bucket))
+      .flatMapGroupsWithState[BucketState, CandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[BandEvent], state: GroupState[BucketState]) =>
+          var cur = state.getOption.map(_.ids).getOrElse(Array.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer[CandPair]()
+          rows.foreach { e =>
+            if (!cur.contains(e.id)) {
+              cur.foreach { x =>
+                out += (if (x < e.id) CandPair(x, e.id) else CandPair(e.id, x))
+              }
+              cur = cur :+ e.id
+            }
+          }
+          state.update(BucketState(cur))
+          out.iterator
+      }
+  }
+
   /** Pre-hashed event for the streaming cardinality sketch. */
   final case class SketchEvent(key: String, h: Long)
 

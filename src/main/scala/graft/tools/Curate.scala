@@ -17,7 +17,8 @@ import graft.pipeline.{Curation, Dedup, TextAnalysis}
   * ```
   * runMain graft.tools.Curate <docs.parquet> <outDir> \
   *     [benchmark.parquet|-] [jaccardT=0.8] [maxContam=0.2] [packBudget=512] \
-  *     [decontam=exact|bloom] [pii=on|off] [equalize=on|off]
+  *     [decontam=exact|bloom] [pii=on|off] [equalize=on|off] \
+  *     [minStopRatio=0.01]
   * ```
   *
   * `docs.parquet` needs `(doc_id: long, text: string, source: string)`.
@@ -50,12 +51,19 @@ object Curate {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Runs the pipeline; returns per-stage doc counts and seconds. */
+  /** Runs the pipeline; returns per-stage doc counts and seconds.
+    * `minStopwordRatio` is the quality gate's English-function-word
+    * clause (round 13 — exposed because it is corpus-dependent: a
+    * non-English or vocabulary-shifted corpus needs it relaxed, and a
+    * silently-fixed threshold turned the 10x/30x scale measurement
+    * into a no-op by rejecting every word-bijected copy at the door).
+    */
   def run(spark: SparkSession, docsPath: String, outDir: String,
       benchmarkPath: Option[String], jaccardT: Double = 0.8,
       maxContam: Double = 0.2, packBudget: Long = 512L,
       shingleN: Int = 3, decontamMode: String = "exact",
-      pii: Boolean = false, equalize: Boolean = false): Map[String, Double] = {
+      pii: Boolean = false, equalize: Boolean = false,
+      minStopwordRatio: Double = 0.01): Map[String, Double] = {
     require(decontamMode == "exact" || decontamMode == "bloom",
       s"decontam mode must be 'exact' or 'bloom', got '$decontamMode'")
     val stats = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -74,7 +82,9 @@ object Curate {
     }
 
     val quality = stage("quality") {
-      docs.filter(TextAnalysis.qualityOk(col("text")) &&
+      docs.filter(
+        TextAnalysis.qualityOk(col("text"),
+          minStopwordRatio = minStopwordRatio) &&
         TextAnalysis.repetitionRatio(col("text"), shingleN) < lit(0.9))
     }
 
@@ -188,7 +198,8 @@ object Curate {
     // key=value toggles may appear anywhere after the two paths; the
     // remaining args keep their positional meaning.
     val (flagArgs, positional) = args.drop(2).partition(
-      a => a.startsWith("pii=") || a.startsWith("equalize="))
+      a => a.startsWith("pii=") || a.startsWith("equalize=") ||
+        a.startsWith("minStopRatio="))
     val flags = flagArgs.map { a =>
       val Array(k, v) = a.split("=", 2); k -> v
     }.toMap
@@ -209,7 +220,9 @@ object Curate {
     spark.sparkContext.setLogLevel("WARN")
     val stats = run(spark, docsPath, outDir, benchmark, jaccardT,
       maxContam, packBudget, decontamMode = decontamMode,
-      pii = toggled(flags, "pii"), equalize = toggled(flags, "equalize"))
+      pii = toggled(flags, "pii"), equalize = toggled(flags, "equalize"),
+      minStopwordRatio = flags.get("minStopRatio").map(_.toDouble)
+        .getOrElse(0.01))
     val fields = stats.map { case (k, v) =>
       val vs = if (k.endsWith("_docs")) v.toLong.toString
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -80,6 +80,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lsh candidates: exactly-once pairs, cross-batch state, order-free vs batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.BandEvent]
+    val cands = StreamingOps.lshCandidatesStream(input.toDS())
+    val q = cands.writeStream.format("memory").queryName("lsh_cand")
+      .outputMode(OutputMode.Append).start()
+    def got() = spark.table("lsh_cand").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSeq
+    try {
+      // Batch 1: ids 1,2 share (0, 77); id 3 lands in a different bucket.
+      input.addData(StreamingOps.BandEvent(1L, 0, 77L),
+        StreamingOps.BandEvent(2L, 0, 77L), StreamingOps.BandEvent(3L, 0, 99L))
+      q.processAllAvailable()
+      assert(got().sorted == Seq((1L, 2L)), got().toString)
+      // Batch 2 (cross-batch state): id 5 joins bucket (0, 77) — pairs
+      // with BOTH existing members, exactly once each; a duplicate
+      // re-arrival of id 1 emits nothing.
+      input.addData(StreamingOps.BandEvent(5L, 0, 77L),
+        StreamingOps.BandEvent(1L, 0, 77L))
+      q.processAllAvailable()
+      assert(got().sorted == Seq((1L, 2L), (1L, 5L), (2L, 5L)), got().toString)
+      // A DIFFERENT band's bucket is independent state: the same pair
+      // can re-emit there (downstream dedups, as batch LSH dedups its
+      // band self-join).
+      input.addData(StreamingOps.BandEvent(1L, 1, 77L),
+        StreamingOps.BandEvent(2L, 1, 77L))
+      q.processAllAvailable()
+      assert(got().sorted == Seq((1L, 2L), (1L, 2L), (1L, 5L), (2L, 5L)))
+    } finally q.stop()
+  }
+
+  test("streaming lsh pairs == batch minHashPairs on the same docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "w x y z q a b c d e"), (2L, "w x y z q a b c d f"),
+      (3L, "m n o p r s t u v w"), (4L, "w x y z q a b c d e"))
+      .toDF("doc_id", "text")
+    val batch = graft.pipeline.Dedup
+      .minHashPairs(docs, 3, 24, 2, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // Stream the SAME docs in adversarial order across three batches.
+    val input = MemoryStream[(Long, String)]
+    val buckets = graft.pipeline.Dedup
+      .minHashBandBuckets(input.toDS().toDF("doc_id", "text"), 3, 24, 2)
+      .as[StreamingOps.BandEvent]
+    val q = StreamingOps.lshCandidatesStream(buckets)
+      .writeStream.format("memory").queryName("lsh_e2e")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((4L, "w x y z q a b c d e"))
+      q.processAllAvailable()
+      input.addData((2L, "w x y z q a b c d f"), (3L, "m n o p r s t u v w"))
+      q.processAllAvailable()
+      input.addData((1L, "w x y z q a b c d e"))
+      q.processAllAvailable()
+      val streamed = graft.pipeline.Dedup.verifyJaccardPairs(docs,
+          spark.table("lsh_e2e").dropDuplicates(), 3, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // The planted exact-dup pair (1,4) and near-dup (1,2) are found.
+      assert(streamed.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 1.0))
+      assert(streamed.exists(p => p._1 == 1L && p._2 == 2L))
+    } finally q.stop()
+  }
+
   test("sessionize handles cross-batch out-of-order events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
