@@ -80,19 +80,59 @@ object Bench {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
-  /** Best known per-query minimum across every `BENCH_r*.json` in
-    * `SPARK_GRAFT_BENCH_DIR` (default: the working directory) recorded
-    * against the SAME data directory — a scale-bench run on a generated
-    * 10x dir must not compare against sf0.1 minimums and re-run every
-    * (legitimately slower) heavy query. The raw JSON line ends with
-    * `"sf":"<dir>"`, which the driver wrapper's end-truncated `tail`
-    * always preserves (quote-escaped). Queries absent from all matching
-    * artifacts (new this round) have no baseline and are never re-run.
+  /** Per-query minima from the most recent UNCONTENDED `bench_last.json`
+    * in the git history — the builder's latest clean record measured on
+    * (near-)current implementations. Preferred over the historical
+    * `BENCH_r*.json` scan as the capability baseline, which fails both
+    * ways: early-round driver artifacts predate implementation changes
+    * (the round-3 artifact holds a 0.87 s g08 from a pre-DF-native
+    * connected components; round-5 a 0.15 s p20 from a pre-prefix-sum
+    * packing), so a minimum recorded on code that no longer exists
+    * permanently flags every honest future run `over_committed`; and
+    * the copy at HEAD can itself be a contended driver run (round 12's
+    * carries g05 at 9.4 s vs 3.1 s real) whose inflated minima would
+    * let sustained contention sail through unflagged. Walking the last
+    * few commits of bench_last.json and taking the newest one marked
+    * `"contended":false` for the SAME data dir bounds staleness at one
+    * round of implementation drift. Empty when git is unavailable or no
+    * clean matching artifact exists — callers fall back to the scan.
+    */
+  private[graft] def committedBenchLastMins(sfDir: String): Map[String, Double] =
+    try {
+      val dir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", ".")
+      val quiet = scala.sys.process.ProcessLogger(_ => ())
+      val commits = scala.sys.process.Process(
+        Seq("git", "-C", dir, "log", "--format=%H", "-n", "10",
+          "--", "bench_last.json")).!!(quiet).linesIterator.toSeq
+      commits.iterator.flatMap { c =>
+        try {
+          val text = scala.sys.process.Process(
+            Seq("git", "-C", dir, "show", s"$c:bench_last.json")).!!(quiet)
+          if (text.contains(s""""sf":"$sfDir"""") &&
+              text.contains(""""contended":false"""))
+            Some(parseArtifact(text))
+          else None
+        } catch { case _: Exception => None }
+      }.nextOption().getOrElse(Map.empty)
+    } catch { case _: Exception => Map.empty[String, Double] }
+
+  /** Best known per-query minimum for the SAME data directory — a
+    * scale-bench run on a generated 10x dir must not compare against
+    * sf0.1 minimums and re-run every (legitimately slower) heavy query.
+    * Source of truth is [[committedBenchLastMins]] (current-code
+    * minima); the scan over every `BENCH_r*.json` in
+    * `SPARK_GRAFT_BENCH_DIR` (default: the working directory) is the
+    * fallback for checkouts without a committed bench_last. The raw
+    * JSON line ends with `"sf":"<dir>"`, which the driver wrapper's
+    * end-truncated `tail` always preserves (quote-escaped). Queries
+    * absent from the baseline (new this round) are never re-run.
     * `SPARK_GRAFT_BENCH_BASELINE=none` disables.
     */
   private def bestKnownMins(sfDir: String): Map[String, Double] = {
     if (sys.env.get("SPARK_GRAFT_BENCH_BASELINE").contains("none"))
       return Map.empty
+    val committed = committedBenchLastMins(sfDir)
+    if (committed.nonEmpty) return committed
     val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "."))
     val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
