@@ -215,6 +215,56 @@ object Curation {
           lit(1000000L)) < col("rate_micro")).as("kept"))
   }
 
+  /** Temperature-based mixture reweighting at T = 1/2 — the softened
+    * domain-sampling law large-LM data recipes use between "natural"
+    * (T=1, proportional) and "equalized" (T→0, [[equalizeMixture]]):
+    * source s is sampled with share ∝ n_s^T, so big sources are
+    * down-weighted sub-linearly and small sources boosted without
+    * being equalized up to parity. T = 1/2 is chosen because it is the
+    * one classic temperature with an INTEGER-EXACT cross-engine form:
+    * n^0.5 = sqrt, and `floor(sqrt(n · 10^6))` (milli-precision
+    * integer sqrt) is bit-identical in any IEEE engine — sqrt is
+    * correctly rounded, no `pow`/`ln` drift — so the keep decision
+    * hash-gates exactly. Expected kept total = corpus size (shares
+    * renormalized over sqrt masses), rates capped at 1: sources whose
+    * boosted share exceeds their size keep everything (no
+    * upsampling — this is a filter, not a replicator).
+    *
+    * Determinism: per-source rate_micro is exact integer floor
+    * division; the per-doc decision is the p38 hash-Bernoulli
+    * (`h60("tmix:" || doc_id) % 10^6 < rate_micro`) — bit-stable
+    * across engines, runs, and partitionings.
+    *
+    * Output: `(doc_id, source, n_source, rate_micro, kept)` for every
+    * input doc (callers filter `kept`).
+    *
+    * Scale: |sources|-row broadcast rate table; narrow codegen'd keep
+    * decision; nothing about the corpus shuffles. The BIGINT
+    * intermediate `10^6 · s_milli · n_total` needs ~2·log2(n_total) +
+    * 40 bits — fine to ~10^9 docs per run; beyond that swap the two
+    * 10^3 factors down or widen to decimal(38), same algebra.
+    */
+  def temperatureMixture(docs: DataFrame, sourceCol: String = "source")
+      : DataFrame = {
+    val counts = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_source"))
+      .withColumn("s_milli",
+        floor(sqrt(col("n_source").cast("double") * 1e6)).cast("long"))
+    val tot = counts.agg(sum(col("s_milli")).as("sum_s"),
+      sum(col("n_source")).as("n_total"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_source"), col("s_milli"),
+        least(lit(1000000L),
+          expr("(1000000 * s_milli * n_total) div (sum_s * n_source)"))
+          .as("rate_micro"))
+    docs.select(col("doc_id"), col(sourceCol).as("source"))
+      .join(broadcast(rates), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_source"),
+        col("rate_micro"),
+        (pmod(Hashing.h60(concat(lit("tmix:"), col("doc_id").cast("string"))),
+          lit(1000000L)) < col("rate_micro")).as("kept"))
+  }
+
   /** Weighted sample WITHOUT replacement, k docs per group, inclusion
     * probability proportional to `weight` — the exponential-race /
     * A-ES construction (Efraimidis & Spirakis 2006): each row draws a

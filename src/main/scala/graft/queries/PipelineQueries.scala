@@ -193,6 +193,13 @@ object PipelineQueries {
   private val BLOOM_PROBES = 3
   private val BLOOM_M = BLOOM_WORDS.toLong * 63L
   private val DUPNG_MIN = 2L
+
+  /** p51 duplicate-span window: 8 words is the classic "long enough to
+    * not fire on idiom, short enough to catch real copying" exact-
+    * substring unit; spans merge when gram starts are <= SPAN_L apart.
+    */
+  private val SPAN_L = 8
+  private val SPAN_MIN_DOCS = 2L
   private[queries] val CM_DEPTH = 4
   private[queries] val CM_WIDTH = 2048
   private[queries] val CM_TOPK = 20
@@ -1855,6 +1862,89 @@ object PipelineQueries {
          |$sqlContSelect""".stripMargin) { (s, dir) =>
       Dedup.containmentPairs(contPlanted(s, dir), SHINGLE_N, CONT_T,
         maxPostings = Some(CAP_DF))
+    },
+
+    // ---- cross-document duplicate spans (exact-substring dedup, Lee
+    // et al. 2022): positional L-gram postings -> grams in >= 2
+    // distinct docs -> per-doc gaps-and-islands merge into maximal
+    // spans. DuckDB replays the positional grams with zipped unnests
+    // and the same window algebra; ends clamp to doc length.
+    QueryDef(
+      "p51_dup_spans",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM documents
+         |), g AS (
+         |  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_words,
+         |    CAST(unnest(range(1, greatest(len(tokens) - ${SPAN_L - 1}, 1) + 1))
+         |      AS BIGINT) AS pos,
+         |    unnest(list_transform(
+         |      range(1, greatest(len(tokens) - ${SPAN_L - 1}, 1) + 1),
+         |      i -> ${Hashing.sqlH60(
+                 s"array_to_string(list_slice(tokens, i, i + ${SPAN_L - 1}), ' ')")}))
+         |      AS h
+         |  FROM toks
+         |), dup AS (
+         |  SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= $SPAN_MIN_DOCS
+         |), dp AS (
+         |  SELECT g.doc_id, g.n_words, g.pos FROM g JOIN dup USING (h)
+         |), isl AS (
+         |  SELECT doc_id, n_words, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |      <= $SPAN_L THEN 0 ELSE 1 END AS brk
+         |  FROM dp
+         |), isl2 AS (
+         |  SELECT doc_id, n_words, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM isl
+         |), spans AS (
+         |  SELECT doc_id, n_words, island, min(pos) AS s,
+         |    least(max(pos) + ${SPAN_L - 1}, n_words) AS e
+         |  FROM isl2 GROUP BY doc_id, n_words, island
+         |), per_doc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+         |    CAST(sum(e - s + 1) AS BIGINT) AS dup_words
+         |  FROM spans GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, t.n_words,
+         |  coalesce(n_dup_spans, 0) AS n_dup_spans,
+         |  coalesce(dup_words, 0) AS dup_words,
+         |  CAST(coalesce(dup_words, 0) AS DOUBLE) / CAST(t.n_words AS DOUBLE)
+         |    AS dup_frac
+         |FROM (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_words FROM toks) t
+         |LEFT JOIN per_doc USING (doc_id)""".stripMargin) { (s, dir) =>
+      Dedup.dupSpans(t(s, dir, "documents"), SPAN_L, SPAN_MIN_DOCS)
+    },
+
+    // ---- temperature mixture at T=1/2: per-source share ∝ sqrt(n),
+    // renormalized, capped at 1 — integer-exact via milli-precision
+    // isqrt (floor(sqrt(n·10^6)) is bit-identical in any IEEE engine),
+    // then the p38 hash-Bernoulli keep decision.
+    QueryDef(
+      "p52_temperature_mixture",
+      s"""WITH cnt AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_source
+         |  FROM documents GROUP BY source
+         |), sm AS (
+         |  SELECT source, n_source,
+         |    CAST(floor(sqrt(CAST(n_source AS DOUBLE) * 1000000.0)) AS BIGINT)
+         |      AS s_milli
+         |  FROM cnt
+         |), tot AS (
+         |  SELECT CAST(sum(s_milli) AS BIGINT) AS sum_s,
+         |    CAST(sum(n_source) AS BIGINT) AS n_total
+         |  FROM sm
+         |), rates AS (
+         |  SELECT source, n_source,
+         |    CAST(least(1000000,
+         |      (1000000 * s_milli * n_total) // (sum_s * n_source))
+         |      AS BIGINT) AS rate_micro
+         |  FROM sm CROSS JOIN tot
+         |)
+         |SELECT d.doc_id, d.source, r.n_source, r.rate_micro,
+         |  (${Hashing.sqlH60("'tmix:' || CAST(d.doc_id AS VARCHAR)")} % 1000000)
+         |    < r.rate_micro AS kept
+         |FROM documents d JOIN rates r USING (source)""".stripMargin) { (s, dir) =>
+      Curation.temperatureMixture(t(s, dir, "documents"))
     }
   )
 

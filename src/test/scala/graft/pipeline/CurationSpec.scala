@@ -162,6 +162,29 @@ class CurationSpec extends SparkSpec {
     (5L to 6L).foreach(id => assert(got(id) == ((2L, 1000000L, true))))
   }
 
+  test("temperature mixture: sqrt-law rates, boost capped, gentler than equalization") {
+    import spark.implicits._
+    // Sources sized 4 and 1: sqrt masses 2000:1000 (milli), shares
+    // 2/3:1/3 over N=5. Small source's boosted share (5/3 docs vs 1)
+    // caps at rate 1e6; big source keeps (1e6·2000·5) div (3000·4) =
+    // 833333 — GENTLER than equalization's (1e6·1) div 4 = 250000.
+    val docs = (1L to 4L).map((_, "a")).:+((5L, "b"))
+      .toDF("doc_id", "source").withColumn("text", lit("x"))
+    val got = Curation.temperatureMixture(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_source"), r.getAs[Long]("rate_micro"),
+          r.getAs[Boolean]("kept")))).toMap
+    (1L to 4L).foreach { id =>
+      val expect = Hashing.h60(s"tmix:$id") % 1000000L < 833333L
+      assert(got(id) == ((4L, 833333L, expect)))
+    }
+    assert(got(5L) == ((1L, 1000000L, true)))
+    val eq = Curation.equalizeMixture(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rate_micro")).toMap
+    assert(eq(1L) == 250000L && got(1L)._2 > eq(1L),
+      "T=1/2 must down-weight the big source less than equalization")
+  }
+
   test("importance weights: exact integer ratios, above-global-cut select") {
     import spark.implicits._
     // Two words in distinct hash buckets (guarded below): "ml" is

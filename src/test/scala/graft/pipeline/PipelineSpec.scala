@@ -75,6 +75,33 @@ class PipelineSpec extends SparkSpec {
     assert(rejoined(1L) == "a b c d e" && rejoined(2L) == "x y")
   }
 
+  test("dup spans: cross-doc runs merge to exact boundaries, within-doc repetition never fires") {
+    // spanL=3. Docs 1+2 share the 4-word run "c d e f": duplicated
+    // 3-grams "c d e"/"d e f" at starts {3,4} merge into ONE span
+    // covering exactly words 3..6. Doc 5 carries the run twice, > spanL
+    // apart -> two spans. Doc 4 is pure internal repetition (one
+    // distinct doc) -> clean. Docs 7+8 are shorter than spanL (whole-doc
+    // gram convention) -> span end clamps to doc length.
+    val d = docs(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y c d e f u v w"),
+      (3L, "k l m n o p"),
+      (4L, "m m m m m m"),
+      (5L, "c d e f p q r s t u v c d e f"),
+      (7L, "c d"), (8L, "c d"))
+    val got = Dedup.dupSpans(d, spanL = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Long]("dup_words"), r.getAs[Double]("dup_frac")))).toMap
+    assert(got(1L) == ((10L, 1L, 4L, 0.4)))
+    assert(got(2L) == ((9L, 1L, 4L, 4.0 / 9.0)))
+    assert(got(3L) == ((6L, 0L, 0L, 0.0)))
+    assert(got(4L) == ((6L, 0L, 0L, 0.0)))
+    assert(got(5L) == ((15L, 2L, 8L, 8.0 / 15.0)))
+    assert(got(7L) == ((2L, 1L, 2L, 1.0)))
+    assert(got(8L) == ((2L, 1L, 2L, 1.0)))
+  }
+
   test("exact dedup: canonical id and group size") {
     val d = docs((5L, "same text"), (3L, "same text"), (9L, "Other"))
     val r = Dedup.exact(d).collect()
