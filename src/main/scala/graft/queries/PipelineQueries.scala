@@ -1945,6 +1945,65 @@ object PipelineQueries {
          |    < r.rate_micro AS kept
          |FROM documents d JOIN rates r USING (source)""".stripMargin) { (s, dir) =>
       Curation.temperatureMixture(t(s, dir, "documents"))
+    },
+
+    // ---- duplicate-span CUT (p51's detect completed to Lee et al.
+    // end-to-end): spans removed from every doc but the gram's min-id
+    // keeper, text rebuilt relationally via position anti-join and
+    // ordered re-assembly — replayed exactly in DuckDB.
+    QueryDef(
+      "p53_dup_span_cut",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM documents
+         |), g AS (
+         |  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_words,
+         |    CAST(unnest(range(1, greatest(len(tokens) - ${SPAN_L - 1}, 1) + 1))
+         |      AS BIGINT) AS pos,
+         |    unnest(list_transform(
+         |      range(1, greatest(len(tokens) - ${SPAN_L - 1}, 1) + 1),
+         |      i -> ${Hashing.sqlH60(
+                 s"array_to_string(list_slice(tokens, i, i + ${SPAN_L - 1}), ' ')")}))
+         |      AS h
+         |  FROM toks
+         |), keepers AS (
+         |  SELECT h, CAST(min(doc_id) AS BIGINT) AS keeper
+         |  FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= $SPAN_MIN_DOCS
+         |), cut AS (
+         |  SELECT g.doc_id, g.n_words, g.pos
+         |  FROM g JOIN keepers USING (h) WHERE g.doc_id <> keepers.keeper
+         |), isl AS (
+         |  SELECT doc_id, n_words, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |      <= $SPAN_L THEN 0 ELSE 1 END AS brk
+         |  FROM cut
+         |), isl2 AS (
+         |  SELECT doc_id, n_words, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM isl
+         |), spans AS (
+         |  SELECT doc_id, n_words, island, min(pos) AS s,
+         |    least(max(pos) + ${SPAN_L - 1}, n_words) AS e
+         |  FROM isl2 GROUP BY doc_id, n_words, island
+         |), covered AS (
+         |  SELECT doc_id, CAST(unnest(range(s, e + 1)) AS BIGINT) AS i FROM spans
+         |), tokpos AS (
+         |  SELECT doc_id, CAST(unnest(range(1, len(tokens) + 1)) AS BIGINT) AS i,
+         |    unnest(tokens) AS tok
+         |  FROM toks
+         |), kept AS (
+         |  SELECT t.doc_id, t.i, t.tok
+         |  FROM tokpos t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.i = t.i
+         |  WHERE c.i IS NULL
+         |), reb AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    array_to_string(list(tok ORDER BY i), ' ') AS text_cut
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, CAST(len(tokens) AS BIGINT) AS n_words,
+         |  CAST(len(tokens) - coalesce(n_kept, 0) AS BIGINT) AS cut_words,
+         |  coalesce(text_cut, '') AS text_cut
+         |FROM toks t LEFT JOIN reb USING (doc_id)""".stripMargin) { (s, dir) =>
+      Dedup.dupSpansCut(t(s, dir, "documents"), SPAN_L, SPAN_MIN_DOCS)
     }
   )
 

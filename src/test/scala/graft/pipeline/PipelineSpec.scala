@@ -102,6 +102,31 @@ class PipelineSpec extends SparkSpec {
     assert(got(8L) == ((2L, 1L, 2L, 1.0)))
   }
 
+  test("dup span cut: keeper doc intact, others cut exactly, full-cut doc empties") {
+    // Same fixture as the detect test. Gram keepers are min doc_id:
+    // doc 1 owns the shared "c d e f" grams -> intact; doc 2 cuts words
+    // 3..6; doc 5 holds the run twice, owns neither -> both spans cut;
+    // doc 7 owns the whole-doc gram "c d" -> intact; doc 8 fully cut.
+    val d = docs(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y c d e f u v w"),
+      (3L, "k l m n o p"),
+      (4L, "m m m m m m"),
+      (5L, "c d e f p q r s t u v c d e f"),
+      (7L, "c d"), (8L, "c d"))
+    val got = Dedup.dupSpansCut(d, spanL = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("cut_words"),
+          r.getAs[String]("text_cut")))).toMap
+    assert(got(1L) == ((10L, 0L, "a b c d e f g h i j")))
+    assert(got(2L) == ((9L, 4L, "x y u v w")))
+    assert(got(3L) == ((6L, 0L, "k l m n o p")))
+    assert(got(4L) == ((6L, 0L, "m m m m m m")))
+    assert(got(5L) == ((15L, 8L, "p q r s t u v")))
+    assert(got(7L) == ((2L, 0L, "c d")))
+    assert(got(8L) == ((2L, 2L, "")))
+  }
+
   test("exact dedup: canonical id and group size") {
     val d = docs((5L, "same text"), (3L, "same text"), (9L, "Other"))
     val r = Dedup.exact(d).collect()

@@ -46,7 +46,8 @@ class PlanSpec extends SparkSpec {
         "p11_embedding_dedup", "p19_contamination", "g08_components",
         "p34_semdedup", "p35_dsir_weights", "p36_bloom_contamination",
         "p37_dup_ngrams", "p38_mixture_sample", "p39_countmin_words",
-        "p40_bm25", "g12_triangles", "g13_kcore", "p51_dup_spans")) {
+        "p40_bm25", "g12_triangles", "g13_kcore", "p51_dup_spans",
+        "p53_dup_span_cut")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name grew a cross product:\n$p")
     }
