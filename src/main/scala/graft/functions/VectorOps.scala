@@ -102,7 +102,8 @@ object VectorOps {
     val out = new Array[Long](numHashes)
     var i = 0
     while (i < numHashes) {
-      val a = 37L + 2L * i
+      // Must mirror graft.pipeline.Hashing.hashA/hashB exactly.
+      val a = (506952114L * (i + 1)) % 2147483647L
       val b = 10007L * i + 17L
       var min = Long.MaxValue
       var j = 0

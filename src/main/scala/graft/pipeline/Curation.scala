@@ -387,4 +387,82 @@ object Curation {
         expr("score_micro div n_tokens").as("per_tok_micro"),
         (expr("score_micro div n_tokens") >= col("cut_micro")).as("selected"))
   }
+
+  /** Deterministic global training shuffle + shard assignment: every doc
+    * gets `(shard, shard_pos)` where shard = its 60-bit salted id-hash
+    * mod `numShards` and shard_pos = its hash rank WITHIN the shard —
+    * the reproducible "shuffle the corpus, write S shards, stream each
+    * shard in order" layout a trainer consumes. Keyed on the id, not
+    * the text, so re-running after an edit moves only the edited doc.
+    *
+    * Scale: the only wide operation is one window partitioned by shard
+    * ordered by (h, doc_id) — with production shard counts (thousands)
+    * each partition holds n/S rows, and Spark sorts them with the same
+    * shuffle a `repartition(S).sortWithinPartitions` layout-write would
+    * need anyway; hash uniformity keeps shard sizes within ±O(√(n/S)).
+    * No global rank is ever computed (a total-order row_number would
+    * serialize on one partition).
+    */
+  def shuffleShards(docs: DataFrame, numShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    import org.apache.spark.sql.expressions.Window
+    val h = Hashing.h60(concat(lit("shuf:"), col(idCol).cast("string")))
+    docs.select(col(idCol).as("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(numShards.toLong)))
+      .withColumn("shard_pos",
+        row_number().over(
+          Window.partitionBy("shard").orderBy("h", "doc_id"))
+          .cast("long"))
+      .select(col("doc_id"), col("shard"), col("shard_pos"))
+  }
+
+  /** CCNet-style per-source quality buckets (Wenzek et al. 2020 shape):
+    * score every doc with the corpus-self-derived unigram LM
+    * ([[TextAnalysis.unigramQuality]], integer micro-nats), then split
+    * each source into head / middle / tail thirds by per-source score
+    * thresholds. The bucket is the curation signal: head = most
+    * LM-probable (cleanest) third of its source, tail = least.
+    *
+    * All integer-exact: the per-doc score is floor(lp_micro_sum /
+    * n_tokens) via the pmod identity (true floor division — lp sums are
+    * negative, and Spark `div` / DuckDB `//` disagree on negative
+    * truncation), and thresholds come from a per-(source, score) count
+    * relation with a descending cumulative window — score values are
+    * bounded (micro-nats per token), so that relation is tiny no matter
+    * the corpus size, and no window ever spans a source's documents.
+    * t_head = score of the ceil(n/3)-ranked doc (desc), t_mid = score
+    * of the ceil(2n/3)-ranked doc; bucket by score ≥ threshold, so
+    * score ties land in the better bucket on both engines identically.
+    */
+  def ccnetBuckets(docs: DataFrame, minCount: Long = 2,
+      sourceCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def floorDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val scored = TextAnalysis.unigramQuality(docs, minCount)
+      .select(col("doc_id"),
+        floorDiv(col("lp_micro_sum"), col("n_tokens")).as("score_micro"))
+      .join(docs.select(col("doc_id"), col(sourceCol).as("source")),
+        Seq("doc_id"))
+    val hist = scored.groupBy("source", "score_micro")
+      .agg(count(lit(1)).as("c"))
+    val wDesc = Window.partitionBy("source").orderBy(col("score_micro").desc)
+    val cum = hist
+      .withColumn("cum", sum("c").over(wDesc))
+      .withColumn("n", sum("c").over(Window.partitionBy("source")))
+    // threshold at rank k (desc) = the k-th-ranked doc's score = the
+    // LARGEST score whose desc-cumulative count reaches k (cum grows as
+    // score descends; the first group to reach k holds that doc).
+    def thresholdAt(kExpr: Column): Column =
+      max(when(col("cum") >= kExpr, col("score_micro")))
+    val thresholds = cum.groupBy("source").agg(
+      thresholdAt(expr("(n + 2) div 3")).as("t_head"),
+      thresholdAt(expr("(2 * n + 2) div 3")).as("t_mid"))
+    scored.join(broadcast(thresholds), Seq("source"))
+      .select(col("doc_id"), col("source"), col("score_micro"),
+        when(col("score_micro") >= col("t_head"), lit("head"))
+          .when(col("score_micro") >= col("t_mid"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
 }

@@ -67,12 +67,22 @@ object Hashing {
   }
 
   /** Universal-hash family over 60-bit inputs, h_i(x) = (a_i*(x mod M) + b_i)
-    * mod P with M prime < 2^20 and P = 2^31-1: products stay < 2^62, so the
-    * arithmetic is exact in BIGINT on both engines.
+    * mod P with M prime < 2^20 and P = 2^31-1: a_i < P and x mod M < 2^20,
+    * so products stay < 2^51 and the arithmetic is exact in BIGINT on both
+    * engines.
+    *
+    * a_i MUST be large enough that a_i*x actually wraps mod P: the
+    * original family (a_i = 37+2i ≤ 131) kept every product below
+    * 131·2^20 < P, making h_i order-PRESERVING in x — all k MinHash
+    * components were minimized by the same global-min shingle and LSH
+    * recall degenerated from the banded 1-(1-s^r)^b to plain s
+    * (round 13; caught by the incremental-dedup fixture, measured in
+    * MinHashRecallSpec). The golden-ratio multiplier stepped mod P gives
+    * a_i spread over [1, P) so each hash ranks shingles independently.
     */
   val M: Long = 1048573L
   val P: Long = 2147483647L
-  def hashA(i: Int): Long = 37L + 2L * i
+  def hashA(i: Int): Long = (506952114L * (i + 1)) % P // 2654435761 mod P
   def hashB(i: Int): Long = 10007L * i + 17L
 
   def universal(i: Int, x: Column): Column =

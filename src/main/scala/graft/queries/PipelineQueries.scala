@@ -323,6 +323,18 @@ object PipelineQueries {
        |  * 1000000) AS BIGINT)""".stripMargin
   }
 
+  /** p54 incremental-dedup split: batch = docs with doc_id ≡ INC_REM
+    * (mod INC_MOD), corpus = the rest — a deterministic ~1/7th delta
+    * both engines carve identically.
+    */
+  private val INC_MOD = 7L
+  private val INC_REM = 3L
+
+  /** p55 shard count — small enough that every shard is populated at
+    * sf0.001, large enough that the partition-by-shard window matters.
+    */
+  private val SHUF_SHARDS = 8L
+
   // ---------------------------------------------------------------- queries
 
   val queries: Seq[QueryDef] = Seq(
@@ -2004,6 +2016,139 @@ object PipelineQueries {
          |  coalesce(text_cut, '') AS text_cut
          |FROM toks t LEFT JOIN reb USING (doc_id)""".stripMargin) { (s, dir) =>
       Dedup.dupSpansCut(t(s, dir, "documents"), SPAN_L, SPAN_MIN_DOCS)
+    },
+
+    // ---- incremental (delta) dedup: batch docs gated against a standing
+    // corpus — exact content-key semi-join + cross-side MinHash bucket
+    // join + exact-Jaccard verify, best match per batch doc. Same sig/
+    // bucket formulas as p05, restricted to batch×corpus pairs.
+    QueryDef(
+      "p54_incremental_dedup",
+      s"""WITH $DOCS,
+         |sigs AS (
+         |  SELECT doc_id, shingles, n_sh,
+         |    list_transform(range(0, ${MH_BANDS * MH_ROWS}), i ->
+         |      CAST(list_min(list_transform(hs, x ->
+         |        (((506952114 * (i + 1)) % ${Hashing.P}) * x + 10007*i + 17) % ${Hashing.P})) AS BIGINT)) AS sig
+         |  FROM hsh
+         |),
+         |buckets AS (
+         |  SELECT doc_id, CAST(j AS BIGINT) AS band,
+         |    CAST(sig[CAST(2*j+1 AS INT)] AS VARCHAR) || ',' ||
+         |    CAST(sig[CAST(2*j+2 AS INT)] AS VARCHAR) AS bucket
+         |  FROM sigs, range(0, $MH_BANDS) t(j)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id AS id_b, c.doc_id AS id_c
+         |  FROM buckets b JOIN buckets c
+         |    ON b.band = c.band AND b.bucket = c.bucket
+         |  WHERE b.doc_id % $INC_MOD = $INC_REM
+         |    AND c.doc_id % $INC_MOD <> $INC_REM
+         |),
+         |ver AS (
+         |  SELECT id_b, id_c,
+         |    ${sqlJaccard("len(list_intersect(sb.shingles, sc.shingles))",
+                "sb.n_sh", "sc.n_sh")} AS j
+         |  FROM cand
+         |  JOIN hsh sb ON sb.doc_id = id_b
+         |  JOIN hsh sc ON sc.doc_id = id_c
+         |),
+         |best AS (
+         |  SELECT id_b, id_c, j,
+         |    row_number() OVER (PARTITION BY id_b ORDER BY j DESC, id_c) AS rn
+         |  FROM ver WHERE j >= $MH_T
+         |),
+         |ck AS (
+         |  SELECT DISTINCT ${Hashing.sqlH60("lower(text)")} AS k
+         |  FROM documents WHERE doc_id % $INC_MOD <> $INC_REM
+         |),
+         |ex AS (
+         |  SELECT DISTINCT d.doc_id
+         |  FROM documents d JOIN ck ON ${Hashing.sqlH60("lower(d.text)")} = ck.k
+         |  WHERE d.doc_id % $INC_MOD = $INC_REM
+         |)
+         |SELECT d.doc_id,
+         |  (ex.doc_id IS NOT NULL) AS dup_exact,
+         |  CAST(coalesce(b.id_c, -1) AS BIGINT) AS near_id,
+         |  coalesce(b.j, 0.0) AS near_jaccard,
+         |  (ex.doc_id IS NULL AND b.id_c IS NULL) AS keep
+         |FROM documents d
+         |LEFT JOIN ex ON ex.doc_id = d.doc_id
+         |LEFT JOIN (SELECT id_b, id_c, j FROM best WHERE rn = 1) b
+         |  ON b.id_b = d.doc_id
+         |WHERE d.doc_id % $INC_MOD = $INC_REM""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalDedup(
+        docs.filter(pmod(col("doc_id"), lit(INC_MOD)) =!= INC_REM),
+        docs.filter(pmod(col("doc_id"), lit(INC_MOD)) === INC_REM),
+        SHINGLE_N, MH_BANDS, MH_ROWS, MH_T)
+    },
+
+    // ---- deterministic global training shuffle: salted id-hash order,
+    // hash-mod shard, rank within shard — the reproducible shard layout
+    // a trainer streams.
+    QueryDef(
+      "p55_shuffle_shards",
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ${Hashing.sqlH60("'shuf:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents
+         |)
+         |SELECT doc_id, h % $SHUF_SHARDS AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % $SHUF_SHARDS
+         |    ORDER BY h, doc_id) AS BIGINT) AS shard_pos
+         |FROM h""".stripMargin) { (s, dir) =>
+      Curation.shuffleShards(t(s, dir, "documents"), SHUF_SHARDS.toInt)
+    },
+
+    // ---- CCNet-style per-source quality buckets: unigram-LM score
+    // (integer micro-nats per token, true floor division) split into
+    // head/middle/tail thirds by per-source histogram thresholds.
+    QueryDef(
+      "p56_ccnet_buckets",
+      s"""WITH toksx AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         |  FROM documents
+         |), freq AS (
+         |  SELECT w, count(*) AS cnt FROM toksx GROUP BY w
+         |), tot AS (SELECT sum(cnt) AS tot FROM freq),
+         |ws AS (
+         |  SELECT w,
+         |    CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+         |      * 1000000) AS BIGINT) AS lp
+         |  FROM freq CROSS JOIN tot
+         |), per AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(lp) AS BIGINT) AS lps
+         |  FROM toksx JOIN ws USING (w) GROUP BY doc_id
+         |), scored AS (
+         |  SELECT p.doc_id, d.source,
+         |    CAST((lps - (((lps % n_tokens) + n_tokens) % n_tokens))
+         |      // n_tokens AS BIGINT) AS score_micro
+         |  FROM per p JOIN documents d USING (doc_id)
+         |), hist AS (
+         |  SELECT source, score_micro, count(*) AS c
+         |  FROM scored GROUP BY source, score_micro
+         |), cum AS (
+         |  SELECT source, score_micro,
+         |    sum(c) OVER (PARTITION BY source ORDER BY score_micro DESC)
+         |      AS cum,
+         |    sum(c) OVER (PARTITION BY source) AS n
+         |  FROM hist
+         |), thr AS (
+         |  SELECT source,
+         |    max(CASE WHEN cum >= (n + 2) // 3 THEN score_micro END)
+         |      AS t_head,
+         |    max(CASE WHEN cum >= (2 * n + 2) // 3 THEN score_micro END)
+         |      AS t_mid
+         |  FROM cum GROUP BY source
+         |)
+         |SELECT s.doc_id, s.source, s.score_micro,
+         |  CASE WHEN s.score_micro >= t.t_head THEN 'head'
+         |       WHEN s.score_micro >= t.t_mid THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM scored s JOIN thr t USING (source)""".stripMargin) { (s, dir) =>
+      Curation.ccnetBuckets(t(s, dir, "documents"), LM_MIN_COUNT)
     }
   )
 
@@ -2043,7 +2188,7 @@ object PipelineQueries {
        |  SELECT doc_id, shingles, n_sh,
        |    list_transform(range(0, ${MH_BANDS * MH_ROWS}), i ->
        |      CAST(list_min(list_transform(hs, x ->
-       |        ((37 + 2*i) * x + 10007*i + 17) % ${Hashing.P})) AS BIGINT)) AS sig
+       |        (((506952114 * (i + 1)) % ${Hashing.P}) * x + 10007*i + 17) % ${Hashing.P})) AS BIGINT)) AS sig
        |  FROM hsh
        |),
        |buckets AS (

@@ -203,4 +203,63 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) == ((2L, 500000L, 250000L, false)))
     assert(got(3L) == ((2L, 1750000L, 875000L, true)))
   }
+
+  test("shuffle shards: permutation, contiguous per-shard ranks, deterministic") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val got = Curation.shuffleShards(docs, numShards = 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("shard_pos")))
+    assert(got.length == 100)
+    assert(got.map(_._1).toSet == (0L until 100L).toSet) // every doc once
+    assert(got.forall(t => t._2 >= 0 && t._2 < 4))
+    // ranks within each shard are exactly 1..size(shard)
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard ranks not contiguous")
+    }
+    // hash balance: no shard takes more than half the corpus
+    assert(got.groupBy(_._2).values.map(_.length).max < 50)
+    // id-keyed determinism: a permuted input yields the identical layout
+    val again = Curation.shuffleShards(
+        docs.orderBy(rand(7)), numShards = 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("shard_pos"))).sorted
+    assert(again.toSeq == got.sorted.toSeq)
+  }
+
+  test("ccnet buckets: per-source thirds, ties to the better bucket") {
+    import spark.implicits._
+    // Source A: 6 docs built from words with frequencies chosen so the
+    // per-token LM score strictly orders doc quality: 'common' appears
+    // many times, 'rare*' words twice each (>= minCount), so docs with
+    // more 'common' score higher. Source B: 3 docs, one per bucket.
+    val a = Seq(
+      (1L, "common common common common", "A"),
+      (2L, "common common common rare1", "A"),
+      (3L, "common common rare1 rare2", "A"),
+      (4L, "common rare1 rare2 rare3", "A"),
+      (5L, "rare1 rare2 rare3 rare4", "A"),
+      (6L, "rare2 rare3 rare4 rare5", "A"))
+    val b = Seq(
+      (11L, "common common common common", "B"),
+      (12L, "common common rare4 rare5", "B"),
+      (13L, "rare1 rare2 rare5 rare3", "B"))
+    val docs = (a ++ b).toDF("doc_id", "text", "source")
+    val got = Curation.ccnetBuckets(docs, minCount = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    // A (n=6): k_head=2, k_mid=4 -> head={1,2}, middle={3,4}, tail={5,6}
+    assert(got(1L) == "head"); assert(got(2L) == "head")
+    assert(got(3L) == "middle"); assert(got(4L) == "middle")
+    assert(got(5L) == "tail"); assert(got(6L) == "tail")
+    // B (n=3): k_head=1, k_mid=2 -> one doc per bucket
+    assert(got(11L) == "head"); assert(got(12L) == "middle")
+    assert(got(13L) == "tail")
+    // score ties: duplicate of doc 1's text joins it in head
+    val dup = docs.union(Seq((7L, "common common common common", "A"))
+      .toDF("doc_id", "text", "source"))
+    val got2 = Curation.ccnetBuckets(dup, minCount = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    assert(got2(1L) == "head" && got2(7L) == "head")
+  }
 }

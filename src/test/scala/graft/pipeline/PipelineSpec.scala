@@ -127,6 +127,25 @@ class PipelineSpec extends SparkSpec {
     assert(got(8L) == ((2L, 2L, "")))
   }
 
+  test("incremental dedup: exact dup, near dup, novel doc") {
+    val corpus = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated corpus material about spark partitions"))
+    val batch = docs(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (17L, "the quick brown fox jumps over the lazy dog again and often"),
+      (24L, "novel fresh content sharing nothing with anything prior"))
+    val got = Dedup.incrementalDedup(corpus, batch, n = 3,
+        numBands = 24, rowsPerBand = 2, threshold = 0.5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("dup_exact"), r.getAs[Long]("near_id"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(got(10L) == ((true, 1L, false)))   // verbatim copy of corpus 1
+    assert(got(17L) == ((false, 1L, false)))  // one word changed: near only
+    assert(got(24L) == ((false, -1L, true)))  // novel: kept
+    assert(got.size == 3)
+  }
+
   test("exact dedup: canonical id and group size") {
     val d = docs((5L, "same text"), (3L, "same text"), (9L, "Other"))
     val r = Dedup.exact(d).collect()
