@@ -388,6 +388,47 @@ object Curation {
         (expr("score_micro div n_tokens") >= col("cut_micro")).as("selected"))
   }
 
+  /** Benchmark-contamination SPANS — the positional completion of
+    * [[contaminationScores]]: not just what fraction of a training doc
+    * overlaps the benchmark, but WHERE. Every corpus-doc position whose
+    * word `spanL`-gram appears anywhere in the benchmark is flagged and
+    * island-merged into maximal spans (same machinery as the duplicate-
+    * span family — [[Dedup.positionalGrams]]/[[Dedup.mergeIslands]]), so
+    * a decontamination pass can cut exactly the leaked regions (feed
+    * the spans to a [[Dedup.dupSpansCut]]-style rebuild) instead of
+    * dropping whole documents that mention one benchmark sentence.
+    *
+    * Output per corpus doc: `(doc_id, n_words, n_contam_spans,
+    * contam_words, contam_frac)` — zero rows for clean docs included.
+    *
+    * Scale: the benchmark side collapses to its DISTINCT gram-hash set
+    * (for a real eval suite, thousands of 8-byte keys — Catalyst
+    * broadcasts the semi-join); the corpus side is one row per word,
+    * and the island window partitions by doc_id. Nothing is ever
+    * corpus × benchmark.
+    */
+  def contaminationSpans(docs: DataFrame, benchmark: DataFrame, spanL: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      mode: Hashing.HashMode = Hashing.HashMode.Oracle): DataFrame = {
+    val posts = Dedup.positionalGrams(docs, spanL, idCol, textCol, mode)
+    val benchGrams = Dedup.positionalGrams(benchmark, spanL, idCol, textCol, mode)
+      .select("h").distinct()
+    val spans = Dedup.mergeIslands(
+      posts.join(benchGrams, Seq("h"), "left_semi")
+        .select("doc_id", "n_words", "pos"), spanL)
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contam_spans"),
+        sum(col("e") - col("s") + 1L).as("contam_words"))
+    docs.select(col(idCol).as("doc_id"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_contam_spans"), lit(0L)).as("n_contam_spans"),
+        coalesce(col("contam_words"), lit(0L)).as("contam_words"),
+        (coalesce(col("contam_words"), lit(0L)).cast("double") /
+          col("n_words").cast("double")).as("contam_frac"))
+  }
+
   /** Deterministic global training shuffle + shard assignment: every doc
     * gets `(shard, shard_pos)` where shard = its 60-bit salted id-hash
     * mod `numShards` and shard_pos = its hash rank WITHIN the shard —

@@ -327,13 +327,22 @@ object PipelineQueries {
     * (mod INC_MOD), corpus = the rest — a deterministic ~1/7th delta
     * both engines carve identically.
     */
-  private val INC_MOD = 7L
-  private val INC_REM = 3L
+  private[queries] val INC_MOD = 7L
+  private[queries] val INC_REM = 3L
 
   /** p55 shard count — small enough that every shard is populated at
     * sf0.001, large enough that the partition-by-shard window matters.
     */
   private val SHUF_SHARDS = 8L
+
+  /** p57 contamination-span gram length — shorter than the p51/p53
+    * SPAN_L=8 dedup unit because a benchmark leak is judged against a
+    * DIFFERENT corpus (the 5% benchmark slice), and on the synthetic
+    * tables only whole-doc duplicates straddle that split at L >= 5
+    * (2 docs); L=4 flags 49 docs incl. partial/multi-span leaks, so
+    * the oracle actually exercises the island merge.
+    */
+  private val CONTAM_SPAN_L = 4
 
   // ---------------------------------------------------------------- queries
 
@@ -2024,59 +2033,7 @@ object PipelineQueries {
     // bucket formulas as p05, restricted to batch×corpus pairs.
     QueryDef(
       "p54_incremental_dedup",
-      s"""WITH $DOCS,
-         |sigs AS (
-         |  SELECT doc_id, shingles, n_sh,
-         |    list_transform(range(0, ${MH_BANDS * MH_ROWS}), i ->
-         |      CAST(list_min(list_transform(hs, x ->
-         |        (((506952114 * (i + 1)) % ${Hashing.P}) * x + 10007*i + 17) % ${Hashing.P})) AS BIGINT)) AS sig
-         |  FROM hsh
-         |),
-         |buckets AS (
-         |  SELECT doc_id, CAST(j AS BIGINT) AS band,
-         |    CAST(sig[CAST(2*j+1 AS INT)] AS VARCHAR) || ',' ||
-         |    CAST(sig[CAST(2*j+2 AS INT)] AS VARCHAR) AS bucket
-         |  FROM sigs, range(0, $MH_BANDS) t(j)
-         |),
-         |cand AS (
-         |  SELECT DISTINCT b.doc_id AS id_b, c.doc_id AS id_c
-         |  FROM buckets b JOIN buckets c
-         |    ON b.band = c.band AND b.bucket = c.bucket
-         |  WHERE b.doc_id % $INC_MOD = $INC_REM
-         |    AND c.doc_id % $INC_MOD <> $INC_REM
-         |),
-         |ver AS (
-         |  SELECT id_b, id_c,
-         |    ${sqlJaccard("len(list_intersect(sb.shingles, sc.shingles))",
-                "sb.n_sh", "sc.n_sh")} AS j
-         |  FROM cand
-         |  JOIN hsh sb ON sb.doc_id = id_b
-         |  JOIN hsh sc ON sc.doc_id = id_c
-         |),
-         |best AS (
-         |  SELECT id_b, id_c, j,
-         |    row_number() OVER (PARTITION BY id_b ORDER BY j DESC, id_c) AS rn
-         |  FROM ver WHERE j >= $MH_T
-         |),
-         |ck AS (
-         |  SELECT DISTINCT ${Hashing.sqlH60("lower(text)")} AS k
-         |  FROM documents WHERE doc_id % $INC_MOD <> $INC_REM
-         |),
-         |ex AS (
-         |  SELECT DISTINCT d.doc_id
-         |  FROM documents d JOIN ck ON ${Hashing.sqlH60("lower(d.text)")} = ck.k
-         |  WHERE d.doc_id % $INC_MOD = $INC_REM
-         |)
-         |SELECT d.doc_id,
-         |  (ex.doc_id IS NOT NULL) AS dup_exact,
-         |  CAST(coalesce(b.id_c, -1) AS BIGINT) AS near_id,
-         |  coalesce(b.j, 0.0) AS near_jaccard,
-         |  (ex.doc_id IS NULL AND b.id_c IS NULL) AS keep
-         |FROM documents d
-         |LEFT JOIN ex ON ex.doc_id = d.doc_id
-         |LEFT JOIN (SELECT id_b, id_c, j FROM best WHERE rn = 1) b
-         |  ON b.id_b = d.doc_id
-         |WHERE d.doc_id % $INC_MOD = $INC_REM""".stripMargin) { (s, dir) =>
+      sqlIncrementalDedup) { (s, dir) =>
       val docs = t(s, dir, "documents")
       Dedup.incrementalDedup(
         docs.filter(pmod(col("doc_id"), lit(INC_MOD)) =!= INC_REM),
@@ -2149,6 +2106,61 @@ object PipelineQueries {
          |       ELSE 'tail' END AS bucket
          |FROM scored s JOIN thr t USING (source)""".stripMargin) { (s, dir) =>
       Curation.ccnetBuckets(t(s, dir, "documents"), LM_MIN_COUNT)
+    },
+
+    // ---- contamination SPANS: where exactly the benchmark leaks into
+    // each training doc — benchmark-gram semi-join + island merge, the
+    // positional decontamination signal (p19 gives the fraction, p57
+    // the cuttable regions). Same p19 split: benchmark = doc_id%20==0.
+    QueryDef(
+      "p57_contamination_spans",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM documents
+         |), g AS (
+         |  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_words,
+         |    CAST(unnest(range(1, greatest(len(tokens) - ${CONTAM_SPAN_L - 1}, 1) + 1))
+         |      AS BIGINT) AS pos,
+         |    unnest(list_transform(
+         |      range(1, greatest(len(tokens) - ${CONTAM_SPAN_L - 1}, 1) + 1),
+         |      i -> ${Hashing.sqlH60(
+                 s"array_to_string(list_slice(tokens, i, i + ${CONTAM_SPAN_L - 1}), ' ')")}))
+         |      AS h
+         |  FROM toks
+         |), bench AS (
+         |  SELECT DISTINCT h FROM g WHERE doc_id % 20 = 0
+         |), hits AS (
+         |  SELECT g.doc_id, g.n_words, g.pos
+         |  FROM g JOIN bench USING (h) WHERE g.doc_id % 20 <> 0
+         |), isl AS (
+         |  SELECT doc_id, n_words, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |      <= $CONTAM_SPAN_L THEN 0 ELSE 1 END AS brk
+         |  FROM hits
+         |), isl2 AS (
+         |  SELECT doc_id, n_words, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM isl
+         |), spans AS (
+         |  SELECT doc_id, n_words, island, min(pos) AS s,
+         |    least(max(pos) + ${CONTAM_SPAN_L - 1}, n_words) AS e
+         |  FROM isl2 GROUP BY doc_id, n_words, island
+         |), per_doc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contam_spans,
+         |    CAST(sum(e - s + 1) AS BIGINT) AS contam_words
+         |  FROM spans GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, t.n_words,
+         |  coalesce(n_contam_spans, 0) AS n_contam_spans,
+         |  coalesce(contam_words, 0) AS contam_words,
+         |  CAST(coalesce(contam_words, 0) AS DOUBLE) / CAST(t.n_words AS DOUBLE)
+         |    AS contam_frac
+         |FROM (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_words
+         |      FROM toks WHERE doc_id % 20 <> 0) t
+         |LEFT JOIN per_doc USING (doc_id)""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Curation.contaminationSpans(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), CONTAM_SPAN_L)
     }
   )
 
@@ -2174,6 +2186,68 @@ object PipelineQueries {
        |    PARTITION BY "group" ORDER BY race_nano, doc_id) AS BIGINT)
        |    AS samp_rank
        |FROM raced QUALIFY samp_rank <= $WS_K""".stripMargin
+
+  /** The p54 incremental-dedup oracle, shared VERBATIM by the
+    * streaming twin (s15): the stream-static key/bucket joins are
+    * stateless, so the drained candidate/exact sets equal the batch
+    * operator's for any arrival order, and the post-drain verify is
+    * the same [[graft.pipeline.Dedup.incrementalVerdicts]] stage —
+    * streaming == batch EXACTLY and one SQL gates both.
+    */
+  private[queries] def sqlIncrementalDedup: String =
+    s"""WITH $DOCS,
+         |sigs AS (
+         |  SELECT doc_id, shingles, n_sh,
+         |    list_transform(range(0, ${MH_BANDS * MH_ROWS}), i ->
+         |      CAST(list_min(list_transform(hs, x ->
+         |        (((506952114 * (i + 1)) % ${Hashing.P}) * x + 10007*i + 17) % ${Hashing.P})) AS BIGINT)) AS sig
+         |  FROM hsh
+         |),
+         |buckets AS (
+         |  SELECT doc_id, CAST(j AS BIGINT) AS band,
+         |    CAST(sig[CAST(2*j+1 AS INT)] AS VARCHAR) || ',' ||
+         |    CAST(sig[CAST(2*j+2 AS INT)] AS VARCHAR) AS bucket
+         |  FROM sigs, range(0, $MH_BANDS) t(j)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id AS id_b, c.doc_id AS id_c
+         |  FROM buckets b JOIN buckets c
+         |    ON b.band = c.band AND b.bucket = c.bucket
+         |  WHERE b.doc_id % $INC_MOD = $INC_REM
+         |    AND c.doc_id % $INC_MOD <> $INC_REM
+         |),
+         |ver AS (
+         |  SELECT id_b, id_c,
+         |    ${sqlJaccard("len(list_intersect(sb.shingles, sc.shingles))",
+                "sb.n_sh", "sc.n_sh")} AS j
+         |  FROM cand
+         |  JOIN hsh sb ON sb.doc_id = id_b
+         |  JOIN hsh sc ON sc.doc_id = id_c
+         |),
+         |best AS (
+         |  SELECT id_b, id_c, j,
+         |    row_number() OVER (PARTITION BY id_b ORDER BY j DESC, id_c) AS rn
+         |  FROM ver WHERE j >= $MH_T
+         |),
+         |ck AS (
+         |  SELECT DISTINCT ${Hashing.sqlH60("lower(text)")} AS k
+         |  FROM documents WHERE doc_id % $INC_MOD <> $INC_REM
+         |),
+         |ex AS (
+         |  SELECT DISTINCT d.doc_id
+         |  FROM documents d JOIN ck ON ${Hashing.sqlH60("lower(d.text)")} = ck.k
+         |  WHERE d.doc_id % $INC_MOD = $INC_REM
+         |)
+         |SELECT d.doc_id,
+         |  (ex.doc_id IS NOT NULL) AS dup_exact,
+         |  CAST(coalesce(b.id_c, -1) AS BIGINT) AS near_id,
+         |  coalesce(b.j, 0.0) AS near_jaccard,
+         |  (ex.doc_id IS NULL AND b.id_c IS NULL) AS keep
+         |FROM documents d
+         |LEFT JOIN ex ON ex.doc_id = d.doc_id
+         |LEFT JOIN (SELECT id_b, id_c, j FROM best WHERE rn = 1) b
+         |  ON b.id_b = d.doc_id
+         |WHERE d.doc_id % $INC_MOD = $INC_REM""".stripMargin
 
   /** The p05 MinHash-LSH oracle, shared VERBATIM by the streaming twin
     * (s14): the emitted candidate-pair SET of the streaming bucket

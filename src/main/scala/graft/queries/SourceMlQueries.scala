@@ -655,6 +655,63 @@ object SourceMlQueries {
         PipelineQueries.SHINGLE_N, PipelineQueries.MH_T)
     },
 
+    // ---- s15: STREAM-STATIC incremental dedup at ingest — the delta
+    // arrives as a stream (2 files × maxFilesPerTrigger=1, so the gate
+    // really runs per micro-batch), the corpus is a standing static
+    // table. Both streaming joins are stateless stream-static equi-joins
+    // (the operator class s04-s14 don't cover): content keys vs the
+    // corpus key set, band buckets vs the corpus bucket index. The
+    // drained candidate/exact sets equal the batch p54 operator's for
+    // any arrival order, the post-drain verify IS the batch verify
+    // stage, hence streaming == batch EXACTLY and p54's oracle SQL
+    // gates it VERBATIM.
+    QueryDef(
+      "s15_streaming_incremental_dedup",
+      PipelineQueries.sqlIncrementalDedup) { (s, dir) =>
+      import graft.streaming.StreamingOps
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val base = scratch(dir, "s15")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val corpus = docs.filter(
+        pmod(col("doc_id"), lit(PipelineQueries.INC_MOD)) =!=
+          PipelineQueries.INC_REM)
+      val batch = docs.filter(
+        pmod(col("doc_id"), lit(PipelineQueries.INC_MOD)) ===
+          PipelineQueries.INC_REM)
+      stageOnce(s"$base/in") {
+        batch.select(col("doc_id"), col("text"))
+          .repartition(2)
+          .write.mode(SaveMode.Overwrite).parquet(s"$base/in")
+      }
+      val corpusKeys = corpus
+        .select(graft.pipeline.Hashing.h60(lower(col("text"))).as("k"))
+        .distinct()
+      val corpusBuckets = graft.pipeline.Dedup.minHashBandBuckets(corpus,
+        PipelineQueries.SHINGLE_N, PipelineQueries.MH_BANDS,
+        PipelineQueries.MH_ROWS)
+      def stream = s.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in")
+      val qe = StreamingOps.incrementalExactStream(stream, corpusKeys)
+        .writeStream.format("memory").queryName("s15_exact")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val qc = StreamingOps.incrementalCandidatesStream(
+          graft.pipeline.Dedup.minHashBandBuckets(stream,
+            PipelineQueries.SHINGLE_N, PipelineQueries.MH_BANDS,
+            PipelineQueries.MH_ROWS), corpusBuckets)
+        .writeStream.format("memory").queryName("s15_cand")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      qe.awaitTermination(); qc.awaitTermination()
+      graft.pipeline.Dedup.incrementalVerdicts(corpus, batch,
+        s.table("s15_exact").filter(col("dup_exact")).select("id"),
+        s.table("s15_cand").dropDuplicates(),
+        PipelineQueries.SHINGLE_N, PipelineQueries.MH_T)
+    },
+
     // ---- M1-M4: StringIndexer (frequencyDesc, ties alphabetic, SPARK
     // docs) → OneHotEncoder(dropLast=false) → VectorAssembler. The active
     // one-hot indices of each part are fully determined by the per-feature

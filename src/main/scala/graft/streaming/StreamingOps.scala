@@ -346,6 +346,37 @@ object StreamingOps {
     * durable sink shape (`writeStream.format("parquet")` + checkpoint
     * location, append mode).
     */
+  /** Stream-static exact-dup flags at ingest: each streamed doc's
+    * normalized content key LEFT-joined against the STANDING corpus's
+    * distinct key set — the stream-static join class (stateless: no
+    * state store, each micro-batch probes the static side, which Spark
+    * re-plans per batch so a growing corpus table is picked up). Emits
+    * `(id, dup_exact)` one row per streamed doc.
+    */
+  def incrementalExactStream(stream: DataFrame, corpusKeys: DataFrame,
+      mode: graft.pipeline.Hashing.HashMode =
+        graft.pipeline.Hashing.HashMode.Oracle): DataFrame =
+    stream
+      .select(col("doc_id").as("id"), mode(lower(col("text"))).as("k"))
+      .join(corpusKeys.select(col("k"), lit(true).as("hit")), Seq("k"),
+        "left_outer")
+      .select(col("id"), coalesce(col("hit"), lit(false)).as("dup_exact"))
+
+  /** Stream-static LSH candidates at ingest: the streamed doc's band
+    * buckets (a narrow map — [[graft.pipeline.Dedup.minHashBandBuckets]])
+    * INNER-joined against the standing corpus's `(band, bucket, id_c)`
+    * index. Stateless like the exact gate — candidates for a doc all
+    * surface in its own micro-batch, so draining the sink and verifying
+    * in batch ([[graft.pipeline.Dedup.incrementalVerdicts]]) reproduces
+    * the batch operator exactly for ANY arrival order or batch split.
+    */
+  def incrementalCandidatesStream(streamBuckets: DataFrame,
+      corpusBuckets: DataFrame): DataFrame =
+    streamBuckets.select(col("id").as("id_b"), col("band"), col("bucket"))
+      .join(corpusBuckets.select(col("id").as("id_c"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .select(col("id_b"), col("id_c"))
+
   def toParquet(stream: DataFrame, path: String, checkpoint: String,
       outputMode: OutputMode = OutputMode.Append) =
     stream.writeStream

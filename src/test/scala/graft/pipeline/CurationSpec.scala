@@ -204,6 +204,26 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) == ((2L, 1750000L, 875000L, true)))
   }
 
+  test("contamination spans: planted leak located, split leaks split, clean doc zero") {
+    import spark.implicits._
+    val bench = Seq((100L, "b1 b2 b3 b4")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x y b1 b2 b3 b4 z w q"),          // one mid-doc leak
+      (2L, "clean words only here nothing"),   // clean
+      (3L, "b1 b2 b3 b4"),                     // whole doc = benchmark
+      (4L, "b1 b2 b3 m n o p q b2 b3 b4"))     // two separated leaks
+      .toDF("doc_id", "text")
+    val got = Curation.contaminationSpans(corpus, bench, spanL = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_contam_spans"),
+          r.getAs[Long]("contam_words"), r.getAs[Double]("contam_frac"))))
+      .toMap
+    assert(got(1L) == ((9L, 1L, 4L, 4.0 / 9)))   // span 3..6 exactly
+    assert(got(2L) == ((5L, 0L, 0L, 0.0)))
+    assert(got(3L) == ((4L, 1L, 4L, 1.0)))
+    assert(got(4L) == ((11L, 2L, 6L, 6.0 / 11))) // 1..3 and 9..11
+  }
+
   test("shuffle shards: permutation, contiguous per-shard ranks, deterministic") {
     import spark.implicits._
     val docs = (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")

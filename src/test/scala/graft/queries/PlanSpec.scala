@@ -47,7 +47,8 @@ class PlanSpec extends SparkSpec {
         "p34_semdedup", "p35_dsir_weights", "p36_bloom_contamination",
         "p37_dup_ngrams", "p38_mixture_sample", "p39_countmin_words",
         "p40_bm25", "g12_triangles", "g13_kcore", "p51_dup_spans",
-        "p53_dup_span_cut", "p54_incremental_dedup", "p55_shuffle_shards")) {
+        "p53_dup_span_cut", "p54_incremental_dedup", "p55_shuffle_shards",
+        "p57_contamination_spans")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name grew a cross product:\n$p")
     }

@@ -461,4 +461,51 @@ class StreamingSpec extends SparkSpec {
           "watermark-based eviction is not firing")
     } finally q.stop()
   }
+
+  test("stream-static incremental dedup over a split drain equals the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.{Dedup, Hashing}
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated corpus material about spark partitions"))
+      .toDF("doc_id", "text")
+    val batchRows = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (17L, "the quick brown fox jumps over the lazy dog again and often"),
+      (24L, "novel fresh content sharing nothing with anything prior"))
+    val batch = batchRows.toDF("doc_id", "text")
+    val expected = Dedup.incrementalDedup(corpus, batch, n = 3,
+        numBands = 24, rowsPerBand = 2, threshold = 0.5).collect()
+      .map(_.toSeq).toSet
+
+    val corpusKeys = corpus
+      .select(Hashing.h60(lower(col("text"))).as("k")).distinct()
+    val corpusBuckets = Dedup.minHashBandBuckets(corpus, 3, 24, 2)
+    val inE = MemoryStream[(Long, String)]
+    val inC = MemoryStream[(Long, String)]
+    val qe = StreamingOps.incrementalExactStream(
+        inE.toDF().toDF("doc_id", "text"), corpusKeys)
+      .writeStream.format("memory").queryName("ss_exact")
+      .outputMode(OutputMode.Append).start()
+    val qc = StreamingOps.incrementalCandidatesStream(
+        Dedup.minHashBandBuckets(inC.toDF().toDF("doc_id", "text"), 3, 24, 2),
+        corpusBuckets)
+      .writeStream.format("memory").queryName("ss_cand")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // adversarial split: one doc per micro-batch, different order per stream
+      batchRows.foreach { r => inE.addData(r); qe.processAllAvailable() }
+      batchRows.reverse.foreach { r => inC.addData(r); qc.processAllAvailable() }
+      val got = Dedup.incrementalVerdicts(corpus, batch,
+          spark.table("ss_exact").filter(col("dup_exact")).select("id"),
+          spark.table("ss_cand").dropDuplicates(), 3, 0.5).collect()
+        .map(_.toSeq).toSet
+      assert(got == expected)
+      // and the verdicts themselves are the hand-computable ones
+      val byId = got.map(s => s.head -> s.tail).toMap
+      assert(byId(10L) == Seq(true, 1L, 1.0, false))
+      assert(byId(24L) == Seq(false, -1L, 0.0, true))
+    } finally { qe.stop(); qc.stop() }
+  }
 }
