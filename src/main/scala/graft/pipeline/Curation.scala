@@ -388,6 +388,41 @@ object Curation {
         (expr("score_micro div n_tokens") >= col("cut_micro")).as("selected"))
   }
 
+  /** Per-source quality cap — keep only the `k` highest-quality docs of
+    * each source (the FineWeb-style per-domain limit that stops one
+    * crawl domain from dominating the mixture). Quality is the same
+    * corpus-self-derived unigram-LM score as [[ccnetBuckets]] (integer
+    * micro-nats per token, true floor division), ties broken by doc_id
+    * so the cut is deterministic.
+    *
+    * Scale: rank-within-source is `row_number <= k`, which Spark plans
+    * with a WindowGroupLimit below the shuffle — every partition keeps
+    * at most k rows per source BEFORE the exchange (plan-asserted in
+    * PlanSpec), so a billion-doc domain ships k·partitions rows, not
+    * its whole posting. That pushdown only exists when the plan FILTERS
+    * on the rank, so this returns the survivors (with their ranks), not
+    * an all-rows audit flag — callers wanting the cut list anti-join
+    * the result against the input.
+    */
+  def sourceTopK(docs: DataFrame, k: Int, minCount: Long = 2,
+      sourceCol: String = "source"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    def floorDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val scored = TextAnalysis.unigramQuality(docs, minCount)
+      .select(col("doc_id"),
+        floorDiv(col("lp_micro_sum"), col("n_tokens")).as("score_micro"))
+      .join(docs.select(col("doc_id"), col(sourceCol).as("source")),
+        Seq("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("source"), col("score_micro"), col("rank"))
+  }
+
   /** Benchmark-contamination SPANS — the positional completion of
     * [[contaminationScores]]: not just what fraction of a training doc
     * overlaps the benchmark, but WHERE. Every corpus-doc position whose

@@ -335,6 +335,11 @@ object PipelineQueries {
     */
   private val SHUF_SHARDS = 8L
 
+  /** p58 per-source cap — below the 25 docs/source at sf0.001 so the
+    * cut actually bites at every test scale.
+    */
+  private val TOPK_PER_SOURCE = 15
+
   /** p57 contamination-span gram length — shorter than the p51/p53
     * SPAN_L=8 dedup unit because a benchmark leak is judged against a
     * DIFFERENT corpus (the 5% benchmark slice), and on the synthetic
@@ -2106,6 +2111,43 @@ object PipelineQueries {
          |       ELSE 'tail' END AS bucket
          |FROM scored s JOIN thr t USING (source)""".stripMargin) { (s, dir) =>
       Curation.ccnetBuckets(t(s, dir, "documents"), LM_MIN_COUNT)
+    },
+
+    // ---- per-source quality cap (FineWeb-style domain limit): keep the
+    // TOPK_PER_SOURCE highest-LM-score docs per source; the rank filter
+    // plans as WindowGroupLimit (PlanSpec-pinned) so a giant domain
+    // ships k rows per partition, not its whole posting.
+    QueryDef(
+      "p58_source_topk",
+      s"""WITH toksx AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         |  FROM documents
+         |), freq AS (
+         |  SELECT w, count(*) AS cnt FROM toksx GROUP BY w
+         |), tot AS (SELECT sum(cnt) AS tot FROM freq),
+         |ws AS (
+         |  SELECT w,
+         |    CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+         |      * 1000000) AS BIGINT) AS lp
+         |  FROM freq CROSS JOIN tot
+         |), per AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(lp) AS BIGINT) AS lps
+         |  FROM toksx JOIN ws USING (w) GROUP BY doc_id
+         |), scored AS (
+         |  SELECT p.doc_id, d.source,
+         |    CAST((lps - (((lps % n_tokens) + n_tokens) % n_tokens))
+         |      // n_tokens AS BIGINT) AS score_micro
+         |  FROM per p JOIN documents d USING (doc_id)
+         |)
+         |SELECT doc_id, source, score_micro, rank FROM (
+         |  SELECT doc_id, source, score_micro,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+         |  FROM scored
+         |) WHERE rank <= $TOPK_PER_SOURCE""".stripMargin) { (s, dir) =>
+      Curation.sourceTopK(t(s, dir, "documents"), TOPK_PER_SOURCE,
+        LM_MIN_COUNT)
     },
 
     // ---- contamination SPANS: where exactly the benchmark leaks into

@@ -204,6 +204,35 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) == ((2L, 1750000L, 875000L, true)))
   }
 
+  test("source top-k: keeps the k best per source, deterministic ties") {
+    import spark.implicits._
+    // Same strictly-ordered corpus as the ccnet-buckets test: within
+    // source A quality order is doc 1 > 2 > 3 > 4 > 5 > 6.
+    val docs = Seq(
+      (1L, "common common common common", "A"),
+      (2L, "common common common rare1", "A"),
+      (3L, "common common rare1 rare2", "A"),
+      (4L, "common rare1 rare2 rare3", "A"),
+      (5L, "rare1 rare2 rare3 rare4", "A"),
+      (6L, "rare2 rare3 rare4 rare5", "A"),
+      (11L, "common common common common", "B"),
+      (12L, "common common rare4 rare5", "B"),
+      (13L, "rare1 rare2 rare5 rare3", "B")).toDF("doc_id", "text", "source")
+    val got = Curation.sourceTopK(docs, k = 2, minCount = 2).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("doc_id")).toMap
+    assert(got.size == 4) // 2 per source, nothing else survives
+    assert(got(("A", 1L)) == 1L && got(("A", 2L)) == 2L)
+    assert(got(("B", 1L)) == 11L && got(("B", 2L)) == 12L)
+    // tie at the cut: a duplicate of doc 2's text takes rank by doc_id
+    val dup = docs.union(Seq((0L, "common common common rare1", "A"))
+      .toDF("doc_id", "text", "source"))
+    val got2 = Curation.sourceTopK(dup, k = 2, minCount = 2).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("doc_id")).toMap
+    assert(got2(("A", 2L)) == 0L) // the lower doc_id wins the tied slot
+  }
+
   test("contamination spans: planted leak located, split leaks split, clean doc zero") {
     import spark.implicits._
     val bench = Seq((100L, "b1 b2 b3 b4")).toDF("doc_id", "text")

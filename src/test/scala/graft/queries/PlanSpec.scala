@@ -36,9 +36,10 @@ class PlanSpec extends SparkSpec {
     assert(planOf("q02_revenue_by_nation").contains("BroadcastHashJoin"))
   }
 
-  test("q09 and p08: top-k plans as WindowGroupLimit, not a full sort") {
+  test("q09, p08, p58: top-k plans as WindowGroupLimit, not a full sort") {
     assert(planOf("q09_topk_per_segment").contains("WindowGroupLimit"))
     assert(planOf("p08_ann_brute").contains("WindowGroupLimit"))
+    assert(planOf("p58_source_topk").contains("WindowGroupLimit"))
   }
 
   test("no cartesian products anywhere in the dedup/ANN/graph hot paths") {
