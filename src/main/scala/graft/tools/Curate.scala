@@ -18,7 +18,7 @@ import graft.pipeline.{Curation, Dedup, TextAnalysis}
   * runMain graft.tools.Curate <docs.parquet> <outDir> \
   *     [benchmark.parquet|-] [jaccardT=0.8] [maxContam=0.2] [packBudget=512] \
   *     [decontam=exact|bloom] [pii=on|off] [equalize=on|off] \
-  *     [minStopRatio=0.01]
+  *     [minStopRatio=0.01] [domainCap=<k>]
   * ```
   *
   * `docs.parquet` needs `(doc_id: long, text: string, source: string)`.
@@ -63,7 +63,8 @@ object Curate {
       maxContam: Double = 0.2, packBudget: Long = 512L,
       shingleN: Int = 3, decontamMode: String = "exact",
       pii: Boolean = false, equalize: Boolean = false,
-      minStopwordRatio: Double = 0.01): Map[String, Double] = {
+      minStopwordRatio: Double = 0.01,
+      domainCap: Option[Int] = None): Map[String, Double] = {
     require(decontamMode == "exact" || decontamMode == "bloom",
       s"decontam mode must be 'exact' or 'bloom', got '$decontamMode'")
     val stats = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -156,6 +157,19 @@ object Curate {
         Seq("doc_id"), "left_semi")
     }
 
+    // Optional per-source quality cap (p58 via the CLI path — the
+    // FineWeb-style domain limit): keep only the `domainCap` highest
+    // unigram-LM-scored docs of each surviving source, so one crawl
+    // domain cannot dominate the mixture. Runs AFTER dedup/decontam/
+    // equalize (cap what actually survives) and BEFORE the split.
+    val capped = domainCap match {
+      case None => balanced
+      case Some(k) => stage("domain_cap") {
+        balanced.join(Curation.sourceTopK(balanced, k).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      }
+    }
+
     // Group-aware split (p45 semantics via the CLI path): the split is
     // keyed on each doc's dup-group CANONICAL member's content, so the
     // whole transitive near-dup group co-assigns — plain content-hash
@@ -164,7 +178,7 @@ object Curate {
     // relation `groups` was resolved over), so a canonical later
     // dropped by decontam/equalize still anchors its group's split.
     val curated = stage("split") {
-      balanced.join(
+      capped.join(
         TextAnalysis.groupSplitAssign(exact, groups)
           .select(col("doc_id"), col("split")),
         Seq("doc_id"))
@@ -199,7 +213,7 @@ object Curate {
     // remaining args keep their positional meaning.
     val (flagArgs, positional) = args.drop(2).partition(
       a => a.startsWith("pii=") || a.startsWith("equalize=") ||
-        a.startsWith("minStopRatio="))
+        a.startsWith("minStopRatio=") || a.startsWith("domainCap="))
     val flags = flagArgs.map { a =>
       val Array(k, v) = a.split("=", 2); k -> v
     }.toMap
@@ -222,7 +236,8 @@ object Curate {
       maxContam, packBudget, decontamMode = decontamMode,
       pii = toggled(flags, "pii"), equalize = toggled(flags, "equalize"),
       minStopwordRatio = flags.get("minStopRatio").map(_.toDouble)
-        .getOrElse(0.01))
+        .getOrElse(0.01),
+      domainCap = flags.get("domainCap").map(_.toInt))
     val fields = stats.map { case (k, v) =>
       val vs = if (k.endsWith("_docs")) v.toLong.toString
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

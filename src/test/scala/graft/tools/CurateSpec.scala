@@ -168,4 +168,25 @@ class CurateSpec extends SparkSpec {
     assert(mx <= 2 * math.max(mn, 1),
       s"equalized mix still skewed: $bySource")
   }
+
+  test("domainCap stage keeps at most k docs per source, then splits") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val filler = (i: Int) => s"doc $i body is about the data and it has " +
+      s"plenty of plain words in it for the quality gate ${i * 37}"
+    val docs = (1 to 30).map(i => (i.toLong, filler(i), "web")) ++
+      (31 to 36).map(i => (i.toLong, filler(i), "books"))
+    val docsP = java.nio.file.Files.createTempDirectory("curate-cap")
+      .toString + "/docs.parquet"
+    docs.toDF("doc_id", "text", "source").write.parquet(docsP)
+    val out = java.nio.file.Files.createTempDirectory("curate-cap-out").toString
+    val stats = Curate.run(spark, docsP, out, benchmarkPath = None,
+      domainCap = Some(10))
+    // web (30 docs) capped to 10; books (6) untouched.
+    assert(stats("domain_cap_docs") == 16.0)
+    assert(stats("split_docs") == 16.0)
+    val bySource = spark.read.parquet(s"$out/curated")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySource("web") == 10L && bySource("books") == 6L)
+  }
 }
