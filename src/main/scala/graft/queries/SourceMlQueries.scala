@@ -683,16 +683,15 @@ object SourceMlQueries {
           .repartition(2)
           .write.mode(SaveMode.Overwrite).parquet(s"$base/in")
       }
-      val corpusKeys = corpus
-        .select(graft.pipeline.Hashing.h60(lower(col("text"))).as("k"))
-        .distinct()
-      val corpusBuckets = graft.pipeline.Dedup.minHashBandBuckets(corpus,
+      // The standing corpus-side state, built once (in production:
+      // persisted parquet tables, appended after each gated batch).
+      val idx = graft.pipeline.Dedup.corpusIndex(corpus,
         PipelineQueries.SHINGLE_N, PipelineQueries.MH_BANDS,
         PipelineQueries.MH_ROWS)
       def stream = s.readStream.schema("doc_id BIGINT, text STRING")
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$base/in")
-      val qe = StreamingOps.incrementalExactStream(stream, corpusKeys)
+      val qe = StreamingOps.incrementalExactStream(stream, idx.keys)
         .writeStream.format("memory").queryName("s15_exact")
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -700,13 +699,13 @@ object SourceMlQueries {
       val qc = StreamingOps.incrementalCandidatesStream(
           graft.pipeline.Dedup.minHashBandBuckets(stream,
             PipelineQueries.SHINGLE_N, PipelineQueries.MH_BANDS,
-            PipelineQueries.MH_ROWS), corpusBuckets)
+            PipelineQueries.MH_ROWS), idx.buckets)
         .writeStream.format("memory").queryName("s15_cand")
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       qe.awaitTermination(); qc.awaitTermination()
-      graft.pipeline.Dedup.incrementalVerdicts(corpus, batch,
+      graft.pipeline.Dedup.incrementalVerdicts(idx.shingles, batch,
         s.table("s15_exact").filter(col("dup_exact")).select("id"),
         s.table("s15_cand").dropDuplicates(),
         PipelineQueries.SHINGLE_N, PipelineQueries.MH_T)

@@ -146,6 +146,26 @@ class PipelineSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("incremental dedup: one standing index gates successive deltas") {
+    // The production shape: corpusIndex built ONCE, two different
+    // batches gated against it — each gate's verdicts equal the
+    // one-shot operator's on (corpus, that batch).
+    val corpus = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated corpus material about spark partitions"))
+    val idx = Dedup.corpusIndex(corpus, n = 3, numBands = 24, rowsPerBand = 2)
+    val b1 = docs((10L, "the quick brown fox jumps over the lazy dog again and again"))
+    val b2 = docs((20L, "completely unrelated corpus material about spark executors"),
+      (21L, "something else entirely new here today"))
+    for (b <- Seq(b1, b2)) {
+      val viaIndex = Dedup.incrementalDedupAgainst(idx, b, 3, 24, 2, 0.5)
+        .collect().map(_.toSeq).toSet
+      val oneShot = Dedup.incrementalDedup(corpus, b, 3, 24, 2, 0.5)
+        .collect().map(_.toSeq).toSet
+      assert(viaIndex == oneShot)
+    }
+  }
+
   test("exact dedup: canonical id and group size") {
     val d = docs((5L, "same text"), (3L, "same text"), (9L, "Other"))
     val r = Dedup.exact(d).collect()

@@ -479,25 +479,23 @@ class StreamingSpec extends SparkSpec {
         numBands = 24, rowsPerBand = 2, threshold = 0.5).collect()
       .map(_.toSeq).toSet
 
-    val corpusKeys = corpus
-      .select(Hashing.h60(lower(col("text"))).as("k")).distinct()
-    val corpusBuckets = Dedup.minHashBandBuckets(corpus, 3, 24, 2)
+    val idx = Dedup.corpusIndex(corpus, 3, 24, 2)
     val inE = MemoryStream[(Long, String)]
     val inC = MemoryStream[(Long, String)]
     val qe = StreamingOps.incrementalExactStream(
-        inE.toDF().toDF("doc_id", "text"), corpusKeys)
+        inE.toDF().toDF("doc_id", "text"), idx.keys)
       .writeStream.format("memory").queryName("ss_exact")
       .outputMode(OutputMode.Append).start()
     val qc = StreamingOps.incrementalCandidatesStream(
         Dedup.minHashBandBuckets(inC.toDF().toDF("doc_id", "text"), 3, 24, 2),
-        corpusBuckets)
+        idx.buckets)
       .writeStream.format("memory").queryName("ss_cand")
       .outputMode(OutputMode.Append).start()
     try {
       // adversarial split: one doc per micro-batch, different order per stream
       batchRows.foreach { r => inE.addData(r); qe.processAllAvailable() }
       batchRows.reverse.foreach { r => inC.addData(r); qc.processAllAvailable() }
-      val got = Dedup.incrementalVerdicts(corpus, batch,
+      val got = Dedup.incrementalVerdicts(idx.shingles, batch,
           spark.table("ss_exact").filter(col("dup_exact")).select("id"),
           spark.table("ss_cand").dropDuplicates(), 3, 0.5).collect()
         .map(_.toSeq).toSet
