@@ -239,30 +239,45 @@ object Curation {
     * input doc (callers filter `kept`).
     *
     * Scale: |sources|-row broadcast rate table; narrow codegen'd keep
-    * decision; nothing about the corpus shuffles. The BIGINT
-    * intermediate `10^6 · s_milli · n_total` needs ~2·log2(n_total) +
-    * 40 bits — fine to ~10^9 docs per run; beyond that swap the two
-    * 10^3 factors down or widen to decimal(38), same algebra.
+    * decision; nothing about the corpus shuffles. The rate numerator
+    * `10^6 · s_milli · n_total ≈ 10^9 · n_total^1.5` needs up to
+    * ~36 decimal digits at 10^18 docs — past int64 at ~5·10^6 docs —
+    * so the arithmetic runs in decimal(38,0) on the Spark side and
+    * HUGEINT in the DuckDB oracle: exact integer division in both
+    * engines at any realistic corpus size, result always ≤ 10^6 so
+    * the final rate is a plain BIGINT.
     */
   def temperatureMixture(docs: DataFrame, sourceCol: String = "source")
       : DataFrame = {
     val counts = docs.groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_source"))
-      .withColumn("s_milli",
-        floor(sqrt(col("n_source").cast("double") * 1e6)).cast("long"))
-    val tot = counts.agg(sum(col("s_milli")).as("sum_s"),
-      sum(col("n_source")).as("n_total"))
-    val rates = counts.crossJoin(broadcast(tot))
-      .select(col("source"), col("n_source"), col("s_milli"),
-        least(lit(1000000L),
-          expr("(1000000 * s_milli * n_total) div (sum_s * n_source)"))
-          .as("rate_micro"))
+    val rates = temperatureRates(counts)
     docs.select(col("doc_id"), col(sourceCol).as("source"))
       .join(broadcast(rates), Seq("source"))
       .select(col("doc_id"), col("source"), col("n_source"),
         col("rate_micro"),
         (pmod(Hashing.h60(concat(lit("tmix:"), col("doc_id").cast("string"))),
           lit(1000000L)) < col("rate_micro")).as("kept"))
+  }
+
+  /** The T=1/2 rate table from a `(source, n_source)` count relation —
+    * factored out of [[temperatureMixture]] so the arithmetic is
+    * testable at counts no spec could materialize as rows. decimal(38,0)
+    * keeps the ~10^9·n^1.5 numerator exact far past the int64 ceiling
+    * (~5.4M docs would ARITHMETIC_OVERFLOW under ANSI); `div` on
+    * decimals is integral division returning BIGINT.
+    */
+  private[graft] def temperatureRates(counts: DataFrame): DataFrame = {
+    val sm = counts.withColumn("s_milli",
+      floor(sqrt(col("n_source").cast("double") * 1e6)).cast("long"))
+    val tot = sm.agg(sum(col("s_milli")).as("sum_s"),
+      sum(col("n_source")).as("n_total"))
+    sm.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_source"), col("s_milli"),
+        least(lit(1000000L),
+          expr("cast(1000000 as decimal(38,0)) * s_milli * n_total" +
+            " div (cast(sum_s as decimal(38,0)) * n_source)"))
+          .as("rate_micro"))
   }
 
   /** Weighted sample WITHOUT replacement, k docs per group, inclusion

@@ -1962,7 +1962,8 @@ object PipelineQueries {
          |), rates AS (
          |  SELECT source, n_source,
          |    CAST(least(1000000,
-         |      (1000000 * s_milli * n_total) // (sum_s * n_source))
+         |      (1000000::HUGEINT * s_milli * n_total)
+         |        // (1::HUGEINT * sum_s * n_source))
          |      AS BIGINT) AS rate_micro
          |  FROM sm CROSS JOIN tot
          |)

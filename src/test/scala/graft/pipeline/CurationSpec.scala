@@ -185,6 +185,29 @@ class CurationSpec extends SparkSpec {
       "T=1/2 must down-weight the big source less than equalization")
   }
 
+  test("temperature mixture: rate arithmetic survives billion-doc sources") {
+    import spark.implicits._
+    // The round-13 int64 formulation overflowed once 10^6·s_milli·n_total
+    // passed 2^63 (~5.4M docs): here the numerator is ~4.6·10^23, so the
+    // decimal(38,0) path must both not throw under ANSI and match the
+    // exact BigInt rate.
+    val counts = Seq(("big", 6000000000L), ("small", 1000000L))
+    val got = Curation.temperatureRates(counts.toDF("source", "n_source"))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("s_milli"), r.getAs[Long]("rate_micro"))).toMap
+    val sMilli = counts.map { case (s, n) =>
+      s -> math.floor(math.sqrt(n.toDouble * 1e6)).toLong }.toMap
+    val sumS = BigInt(sMilli.values.sum)
+    val nTotal = BigInt(counts.map(_._2).sum)
+    counts.foreach { case (s, n) =>
+      val exact = (BigInt(1000000) * sMilli(s) * nTotal) / (sumS * BigInt(n))
+      val expect = exact.min(BigInt(1000000)).toLong
+      assert(got(s) == ((sMilli(s), expect)), s"source $s")
+    }
+    // sanity: the big source is down-weighted, the small one boosted-to-cap
+    assert(got("big")._2 < 1000000L && got("small")._2 == 1000000L)
+  }
+
   test("importance weights: exact integer ratios, above-global-cut select") {
     import spark.implicits._
     // Two words in distinct hash buckets (guarded below): "ml" is
