@@ -420,16 +420,28 @@ object Curation {
     * the result against the input.
     */
   def sourceTopK(docs: DataFrame, k: Int, minCount: Long = 2,
-      sourceCol: String = "source"): DataFrame = {
+      sourceCol: String = "source", scoreCol: Option[Column] = None)
+      : DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     import org.apache.spark.sql.expressions.Window
     def floorDiv(a: Column, b: Column): Column =
       ((a - pmod(a, b)) / b).cast("long")
-    val scored = TextAnalysis.unigramQuality(docs, minCount)
-      .select(col("doc_id"),
-        floorDiv(col("lp_micro_sum"), col("n_tokens")).as("score_micro"))
-      .join(docs.select(col("doc_id"), col(sourceCol).as("source")),
-        Seq("doc_id"))
+    // Ranking key: the corpus-self-derived unigram-LM score by default;
+    // real pipelines also cap by recency, length, or an externally
+    // computed model score — `scoreCol` ranks by any expression over the
+    // input row instead (higher = kept), same output schema and the same
+    // WindowGroupLimit pushdown (the rank filter is what Spark plans the
+    // partial group-limit from, regardless of the ordering key).
+    val scored = scoreCol match {
+      case Some(c) =>
+        docs.select(col("doc_id"), col(sourceCol).as("source"),
+          c.cast("long").as("score_micro"))
+      case None => TextAnalysis.unigramQuality(docs, minCount)
+        .select(col("doc_id"),
+          floorDiv(col("lp_micro_sum"), col("n_tokens")).as("score_micro"))
+        .join(docs.select(col("doc_id"), col(sourceCol).as("source")),
+          Seq("doc_id"))
+    }
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("source")
@@ -477,6 +489,33 @@ object Curation {
         coalesce(col("contam_words"), lit(0L)).as("contam_words"),
         (coalesce(col("contam_words"), lit(0L)).cast("double") /
           col("n_words").cast("double")).as("contam_frac"))
+  }
+
+  /** The CUT completion of [[contaminationSpans]] — remove exactly the
+    * leaked regions and rebuild the text, instead of dropping whole
+    * documents that mention one benchmark sentence: every corpus
+    * position whose `spanL`-gram appears in the benchmark is flagged,
+    * island-merged, and cut via the same relational rebuild as
+    * [[Dedup.dupSpansCut]]. Output `(doc_id, n_words, cut_words,
+    * text_cut)` for EVERY input doc (`text_cut` empty when the whole
+    * doc was benchmark material).
+    *
+    * Scale: identical shape to its two parents — the benchmark
+    * collapses to its distinct gram-hash set (broadcast semi-join), the
+    * corpus side is one row per word, and the rebuild hash-partitions
+    * on doc_id. Nothing is ever corpus × benchmark.
+    */
+  def contaminationSpansCut(docs: DataFrame, benchmark: DataFrame,
+      spanL: Int, idCol: String = "doc_id", textCol: String = "text",
+      mode: Hashing.HashMode = Hashing.HashMode.Oracle): DataFrame = {
+    val posts = Dedup.positionalGrams(docs, spanL, idCol, textCol, mode)
+    val benchGrams = Dedup.positionalGrams(benchmark, spanL, idCol, textCol,
+        mode)
+      .select("h").distinct()
+    val spans = Dedup.mergeIslands(
+      posts.join(benchGrams, Seq("h"), "left_semi")
+        .select("doc_id", "n_words", "pos"), spanL)
+    Dedup.rebuildWithoutSpans(docs, spans, idCol, textCol)
   }
 
   /** Deterministic global training shuffle + shard assignment: every doc

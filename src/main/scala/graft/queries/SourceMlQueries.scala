@@ -705,10 +705,10 @@ object SourceMlQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       qe.awaitTermination(); qc.awaitTermination()
-      graft.pipeline.Dedup.incrementalVerdicts(idx.shingles, batch,
+      graft.pipeline.Dedup.incrementalVerdicts(idx.shingles,
+        graft.pipeline.Dedup.docShingles(batch, PipelineQueries.SHINGLE_N),
         s.table("s15_exact").filter(col("dup_exact")).select("id"),
-        s.table("s15_cand").dropDuplicates(),
-        PipelineQueries.SHINGLE_N, PipelineQueries.MH_T)
+        s.table("s15_cand").dropDuplicates(), PipelineQueries.MH_T)
     },
 
     // ---- M1-M4: StringIndexer (frequencyDesc, ties alphabetic, SPARK

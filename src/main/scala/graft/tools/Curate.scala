@@ -18,7 +18,9 @@ import graft.pipeline.{Curation, Dedup, TextAnalysis}
   * runMain graft.tools.Curate <docs.parquet> <outDir> \
   *     [benchmark.parquet|-] [jaccardT=0.8] [maxContam=0.2] [packBudget=512] \
   *     [decontam=exact|bloom] [pii=on|off] [equalize=on|off] \
-  *     [minStopRatio=0.01] [domainCap=<k>]
+  *     [minStopRatio=0.01] [domainCap=<k>] [spanCut=<L>] \
+  *     [contamSpans=<L>] [buckets=keep:head,middle] \
+  *     [mixture=equalize|temperature]
   * ```
   *
   * `docs.parquet` needs `(doc_id: long, text: string, source: string)`.
@@ -26,10 +28,34 @@ import graft.pipeline.{Curation, Dedup, TextAnalysis}
   * skips the stage). `pii=on` inserts the PII-scrub stage after the
   * quality gate (emails/IPv4s/phones redacted to typed placeholders —
   * BEFORE dedup, so documents differing only in their PII spans
-  * coalesce; the yield row reports total redacted spans). `equalize=on`
-  * inserts mixture equalization after decontamination (every source
-  * down-sampled to the smallest source's size by the deterministic
-  * hash-Bernoulli keep). Writes `outDir/curated` (surviving docs +
+  * coalesce; the yield row reports total redacted spans).
+  *
+  * `spanCut=<L>` inserts the Lee-et-al. exact-substring CUT after
+  * near-dedup: duplicated `L`-gram spans are REMOVED from every
+  * non-keeper doc and the text rebuilt ([[Dedup.dupSpansCut]]) — the
+  * boilerplate that whole-doc dedup can't touch; docs cut to empty are
+  * dropped, and the yield row reports total words removed. Surviving
+  * text becomes the tokenizer's lowercased single-spaced view (the
+  * convention every downstream text stage gates on anyway).
+  *
+  * `contamSpans=<L>` (requires a benchmark) replaces the drop-based
+  * decontamination with the SPAN-cut variant
+  * ([[Curation.contaminationSpansCut]]): exactly the leaked regions are
+  * removed and the text rebuilt, instead of dropping whole documents
+  * that mention one benchmark sentence; fully-leaked docs cut to empty
+  * are dropped.
+  *
+  * `buckets=keep:head[,middle[,tail]]` inserts the CCNet per-source
+  * quality-bucket filter ([[Curation.ccnetBuckets]]) after
+  * decontamination — the classic head/middle/tail pre-training knob.
+  *
+  * `mixture=equalize|temperature` inserts a mixture-rebalance stage
+  * after the bucket filter: `equalize` down-samples every source to the
+  * smallest source's size, `temperature` applies the gentler T = 1/2
+  * sqrt-law reweighting ([[Curation.temperatureMixture]]); both are
+  * deterministic hash-Bernoulli keeps (broadcast rate table, nothing
+  * about the corpus shuffles). `equalize=on` remains as the legacy
+  * spelling of `mixture=equalize`. Writes `outDir/curated` (surviving docs +
   * group-aware `split` — near-dup groups co-assign by construction),
   * `outDir/groups` (the dup-group artifact `(doc_id, group_id,
   * is_canonical)` for downstream audit/re-split), and `outDir/packed`
@@ -64,9 +90,24 @@ object Curate {
       shingleN: Int = 3, decontamMode: String = "exact",
       pii: Boolean = false, equalize: Boolean = false,
       minStopwordRatio: Double = 0.01,
-      domainCap: Option[Int] = None): Map[String, Double] = {
+      domainCap: Option[Int] = None,
+      spanCut: Option[Int] = None,
+      contamSpans: Option[Int] = None,
+      bucketsKeep: Option[Set[String]] = None,
+      mixture: Option[String] = None): Map[String, Double] = {
     require(decontamMode == "exact" || decontamMode == "bloom",
       s"decontam mode must be 'exact' or 'bloom', got '$decontamMode'")
+    require(contamSpans.isEmpty || benchmarkPath.nonEmpty,
+      "contamSpans needs a benchmark to cut against")
+    bucketsKeep.foreach { ks =>
+      require(ks.nonEmpty && ks.subsetOf(Set("head", "middle", "tail")),
+        s"buckets=keep: must name head/middle/tail, got $ks")
+    }
+    val mix = mixture.orElse(if (equalize) Some("equalize") else None)
+    require(mix.forall(Set("equalize", "temperature")),
+      s"mixture must be 'equalize' or 'temperature', got $mix")
+    require(mixture.isEmpty || !equalize || mixture.contains("equalize"),
+      "conflicting equalize=on and mixture= flags")
     val stats = scala.collection.mutable.LinkedHashMap[String, Double]()
     def stage(name: String)(f: => DataFrame): DataFrame = {
       val ((df, n), sec) = timed {
@@ -127,34 +168,89 @@ object Curate {
         .select("doc_id"), Seq("doc_id"), "left_semi")
     }
 
-    val decontam = benchmarkPath match {
+    // Re-attach a cut relation's rebuilt text to the surviving rows of
+    // `prev`, dropping docs cut to empty; records total words removed.
+    // The cut relation is checkpointed ONCE so the words-removed stat
+    // and the join don't re-run the span machinery.
+    def applyCut(name: String, prev: DataFrame, cutRel: DataFrame)
+        : DataFrame = {
+      val cut = cutRel.localCheckpoint()
+      val s = stage(name) {
+        prev.drop("text")
+          .join(cut.filter(col("text_cut") =!= "")
+            .select(col("doc_id"), col("text_cut").as("text")),
+            Seq("doc_id"))
+          .select("doc_id", "text", "source")
+      }
+      stats(s"${name}_words_cut") =
+        cut.agg(sum("cut_words")).head().getLong(0).toDouble
+      s
+    }
+
+    // Optional exact-substring span CUT (Lee et al. end to end): remove
+    // duplicated spans from every non-keeper doc and rebuild — the
+    // boilerplate whole-doc dedup can't touch.
+    val spanCutted = spanCut match {
       case None => near
-      case Some(bp) => stage("decontam") {
+      case Some(l) => applyCut("span_cut", near, Dedup.dupSpansCut(near, l))
+    }
+
+    val decontam = benchmarkPath match {
+      case None => spanCutted
+      case Some(bp) =>
         val bench = spark.read.parquet(bp).select("doc_id", "text")
-        // "bloom" is the fixed-size-bitmap scale path for benchmark /
-        // blocklist shingle sets too big to broadcast exactly: it
-        // over-flags only (maybe_frac >= the exact contamination), so
-        // the kept set is a SUBSET of exact-mode's — the safe direction
-        // for decontamination (spec-pinned in CurateSpec).
-        val keep = decontamMode match {
-          case "bloom" => Curation.bloomContamination(near, bench, shingleN)
-            .filter(col("maybe_frac") <= maxContam)
-          case _ => Curation.contaminationScores(near, bench, shingleN)
-            .filter(col("contamination") <= maxContam)
+        contamSpans match {
+          // Span-granular decontamination: cut exactly the leaked
+          // regions and keep the rest of the document.
+          case Some(l) => applyCut("contam_cut", spanCutted,
+            Curation.contaminationSpansCut(spanCutted, bench, l))
+          case None => stage("decontam") {
+            // "bloom" is the fixed-size-bitmap scale path for benchmark /
+            // blocklist shingle sets too big to broadcast exactly: it
+            // over-flags only (maybe_frac >= the exact contamination), so
+            // the kept set is a SUBSET of exact-mode's — the safe
+            // direction for decontamination (spec-pinned in CurateSpec).
+            val keep = decontamMode match {
+              case "bloom" =>
+                Curation.bloomContamination(spanCutted, bench, shingleN)
+                  .filter(col("maybe_frac") <= maxContam)
+              case _ =>
+                Curation.contaminationScores(spanCutted, bench, shingleN)
+                  .filter(col("contamination") <= maxContam)
+            }
+            spanCutted.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+          }
         }
-        near.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+    }
+
+    // Optional CCNet quality-bucket filter: keep only the named
+    // per-source thirds (head = cleanest) — the classic pre-training
+    // data knob, applied to what survives dedup + decontamination.
+    val bucketed = bucketsKeep match {
+      case None => decontam
+      case Some(ks) => stage("buckets") {
+        decontam.join(
+          Curation.ccnetBuckets(decontam)
+            .filter(col("bucket").isin(ks.toSeq.sorted: _*))
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi")
       }
     }
 
-    // Optional mixture equalization: down-sample every source to the
-    // smallest source's size (deterministic hash-Bernoulli keep — a
-    // broadcast rate table + narrow map, nothing about the corpus
-    // shuffles).
-    val balanced = if (!equalize) decontam else stage("equalize") {
-      decontam.join(
-        Curation.equalizeMixture(decontam).filter(col("kept"))
-          .select("doc_id"),
-        Seq("doc_id"), "left_semi")
+    // Optional mixture rebalance: `equalize` down-samples every source
+    // to the smallest source's size; `temperature` applies the gentler
+    // T = 1/2 sqrt-law. Both are deterministic hash-Bernoulli keeps —
+    // a broadcast rate table + narrow map, nothing about the corpus
+    // shuffles.
+    val balanced = mix match {
+      case None => bucketed
+      case Some(m) => stage(m) {
+        val kept = (m match {
+          case "temperature" => Curation.temperatureMixture(bucketed)
+          case _ => Curation.equalizeMixture(bucketed)
+        }).filter(col("kept")).select("doc_id")
+        bucketed.join(kept, Seq("doc_id"), "left_semi")
+      }
     }
 
     // Optional per-source quality cap (p58 via the CLI path — the
@@ -213,7 +309,9 @@ object Curate {
     // remaining args keep their positional meaning.
     val (flagArgs, positional) = args.drop(2).partition(
       a => a.startsWith("pii=") || a.startsWith("equalize=") ||
-        a.startsWith("minStopRatio=") || a.startsWith("domainCap="))
+        a.startsWith("minStopRatio=") || a.startsWith("domainCap=") ||
+        a.startsWith("spanCut=") || a.startsWith("contamSpans=") ||
+        a.startsWith("buckets=") || a.startsWith("mixture="))
     val flags = flagArgs.map { a =>
       val Array(k, v) = a.split("=", 2); k -> v
     }.toMap
@@ -237,7 +335,15 @@ object Curate {
       pii = toggled(flags, "pii"), equalize = toggled(flags, "equalize"),
       minStopwordRatio = flags.get("minStopRatio").map(_.toDouble)
         .getOrElse(0.01),
-      domainCap = flags.get("domainCap").map(_.toInt))
+      domainCap = flags.get("domainCap").map(_.toInt),
+      spanCut = flags.get("spanCut").map(_.toInt),
+      contamSpans = flags.get("contamSpans").map(_.toInt),
+      bucketsKeep = flags.get("buckets").map { v =>
+        require(v.startsWith("keep:"),
+          s"buckets flag must be keep:<head,middle,tail subset>, got '$v'")
+        v.stripPrefix("keep:").split(",").map(_.trim).toSet
+      },
+      mixture = flags.get("mixture"))
     val fields = stats.map { case (k, v) =>
       val vs = if (k.endsWith("_docs")) v.toLong.toString
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

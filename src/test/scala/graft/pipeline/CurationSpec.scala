@@ -256,6 +256,24 @@ class CurationSpec extends SparkSpec {
     assert(got2(("A", 2L)) == 0L) // the lower doc_id wins the tied slot
   }
 
+  test("source top-k: custom score column ranks instead of the LM score") {
+    import spark.implicits._
+    // Cap by document LENGTH (a recency/length/external-score stand-in):
+    // within each source the longest docs win, regardless of what the
+    // unigram-LM ranking would have said.
+    val docs = Seq(
+      (1L, "short", "A"), (2L, "a bit longer text", "A"),
+      (3L, "the longest document text of source a", "A"),
+      (11L, "tiny", "B"), (12L, "b side much longer document", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.sourceTopK(docs, k = 1,
+        scoreCol = Some(length(col("text")))).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toMap
+    assert(got("A") == ((3L, 37L)))
+    assert(got("B") == ((12L, 27L)))
+  }
+
   test("contamination spans: planted leak located, split leaks split, clean doc zero") {
     import spark.implicits._
     val bench = Seq((100L, "b1 b2 b3 b4")).toDF("doc_id", "text")

@@ -163,7 +163,55 @@ class PipelineSpec extends SparkSpec {
       val oneShot = Dedup.incrementalDedup(corpus, b, 3, 24, 2, 0.5)
         .collect().map(_.toSeq).toSet
       assert(viaIndex == oneShot)
+      // the production broadcast-delta plan computes the same verdicts
+      val viaBroadcast = Dedup.incrementalDedupAgainst(idx, b, 3, 24, 2, 0.5,
+        broadcastDelta = true).collect().map(_.toSeq).toSet
+      assert(viaBroadcast == oneShot)
     }
+  }
+
+  test("incremental dedup: persisted index round-trips and appends stay current") {
+    // The standing-state lifecycle: build → write → read → gate batch-1 →
+    // append batch-1 → gate batch-2, with batch-2's verdicts equal to the
+    // one-shot operator on (corpus ∪ batch-1, batch-2). Exercises every
+    // persistence entry point (writeIndex/readIndex/appendToIndex) plus
+    // the in-memory appendedIndex twin.
+    val corpus = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated corpus material about spark partitions"))
+    val b1 = docs(
+      (10L, "a brand new document that joins the corpus after the gate"))
+    val b2 = docs(
+      (20L, "a brand new document that joins the corpus after the gate"),
+      (21L, "a brand new document that joins the corpus after that gate"),
+      (22L, "the quick brown fox jumps over the lazy dog again and again"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    Dedup.writeIndex(Dedup.corpusIndex(corpus, 3, 24, 2), dir)
+    val loaded = Dedup.readIndex(spark, dir)
+    // round-trip: the loaded index gates like the in-memory one
+    val g1 = Dedup.incrementalDedupAgainst(loaded, b1, 3, 24, 2, 0.5,
+      broadcastDelta = true).collect().map(_.toSeq).toSet
+    assert(g1 == Dedup.incrementalDedup(corpus, b1, 3, 24, 2, 0.5)
+      .collect().map(_.toSeq).toSet)
+    // append batch-1, gate batch-2: doc 20 is now an exact dup (of 10),
+    // 21 a near-dup, 22 an exact dup of original corpus — all must match
+    // the one-shot gate against corpus ∪ batch-1.
+    Dedup.appendToIndex(dir, b1, 3, 24, 2)
+    val g2 = Dedup.incrementalDedupAgainst(Dedup.readIndex(spark, dir),
+        b2, 3, 24, 2, 0.5, broadcastDelta = true)
+      .collect().map(_.toSeq).toSet
+    val oneShot = Dedup.incrementalDedup(corpus.union(b1), b2, 3, 24, 2, 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(g2 == oneShot)
+    val byId = g2.map(s => s.head -> s.tail).toMap
+    assert(byId(20L) == Seq(true, 10L, 1.0, false))
+    assert(byId(22L) == Seq(true, 1L, 1.0, false))
+    assert(byId(21L).head == false && byId(21L)(1) == 10L) // near of 10
+    // the in-memory ⊕ computes the identical gate
+    val viaMem = Dedup.incrementalDedupAgainst(
+        Dedup.appendedIndex(Dedup.corpusIndex(corpus, 3, 24, 2), b1, 3, 24, 2),
+        b2, 3, 24, 2, 0.5).collect().map(_.toSeq).toSet
+    assert(viaMem == oneShot)
   }
 
   test("exact dedup: canonical id and group size") {

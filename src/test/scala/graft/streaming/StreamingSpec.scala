@@ -495,9 +495,10 @@ class StreamingSpec extends SparkSpec {
       // adversarial split: one doc per micro-batch, different order per stream
       batchRows.foreach { r => inE.addData(r); qe.processAllAvailable() }
       batchRows.reverse.foreach { r => inC.addData(r); qc.processAllAvailable() }
-      val got = Dedup.incrementalVerdicts(idx.shingles, batch,
+      val got = Dedup.incrementalVerdicts(idx.shingles,
+          Dedup.docShingles(batch, 3),
           spark.table("ss_exact").filter(col("dup_exact")).select("id"),
-          spark.table("ss_cand").dropDuplicates(), 3, 0.5).collect()
+          spark.table("ss_cand").dropDuplicates(), 0.5).collect()
         .map(_.toSeq).toSet
       assert(got == expected)
       // and the verdicts themselves are the hand-computable ones

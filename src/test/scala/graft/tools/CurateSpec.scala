@@ -169,6 +169,108 @@ class CurateSpec extends SparkSpec {
       s"equalized mix still skewed: $bySource")
   }
 
+  test("spanCut stage cuts planted boilerplate from non-keepers, keeper intact") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // Unique-filler docs (every other token doc-unique, so no cross-doc
+    // 4-gram exists outside the plant) sharing one 10-word boilerplate
+    // sentence at different positions. spanCut must CUT the boilerplate
+    // from the non-keeper docs — not drop the docs — and keep the
+    // keeper (minimum doc_id) verbatim.
+    val boiler = "all rights reserved click here to subscribe to our newsletter"
+    def filler(i: Int, a: Int, b: Int) = (a until b).map(w =>
+      (if (w % 2 == 0) Seq("the", "is", "and", "for")(w % 4) else s"u${i}w$w"))
+      .mkString(" ")
+    // doc 4's post-boiler filler starts at an ODD index (doc-unique
+    // token), so no boundary 4-gram like "our newsletter the …" is
+    // shared with doc 2's mid-doc occurrence.
+    val docs = Seq(
+      (2L, s"${filler(1, 0, 20)} $boiler ${filler(1, 20, 40)}", "web"),
+      (4L, s"$boiler ${filler(2, 1, 41)}", "web"),
+      (6L, s"${filler(3, 0, 40)} $boiler", "web"))
+    val docsP = java.nio.file.Files.createTempDirectory("curate-span")
+      .toString + "/docs.parquet"
+    docs.toDF("doc_id", "text", "source").write.parquet(docsP)
+    val out = java.nio.file.Files.createTempDirectory("curate-span-out").toString
+    val stats = Curate.run(spark, docsP, out, benchmarkPath = None,
+      spanCut = Some(4))
+    // no doc dropped — the cut removes words, not documents
+    assert(stats("span_cut_docs") == 3.0)
+    assert(stats("span_cut_words_cut") == 20.0) // 10 words × 2 non-keepers
+    val texts = spark.read.parquet(s"$out/curated")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(texts(2L).contains(boiler), "keeper lost its canonical copy")
+    assert(!texts(4L).contains(boiler) && !texts(6L).contains(boiler),
+      "non-keeper kept the boilerplate")
+    assert(texts(4L).contains("u2w1") && texts(6L).contains("u3w1"),
+      "cut removed more than the planted span")
+  }
+
+  test("contamSpans stage cuts the planted leak instead of dropping the doc") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val leak = "the secret benchmark answer is forty two exactly"
+    def filler(i: Int, a: Int, b: Int) = (a until b).map(w =>
+      (if (w % 2 == 0) Seq("the", "is", "and", "for")(w % 4) else s"u${i}w$w"))
+      .mkString(" ")
+    val docs = Seq(
+      (1L, s"${filler(1, 0, 24)} $leak ${filler(1, 24, 44)}", "web"), // mid-doc leak
+      (2L, leak, "web"),                                              // fully leaked
+      (3L, filler(3, 0, 44), "web"))                                  // clean
+    val docsP = java.nio.file.Files.createTempDirectory("curate-cspan")
+      .toString + "/docs.parquet"
+    docs.toDF("doc_id", "text", "source").write.parquet(docsP)
+    val benchP = java.nio.file.Files.createTempDirectory("curate-cspan-b")
+      .toString + "/bench.parquet"
+    Seq((100L, leak)).toDF("doc_id", "text").write.parquet(benchP)
+    val out = java.nio.file.Files.createTempDirectory("curate-cspan-out").toString
+    val stats = Curate.run(spark, docsP, out, benchmarkPath = Some(benchP),
+      contamSpans = Some(3))
+    // doc 1 survives WITH the leak cut; doc 2 (100% leak) is dropped;
+    // doc 3 untouched. The drop-based stage would have dropped doc 1 too
+    // (its contamination is far above the default maxContam) — cutting
+    // is the point.
+    assert(stats("contam_cut_docs") == 2.0)
+    assert(stats("contam_cut_words_cut") == 8.0 + leak.split(" ").length)
+    val texts = spark.read.parquet(s"$out/curated")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(texts.keySet == Set(1L, 3L))
+    assert(!texts(1L).contains("secret benchmark"), "leak survived the cut")
+    assert(texts(1L).contains("u1w1") && texts(1L).contains("u1w43"),
+      "cut removed non-leaked content")
+  }
+
+  test("buckets and temperature mixture stages compose through the CLI") {
+    import spark.implicits._
+    // Graded quality: every doc carries 10 singleton tokens plus
+    // (2 + (i%3)·6) repeats of the high-frequency bigram "the data" —
+    // more repeats ⇒ a larger high-probability token fraction ⇒ a higher
+    // per-token LM score, giving three distinct score tiers per source
+    // (docs stay exact- and near-unique via the singleton block).
+    def doc(i: Int) = (0 until 10).map(j => s"n${i}x$j").mkString(" ") +
+      " " + Seq.fill(2 + (i % 3) * 6)("the data").mkString(" ")
+    val docs = (1 to 40).map(i => (i.toLong, doc(i), "web")) ++
+      (41 to 50).map(i => (i.toLong, doc(i), "books"))
+    val docsP = java.nio.file.Files.createTempDirectory("curate-bkt")
+      .toString + "/docs.parquet"
+    docs.toDF("doc_id", "text", "source").write.parquet(docsP)
+    val out = java.nio.file.Files.createTempDirectory("curate-bkt-out").toString
+    val stats = Curate.run(spark, docsP, out, benchmarkPath = None,
+      bucketsKeep = Some(Set("head", "middle")), mixture = Some("temperature"))
+    // head+middle keeps at least the top two thirds of each source
+    // (ties land in the better bucket, so never fewer), and strictly
+    // fewer than everything.
+    val prev = stats("near_dedup_docs")
+    assert(stats("buckets_docs") >= (2 * prev / 3).floor &&
+      stats("buckets_docs") < prev,
+      s"buckets kept ${stats("buckets_docs")} of $prev")
+    // temperature: big source down-sampled, never upsampled
+    assert(stats("temperature_docs") <= stats("buckets_docs"))
+    assert(stats("split_docs") == stats("temperature_docs"))
+    assert(spark.read.parquet(s"$out/curated").count() ==
+      stats("split_docs").toLong)
+  }
+
   test("domainCap stage keeps at most k docs per source, then splits") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
