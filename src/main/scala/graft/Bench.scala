@@ -97,18 +97,30 @@ object Bench {
     * round of implementation drift. Empty when git is unavailable or no
     * clean matching artifact exists — callers fall back to the scan.
     */
-  private[graft] def committedBenchLastMins(sfDir: String): Map[String, Double] =
+  /** Normalized spelling of a data dir — the artifact's `sf` field and
+    * every baseline match go through this, so a trailing slash or a
+    * relative spelling of the same directory can't silently miss every
+    * committed artifact and drop the gating to the stale scan fallback
+    * (round-13 ADVICE).
+    */
+  private[graft] def normSfDir(sfDir: String): String =
+    try java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize.toString
+    catch { case _: Exception => sfDir }
+
+  private[graft] def committedBenchLastMins(sfDir: String,
+      benchDir: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "."))
+      : Map[String, Double] =
     try {
-      val dir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", ".")
+      val sfKey = normSfDir(sfDir)
       val quiet = scala.sys.process.ProcessLogger(_ => ())
       val commits = scala.sys.process.Process(
-        Seq("git", "-C", dir, "log", "--format=%H", "-n", "10",
+        Seq("git", "-C", benchDir, "log", "--format=%H", "-n", "10",
           "--", "bench_last.json")).!!(quiet).linesIterator.toSeq
       commits.iterator.flatMap { c =>
         try {
           val text = scala.sys.process.Process(
-            Seq("git", "-C", dir, "show", s"$c:bench_last.json")).!!(quiet)
-          if (text.contains(s""""sf":"$sfDir"""") &&
+            Seq("git", "-C", benchDir, "show", s"$c:bench_last.json")).!!(quiet)
+          if (text.contains(s""""sf":"$sfKey"""") &&
               text.contains(""""contended":false"""))
             Some(parseArtifact(text))
           else None
@@ -128,11 +140,12 @@ object Bench {
     * absent from the baseline (new this round) are never re-run.
     * `SPARK_GRAFT_BENCH_BASELINE=none` disables.
     */
-  private def bestKnownMins(sfDir: String): Map[String, Double] = {
+  private def bestKnownMins(sfDir: String,
+      committed: Map[String, Double]): Map[String, Double] = {
     if (sys.env.get("SPARK_GRAFT_BENCH_BASELINE").contains("none"))
       return Map.empty
-    val committed = committedBenchLastMins(sfDir)
     if (committed.nonEmpty) return committed
+    val sfKey = normSfDir(sfDir)
     val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "."))
     val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
@@ -141,8 +154,8 @@ object Bench {
         val text = new String(
           java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8)
-        val sameSf = text.contains(s""""sf":"$sfDir"""") ||
-          text.contains(s"""\\"sf\\":\\"$sfDir\\"""")
+        val sameSf = text.contains(s""""sf":"$sfKey"""") ||
+          text.contains(s"""\\"sf\\":\\"$sfKey\\"""")
         if (sameSf) parseArtifact(text) else Map.empty[String, Double]
       } catch { case _: Exception => Map.empty[String, Double] }
     }.toSeq.groupMapReduce(_._1)(_._2)(math.min)
@@ -193,7 +206,8 @@ object Bench {
     }
 
   private def realMain(): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = normSfDir(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Shuffle partitioning tracks DATA, not cores (measured: g05 at
     // ScaleUp factor 30 OOMs under cores-count partitioning) — derived
@@ -260,7 +274,17 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => subset.forall(_.contains(n)))
-    val prevMin = bestKnownMins(sfDir)
+    // The committed clean bench_last is the only over_committed
+    // reference; the historical BENCH_r*.json scan (inside
+    // bestKnownMins) stays as a rerun-gating fallback ONLY — its
+    // early-round minima can come from since-replaced implementations,
+    // which must never permanently flag honest runs as contended
+    // (round-13 ADVICE).
+    val committedMins =
+      if (sys.env.get("SPARK_GRAFT_BENCH_BASELINE").contains("none"))
+        Map.empty[String, Double]
+      else committedBenchLastMins(sfDir)
+    val prevMin = bestKnownMins(sfDir, committedMins)
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -339,7 +363,7 @@ object Bench {
     // artifact is marked contended — a reader diffing rounds sees
     // exactly which numbers exceed the engine's demonstrated capability
     // instead of trusting a silently inflated headline.
-    val overCommitted = overCommittedNames(times.toMap, prevMin)
+    val overCommitted = overCommittedNames(times.toMap, committedMins)
     val contended = confirmed.nonEmpty || unstable.nonEmpty ||
       overCommitted.nonEmpty
     def jnum(d: Double): String =

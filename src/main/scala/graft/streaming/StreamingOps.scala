@@ -168,8 +168,27 @@ object StreamingOps {
     * the stream's lifetime (state ≈ one long per doc per band — for
     * bounded-window dedup compose with an event-time timeout the way
     * [[sessionize]] does).
+    *
+    * `maxBucket` caps the hot-bucket hazard (the streaming twin of
+    * [[graft.pipeline.Dedup.cappedJaccardPairs]]'s df cap): a bucket
+    * that already holds `maxBucket` members ACCEPTS NO new ids — no
+    * state growth, no pair emission from that bucket — so per-bucket
+    * state is ≤ `maxBucket` longs and a single arrival emits at most
+    * `maxBucket − 1` pairs, where an uncapped boilerplate bucket
+    * (every doc sharing one chrome band-signature) pays O(members)
+    * state and O(members²) lifetime pair fan-out. Semantics mirror the
+    * batch cap's: the capped pair set is a SUBSET of the uncapped one
+    * for ANY arrival order (a saturated bucket only suppresses), and a
+    * true near-dup pair lost to one saturated band still surfaces
+    * through any of its other, unsaturated bands — the same
+    * probabilistic recall argument as banding itself. Which ids occupy
+    * a saturated bucket is first-arrival-determined (the one
+    * order-dependent aspect, inherent to one-pass capping; the batch
+    * cap sees all frequencies up front and picks deterministically).
     */
-  def lshCandidatesStream(events: Dataset[BandEvent]): Dataset[CandPair] = {
+  def lshCandidatesStream(events: Dataset[BandEvent],
+      maxBucket: Int = Int.MaxValue): Dataset[CandPair] = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     import events.sparkSession.implicits._
     events
       .groupByKey(e => (e.band, e.bucket))
@@ -179,7 +198,7 @@ object StreamingOps {
           var cur = state.getOption.map(_.ids).getOrElse(Array.empty[Long])
           val out = scala.collection.mutable.ArrayBuffer[CandPair]()
           rows.foreach { e =>
-            if (!cur.contains(e.id)) {
+            if (!cur.contains(e.id) && cur.length < maxBucket) {
               cur.foreach { x =>
                 out += (if (x < e.id) CandPair(x, e.id) else CandPair(e.id, x))
               }

@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Dedup
+
+/** Measures the incremental-dedup headline claim END TO END: the cost of
+  * gating a FIXED delta scales with the DELTA, not with the standing
+  * corpus it is gated against. Round 13 shipped the
+  * [[graft.pipeline.Dedup.CorpusIndex]] API but measured p54 with corpus
+  * and delta growing together, so the flat-in-corpus property was
+  * argued, not shown; this tool builds + persists the index from a
+  * (scaled) corpus once, then times ONLY the gate of the same 5k-doc
+  * delta — run it against the 1×/10×/30× directories and compare gate
+  * walls.
+  *
+  * ```
+  * runMain graft.tools.DeltaGate <corpusDir> <indexDir> \
+  *     [deltaDocs=5000] [samples=3]
+  * ```
+  *
+  * The delta is the first `deltaDocs` documents (by doc_id) of the base
+  * sf0.1 table with ids offset far past any scaled corpus id — fixed
+  * across corpus scales by construction. Copy 0 of a ScaleUp'd corpus
+  * holds the delta's verbatim texts, so the gate exercises its whole
+  * surface (exact hits, near candidates, verify) at every scale. Each
+  * gate sample re-reads the persisted index (parquet footers included —
+  * that IS part of a fresh gate's cost) and force-materializes the full
+  * verdict relation through a noop write; same LSH parameters as p54.
+  *
+  * Prints one JSON line: corpus/delta sizes, index build+write seconds,
+  * per-sample gate seconds, and the min.
+  */
+object DeltaGate {
+
+  def main(args: Array[String]): Unit = {
+    val corpusDir = args(0)
+    val indexDir = args(1)
+    val deltaDocs = args.lift(2).map(_.toInt).getOrElse(5000)
+    val samples = args.lift(3).map(_.toInt).getOrElse(3)
+    val (n, bands, rows, thr) = (3, 24, 2, 0.5)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.SessionTuning.autoConfs(corpusDir, cpus.toInt)
+      .foldLeft(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")) {
+        case (b, (k, v)) => b.config(k, v) }
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val delta = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .orderBy("doc_id").limit(deltaDocs)
+      .select((col("doc_id") + 1000000000000L).as("doc_id"), col("text"))
+      .localCheckpoint()
+    val nDelta = delta.count()
+
+    val corpus = spark.read.parquet(s"$corpusDir/documents.parquet")
+      .select("doc_id", "text")
+    val nCorpus = corpus.count()
+    val t0 = System.nanoTime()
+    Dedup.writeIndex(Dedup.corpusIndex(corpus, n, bands, rows), indexDir)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+
+    val gateSecs = (1 to samples).map { _ =>
+      val g0 = System.nanoTime()
+      val idx = Dedup.readIndex(spark, indexDir)
+      Dedup.incrementalDedupAgainst(idx, delta, n, bands, rows, thr,
+          broadcastDelta = true)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - g0) / 1e9
+    }
+    def j(d: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    println(s"""{"corpus":"$corpusDir","n_corpus":$nCorpus,""" +
+      s""""n_delta":$nDelta,"index_build_sec":${j(buildSec)},""" +
+      s""""gate_secs":[${gateSecs.map(j).mkString(",")}],""" +
+      s""""gate_min_sec":${j(gateSecs.min)}}""")
+    spark.stop()
+  }
+}

@@ -30,27 +30,42 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("committedBenchLastMins picks the newest UNCONTENDED committed bench_last") {
-    // This repo always carries committed bench_last.json history
-    // recorded against /root/testdata/sf0.1, and the suite runs from
-    // the repo root with git available — so the current-code baseline
-    // must resolve non-empty here. A different data dir must yield
-    // empty (scale runs never compare against sf0.1 minima). No
-    // assume-guards: a vacuous skip would leave both round-13
-    // regressions unpinned (r03's stale 0.87s g08 flagging every
-    // modern run over_committed; round 12's contended driver copy at
-    // HEAD silently becoming the baseline with 3x-inflated minima).
-    val mins = Bench.committedBenchLastMins("/root/testdata/sf0.1")
-    assert(mins.nonEmpty, "expected a committed uncontended bench_last")
-    assert(mins.contains("g05_edge_weights"))
-    assert(mins.values.forall(_ > 0.0))
-    // Cross-check against HEAD's copy read independently: when HEAD's
-    // artifact is contended it must have been SKIPPED; when clean it
-    // must be exactly what was chosen.
-    val headText = scala.sys.process.Process(
-      Seq("git", "show", "HEAD:bench_last.json")).!!
-    val headMins = Bench.parseArtifact(headText)
-    if (headText.contains("\"contended\":false")) assert(mins == headMins)
-    else assert(mins != headMins, "contended HEAD artifact must be skipped")
-    assert(Bench.committedBenchLastMins("/tmp/no_such_sf_dir").isEmpty)
+    // Deterministic FIXTURE repo (round-13 ADVICE: the live-checkout
+    // formulation asserted repo state, not code — it failed on shallow
+    // clones, worktrees, or histories whose last 10 artifacts are all
+    // contended). Two commits: a clean artifact, then a newer CONTENDED
+    // one — the helper must skip the contended HEAD and return the
+    // older clean minima.
+    val repo = java.nio.file.Files.createTempDirectory("benchspec-git").toFile
+    def sh(cmd: String*): Unit =
+      assert(scala.sys.process.Process(cmd, repo).!(
+        scala.sys.process.ProcessLogger(_ => ())) == 0, cmd.mkString(" "))
+    def commit(text: String, msg: String): Unit = {
+      java.nio.file.Files.writeString(
+        new java.io.File(repo, "bench_last.json").toPath, text)
+      sh("git", "add", "-A"); sh("git", "commit", "-qm", msg)
+    }
+    sh("git", "init", "-q")
+    sh("git", "config", "user.email", "t@test")
+    sh("git", "config", "user.name", "t")
+    val sfKey = Bench.normSfDir("/root/testdata/sf0.1")
+    commit(s"""{"queries":{"g05_edge_weights":2.0},"min_queries":""" +
+      s"""{"g05_edge_weights":1.5},"contended":false,"sf":"$sfKey"}""", "clean")
+    commit(s"""{"queries":{"g05_edge_weights":9.4},"min_queries":""" +
+      s"""{"g05_edge_weights":9.0},"contended":true,"sf":"$sfKey"}""", "contended")
+    // Trailing-slash spelling of the same dir must still match (the
+    // normalization half of the same ADVICE round).
+    val mins = Bench.committedBenchLastMins("/root/testdata/sf0.1/",
+      repo.toString)
+    assert(mins == Map("g05_edge_weights" -> 1.5),
+      s"expected the older CLEAN artifact's minima, got $mins")
+    // A different data dir yields empty — scale runs never compare
+    // against sf0.1 minima.
+    assert(Bench.committedBenchLastMins("/tmp/no_such_sf_dir",
+      repo.toString).isEmpty)
+    // Best-effort secondary on the real checkout: when resolvable, the
+    // chosen artifact is positive-valued and uncontended by contract.
+    val real = Bench.committedBenchLastMins("/root/testdata/sf0.1")
+    assert(real.values.forall(_ > 0.0))
   }
 }

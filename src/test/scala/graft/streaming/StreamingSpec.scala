@@ -112,6 +112,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lsh candidates: maxBucket stops hot-bucket growth, capped pairs ⊆ uncapped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.BandEvent]
+    val cands = StreamingOps.lshCandidatesStream(input.toDS(), maxBucket = 3)
+    val q = cands.writeStream.format("memory").queryName("lsh_capped")
+      .outputMode(OutputMode.Append).start()
+    def got() = spark.table("lsh_capped").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSeq.sorted
+    try {
+      // The hot (boilerplate) bucket (0, 99) fills to the cap…
+      input.addData(StreamingOps.BandEvent(1L, 0, 99L),
+        StreamingOps.BandEvent(2L, 0, 99L), StreamingOps.BandEvent(3L, 0, 99L))
+      q.processAllAvailable()
+      assert(got() == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+      // …and a saturated bucket accepts nothing: no pairs, no growth,
+      // even across several later arrivals.
+      input.addData(StreamingOps.BandEvent(4L, 0, 99L),
+        StreamingOps.BandEvent(5L, 0, 99L), StreamingOps.BandEvent(6L, 0, 99L))
+      q.processAllAvailable()
+      assert(got() == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+      // A true near-dup suppressed in the hot band still surfaces via
+      // its other, unsaturated band — the banding recall argument the
+      // cap leans on.
+      input.addData(StreamingOps.BandEvent(4L, 1, 50L),
+        StreamingOps.BandEvent(5L, 1, 50L))
+      q.processAllAvailable()
+      assert(got() == Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+      // Subset property: everything emitted is a pair the UNCAPPED
+      // operator would emit on the same events (its bucket-99 output is
+      // all C(6,2) pairs plus (4,5) from band 1).
+      val uncapped = (1L to 6L).combinations(2).map(s => (s(0), s(1))).toSet + ((4L, 5L))
+      assert(got().toSet.subsetOf(uncapped))
+    } finally q.stop()
+  }
+
   test("streaming lsh pairs == batch minHashPairs on the same docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
