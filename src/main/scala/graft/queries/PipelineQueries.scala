@@ -2204,6 +2204,69 @@ object PipelineQueries {
       Curation.contaminationSpans(
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0), CONTAM_SPAN_L)
+    },
+
+    // ---- contamination span CUT (p57's detect completed to the
+    // decontamination a Curate run executes): the leaked regions are
+    // REMOVED from every corpus doc and the text rebuilt relationally —
+    // p53's rebuild over p57's benchmark-gram flag set, replayed
+    // end to end in DuckDB. Same p19 split: benchmark = doc_id%20==0.
+    QueryDef(
+      "p59_contam_span_cut",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM documents
+         |), g AS (
+         |  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_words,
+         |    CAST(unnest(range(1, greatest(len(tokens) - ${CONTAM_SPAN_L - 1}, 1) + 1))
+         |      AS BIGINT) AS pos,
+         |    unnest(list_transform(
+         |      range(1, greatest(len(tokens) - ${CONTAM_SPAN_L - 1}, 1) + 1),
+         |      i -> ${Hashing.sqlH60(
+               s"array_to_string(list_slice(tokens, i, i + ${CONTAM_SPAN_L - 1}), ' ')")}))
+         |      AS h
+         |  FROM toks
+         |), bench AS (
+         |  SELECT DISTINCT h FROM g WHERE doc_id % 20 = 0
+         |), hits AS (
+         |  SELECT g.doc_id, g.n_words, g.pos
+         |  FROM g JOIN bench USING (h) WHERE g.doc_id % 20 <> 0
+         |), isl AS (
+         |  SELECT doc_id, n_words, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |      <= $CONTAM_SPAN_L THEN 0 ELSE 1 END AS brk
+         |  FROM hits
+         |), isl2 AS (
+         |  SELECT doc_id, n_words, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM isl
+         |), spans AS (
+         |  SELECT doc_id, island, min(pos) AS s,
+         |    least(max(pos) + ${CONTAM_SPAN_L - 1}, n_words) AS e
+         |  FROM isl2 GROUP BY doc_id, n_words, island
+         |), covered AS (
+         |  SELECT doc_id, CAST(unnest(range(s, e + 1)) AS BIGINT) AS i FROM spans
+         |), tokpos AS (
+         |  SELECT doc_id, CAST(unnest(range(1, len(tokens) + 1)) AS BIGINT) AS i,
+         |    unnest(tokens) AS tok
+         |  FROM toks WHERE doc_id % 20 <> 0
+         |), kept AS (
+         |  SELECT t.doc_id, t.i, t.tok
+         |  FROM tokpos t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.i = t.i
+         |  WHERE c.i IS NULL
+         |), reb AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    array_to_string(list(tok ORDER BY i), ' ') AS text_cut
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, CAST(len(tokens) AS BIGINT) AS n_words,
+         |  CAST(len(tokens) - coalesce(n_kept, 0) AS BIGINT) AS cut_words,
+         |  coalesce(text_cut, '') AS text_cut
+         |FROM toks t LEFT JOIN reb USING (doc_id)
+         |WHERE t.doc_id % 20 <> 0""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Curation.contaminationSpansCut(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), CONTAM_SPAN_L)
     }
   )
 
