@@ -174,8 +174,13 @@ object Curate {
     // and the join don't re-run the span machinery.
     def applyCut(name: String, prev: DataFrame, cutRel: DataFrame)
         : DataFrame = {
-      val cut = cutRel.localCheckpoint()
+      var cut: DataFrame = null
       val s = stage(name) {
+        // checkpoint INSIDE the timed stage: the span machinery's
+        // materialization is the stage's real cost — timing only the
+        // re-attach join would report a ~0.2 s wall for a multi-second
+        // cut (round-14 first-run artifact)
+        cut = cutRel.localCheckpoint()
         prev.drop("text")
           .join(cut.filter(col("text_cut") =!= "")
             .select(col("doc_id"), col("text_cut").as("text")),
