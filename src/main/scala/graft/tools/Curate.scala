@@ -20,8 +20,13 @@ import graft.pipeline.{Curation, Dedup, TextAnalysis}
   *     [decontam=exact|bloom] [pii=on|off] [equalize=on|off] \
   *     [minStopRatio=0.01] [domainCap=<k>] [spanCut=<L>] \
   *     [contamSpans=<L>] [buckets=keep:head,middle] \
-  *     [mixture=equalize|temperature]
+  *     [mixture=equalize|temperature] [gateIndex=<dir>]
   * ```
+  *
+  * `gateIndex=<dir>` gates the (internally deduped) batch against a
+  * persisted standing [[Dedup.CorpusIndex]] (`Dedup.writeIndex`) with
+  * the broadcast-delta plan — exact-key and verified-near duplicates of
+  * the standing corpus are dropped; the corpus side never shuffles.
   *
   * `docs.parquet` needs `(doc_id: long, text: string, source: string)`.
   * `benchmark.parquet|-` is an eval set to decontaminate against (`-`
@@ -94,7 +99,8 @@ object Curate {
       spanCut: Option[Int] = None,
       contamSpans: Option[Int] = None,
       bucketsKeep: Option[Set[String]] = None,
-      mixture: Option[String] = None): Map[String, Double] = {
+      mixture: Option[String] = None,
+      gateIndex: Option[String] = None): Map[String, Double] = {
     require(decontamMode == "exact" || decontamMode == "bloom",
       s"decontam mode must be 'exact' or 'bloom', got '$decontamMode'")
     require(contamSpans.isEmpty || benchmarkPath.nonEmpty,
@@ -192,12 +198,32 @@ object Curate {
       s
     }
 
+    // Optional standing-corpus gate (the round-14 incremental-dedup
+    // surface via the CLI): the batch — already internally deduped — is
+    // gated against a PERSISTED Dedup.CorpusIndex with the
+    // broadcast-delta plan (the corpus side never shuffles); docs whose
+    // content key or verified near-duplicate already exists in the
+    // standing corpus are dropped. The caller appends the survivors
+    // with Dedup.appendToIndex on whatever cadence ingestion runs.
+    val gated = gateIndex match {
+      case None => near
+      case Some(path) => stage("corpus_gate") {
+        val verdicts = Dedup.incrementalDedupAgainst(
+          Dedup.readIndex(spark, path),
+          near.select("doc_id", "text"), shingleN,
+          numBands = 24, rowsPerBand = 2, threshold = jaccardT,
+          broadcastDelta = true)
+        near.join(verdicts.filter(col("keep")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      }
+    }
+
     // Optional exact-substring span CUT (Lee et al. end to end): remove
     // duplicated spans from every non-keeper doc and rebuild — the
     // boilerplate whole-doc dedup can't touch.
     val spanCutted = spanCut match {
-      case None => near
-      case Some(l) => applyCut("span_cut", near, Dedup.dupSpansCut(near, l))
+      case None => gated
+      case Some(l) => applyCut("span_cut", gated, Dedup.dupSpansCut(gated, l))
     }
 
     val decontam = benchmarkPath match {
@@ -316,7 +342,8 @@ object Curate {
       a => a.startsWith("pii=") || a.startsWith("equalize=") ||
         a.startsWith("minStopRatio=") || a.startsWith("domainCap=") ||
         a.startsWith("spanCut=") || a.startsWith("contamSpans=") ||
-        a.startsWith("buckets=") || a.startsWith("mixture="))
+        a.startsWith("buckets=") || a.startsWith("mixture=") ||
+        a.startsWith("gateIndex="))
     val flags = flagArgs.map { a =>
       val Array(k, v) = a.split("=", 2); k -> v
     }.toMap
@@ -348,7 +375,8 @@ object Curate {
           s"buckets flag must be keep:<head,middle,tail subset>, got '$v'")
         v.stripPrefix("keep:").split(",").map(_.trim).toSet
       },
-      mixture = flags.get("mixture"))
+      mixture = flags.get("mixture"),
+      gateIndex = flags.get("gateIndex"))
     val fields = stats.map { case (k, v) =>
       val vs = if (k.endsWith("_docs")) v.toLong.toString
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

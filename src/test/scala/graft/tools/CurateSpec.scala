@@ -271,6 +271,40 @@ class CurateSpec extends SparkSpec {
       stats("split_docs").toLong)
   }
 
+  test("gateIndex stage drops standing-corpus dups through the CLI") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def filler(i: Int) = (0 until 30).map(w =>
+      (if (w % 2 == 0) Seq("the", "is", "and", "for")(w % 4) else s"c${i}w$w"))
+      .mkString(" ")
+    // standing corpus: docs 1..5; persisted index
+    val corpus = (1 to 5).map(i => (i.toLong, filler(i)))
+      .toDF("doc_id", "text")
+    val idxDir = java.nio.file.Files.createTempDirectory("curate-gate-idx")
+      .toString
+    graft.pipeline.Dedup.writeIndex(
+      graft.pipeline.Dedup.corpusIndex(corpus, 3, 24, 2), idxDir)
+    // batch: an exact copy of corpus doc 2, a near-copy of doc 3 (one
+    // word appended), and two novel docs
+    val batch = Seq(
+      (101L, filler(2), "web"),                 // exact dup of corpus 2
+      (102L, filler(3) + " extra", "web"),      // near dup of corpus 3
+      (103L, filler(33), "web"),
+      (104L, filler(44), "web")).toDF("doc_id", "text", "source")
+    val docsP = java.nio.file.Files.createTempDirectory("curate-gate")
+      .toString + "/docs.parquet"
+    batch.write.parquet(docsP)
+    val out = java.nio.file.Files.createTempDirectory("curate-gate-out")
+      .toString
+    val stats = Curate.run(spark, docsP, out, benchmarkPath = None,
+      jaccardT = 0.5, gateIndex = Some(idxDir))
+    assert(stats("corpus_gate_docs") == 2.0,
+      s"expected the 2 novel docs to survive, got ${stats("corpus_gate_docs")}")
+    val kept = spark.read.parquet(s"$out/curated")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(103L, 104L))
+  }
+
   test("domainCap stage keeps at most k docs per source, then splits") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
