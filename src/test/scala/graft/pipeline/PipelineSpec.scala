@@ -170,6 +170,44 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("broadcast-delta gate: the standing corpus never shuffles or sorts") {
+    // The flat-in-corpus measurement (BASELINE: 3.72 s at 30x == 3.74 s
+    // at 100x) rests on a PLAN property — every corpus-side relation is
+    // scanned once with a delta-built broadcast hash probe. Pin it on
+    // the executed adaptive plan over a real table slice: broadcast
+    // joins present, and NO SortMergeJoin anywhere (a corpus-side sort
+    // is exactly the regression that would silently reintroduce
+    // corpus-scaled gate cost).
+    val all = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = all.filter(col("doc_id") % 7 =!= 3)
+    val batch = all.filter(col("doc_id") % 7 === 3)
+    // The production shape: the index is PERSISTED and re-read, so the
+    // gate plan contains scans of the standing relations, not their
+    // construction (whose own one-time exchanges are not gate cost).
+    val dir = java.nio.file.Files.createTempDirectory("graft_gateplan")
+      .toString
+    Dedup.writeIndex(Dedup.corpusIndex(corpus, 3, 24, 2), dir)
+    val df = Dedup.incrementalDedupAgainst(Dedup.readIndex(spark, dir),
+      batch, 3, 24, 2, 0.5, broadcastDelta = true)
+    df.queryExecution.toRdd.count()
+    val full = df.queryExecution.executedPlan.toString
+    assert(!full.contains("isFinalPlan=false"), s"plan not finalized:\n$full")
+    // Assert on the FINAL adaptive plan only (the string also prints the
+    // pre-AQE initial plan, where static SMJs legitimately appear before
+    // runtime sizes demote them to broadcasts).
+    val p = full.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast probe:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"broadcast-delta gate grew a corpus-side sort-merge join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cross product:\n$p")
+    // No shuffle ever partitions on a STANDING-relation key (k / band /
+    // bucket): the only exchanges the gate may contain are the
+    // delta-bounded verified-pair window and assembly (id_b / doc_id).
+    for (key <- Seq("hashpartitioning(k#", "hashpartitioning(band#",
+        "hashpartitioning(bucket#"))
+      assert(!p.contains(key), s"corpus-side shuffle on $key:\n$p")
+  }
+
   test("incremental dedup: persisted index round-trips and appends stay current") {
     // The standing-state lifecycle: build → write → read → gate batch-1 →
     // append batch-1 → gate batch-2, with batch-2's verdicts equal to the
