@@ -223,6 +223,104 @@ object Multimodal {
     }
   }
 
+  // ----------------------------------------------------------- audio
+
+  /** Deterministic per-asset audio geometry for the planted WAV corpus:
+    * 8..40 samples (oracle unnest stays tiny) at one of four sample
+    * rates (8/12/16/20 kHz — the header round-trip is exercised, not
+    * assumed).
+    */
+  def wavGeom(h: Long): (Int, Int) =
+    ((8 + h % 33).toInt, (8000 + ((h / 33) % 4) * 4000).toInt)
+
+  /** Deterministic signed sample formula, −1000..1000 (crosses zero, so
+    * zero-crossing counts are nontrivial); the ORACLE recomputes this in
+    * SQL while the Spark side must round-trip it through genuine WAV
+    * bytes ([[Wav.encode]] → [[Wav.decode]]) — a hash match proves the
+    * RIFF layout, LE16 sign extension, and sample order are handled
+    * bit-exactly.
+    */
+  def wavSample(h: Long)(i: Int): Int = (((h + 97L * i) % 2001L) - 1000L).toInt
+
+  /** Build a REAL WAV corpus from a documents-like table: one mono
+    * PCM16 clip per doc, geometry and samples derived from the doc id.
+    * Narrow batched mapPartitions, no shuffle.
+    */
+  def wavAssetsFromDocuments(docs: DataFrame, idCol: String = "doc_id")
+      : Dataset[Asset] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val h = Hashing.h60(id.toString)
+        val (n, rate) = wavGeom(h)
+        Asset(id, Wav.encode(rate, n, wavSample(h)), "audio/wav")
+      }
+    }
+  }
+
+  /** Sample-derived decode features of one audio asset — geometry from
+    * the parsed header plus the integer loudness/order/noisiness stats
+    * of [[Wav.Stats]].
+    */
+  final case class DecodedWav(asset_id: Long, sample_rate: Long,
+      n_samples: Long, n_bytes: Long, s_sum: Long, s_abs_sum: Long,
+      s_wsum: Long, peak: Long, zero_crossings: Long)
+
+  /** The audio decode pass: one streaming [[Wav.decode]] per payload,
+    * per-partition iterator (real-codec setup would happen once here),
+    * no shuffle, memory bounded by one clip.
+    */
+  def decodeWavAssets(assets: Dataset[Asset]): Dataset[DecodedWav] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { rows =>
+      rows.map { a =>
+        val s = Wav.decode(a.payload)
+        DecodedWav(a.asset_id, s.sample_rate, s.n_samples, s.n_bytes,
+          s.s_sum, s.s_abs_sum, s.s_wsum, s.peak, s.zero_crossings)
+      }
+    }
+  }
+
+  /** Per-frame audio features: the clip windowed into fixed
+    * `frameLen`-sample frames (last frame may be short), each with its
+    * integer energy (Σ s²) and within-frame zero-crossing count — the
+    * classic frame-level feature matrix a speech/audio-quality model
+    * consumes, all integer-exact for the oracle replay.
+    */
+  final case class WavFrame(asset_id: Long, frame_idx: Long,
+      n_in_frame: Long, energy: Long, zero_crossings: Long)
+
+  /** The frame feature pass: decode once, window in-memory, emit one
+    * row per frame — flatMap over the partition iterator (a real
+    * feature extractor amortizes model setup the same way); output
+    * fan-out is frames, never a shuffle.
+    */
+  def wavFrameFeatures(assets: Dataset[Asset], frameLen: Int)
+      : Dataset[WavFrame] = {
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { rows =>
+      rows.flatMap { a =>
+        val (_, s) = Wav.decodeSamples(a.payload)
+        (0 until s.length by frameLen).iterator.map { start =>
+          val end = math.min(start + frameLen, s.length)
+          var energy = 0L; var zc = 0L
+          var i = start
+          while (i < end) {
+            energy += s(i).toLong * s(i)
+            if (i > start && (s(i) < 0) != (s(i - 1) < 0)) zc += 1
+            i += 1
+          }
+          WavFrame(a.asset_id, (start / frameLen).toLong,
+            (end - start).toLong, energy, zc)
+        }
+      }
+    }
+  }
+
   // ---------------------------------------------------------- embed
 
   /** A feature-extracted asset: the `array<float>` column the ANN /

@@ -349,6 +349,32 @@ object PipelineQueries {
     */
   private val CONTAM_SPAN_L = 4
 
+  /** Frame length for the p61 audio frame-feature gate — small enough
+    * that every planted clip (8..40 samples) yields multiple frames
+    * including a short tail frame, so the windowing edge cases are what
+    * the hash compare certifies.
+    */
+  private val WAV_FRAME_LEN = 8
+
+  /** Shared planted-WAV oracle CTEs (p60/p61): the per-doc geometry and
+    * the signed sample relation the Spark side must recover from genuine
+    * RIFF/PCM16 bytes. Constants live above `queries` (object-init
+    * order: the SQL strings interpolate eagerly).
+    */
+  private def sqlWavSamplesCtes: String =
+    s"""d AS (
+       |  SELECT doc_id, ${Hashing.sqlH60("CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents
+       |), geo AS (
+       |  SELECT doc_id, h, 8 + h % 33 AS n,
+       |    8000 + ((h // 33) % 4) * 4000 AS sr
+       |  FROM d
+       |), s AS (
+       |  SELECT doc_id, n, sr, i.i AS i,
+       |    ((h + 97 * i.i) % 2001) - 1000 AS v
+       |  FROM geo, UNNEST(range(0, n)) AS i(i)
+       |)""".stripMargin
+
   // ---------------------------------------------------------------- queries
 
   val queries: Seq[QueryDef] = Seq(
@@ -2267,6 +2293,64 @@ object PipelineQueries {
       Curation.contaminationSpansCut(
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0), CONTAM_SPAN_L)
+    },
+
+    // ---- audio decode (round 14 — the multimodal family's audio
+    // modality, same real-bytes rigor as p47's BMP): one mono PCM16 WAV
+    // per doc with planted geometry + sample formula; Spark must
+    // recover sample rate, count, and the loudness/order/noisiness
+    // stats from genuine RIFF bytes while the oracle replays the
+    // formula — a hash match certifies the 44-byte layout, LE16 sign
+    // extension, and sample order end to end.
+    QueryDef(
+      "p60_wav_decode",
+      s"""WITH $sqlWavSamplesCtes, z AS (
+         |  SELECT doc_id, n, sr, i, v,
+         |    CASE WHEN i > 0 AND (v < 0) <>
+         |      (lag(v) OVER (PARTITION BY doc_id ORDER BY i) < 0)
+         |      THEN 1 ELSE 0 END AS zc
+         |  FROM s
+         |)
+         |SELECT doc_id AS asset_id,
+         |  CAST(MIN(sr) AS BIGINT) AS sample_rate,
+         |  CAST(MIN(n) AS BIGINT) AS n_samples,
+         |  CAST(44 + 2 * MIN(n) AS BIGINT) AS n_bytes,
+         |  CAST(SUM(v) AS BIGINT) AS s_sum,
+         |  CAST(SUM(abs(v)) AS BIGINT) AS s_abs_sum,
+         |  CAST(SUM((i + 1) * v) AS BIGINT) AS s_wsum,
+         |  CAST(MAX(abs(v)) AS BIGINT) AS peak,
+         |  CAST(SUM(zc) AS BIGINT) AS zero_crossings
+         |FROM z GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Multimodal.decodeWavAssets(
+        Multimodal.wavAssetsFromDocuments(t(s, dir, "documents"))).toDF()
+    },
+
+    // ---- audio frame features (round 14): the clip windowed into
+    // fixed 8-sample frames — per-frame integer energy (sum of squares)
+    // and within-frame zero crossings, short tail frame included. The
+    // frame matrix is what a speech/quality model consumes; the oracle
+    // replays the windowing arithmetic over the same planted samples.
+    QueryDef(
+      "p61_wav_frames",
+      s"""WITH $sqlWavSamplesCtes, f AS (
+         |  SELECT doc_id, i // $WAV_FRAME_LEN AS frame_idx,
+         |    i % $WAV_FRAME_LEN AS j, v
+         |  FROM s
+         |), zf AS (
+         |  SELECT doc_id, frame_idx, j, v,
+         |    CASE WHEN j > 0 AND (v < 0) <>
+         |      (lag(v) OVER (PARTITION BY doc_id, frame_idx ORDER BY j) < 0)
+         |      THEN 1 ELSE 0 END AS zc
+         |  FROM f
+         |)
+         |SELECT doc_id AS asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         |  CAST(count(*) AS BIGINT) AS n_in_frame,
+         |  CAST(SUM(v * v) AS BIGINT) AS energy,
+         |  CAST(SUM(zc) AS BIGINT) AS zero_crossings
+         |FROM zf GROUP BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      Multimodal.wavFrameFeatures(
+        Multimodal.wavAssetsFromDocuments(t(s, dir, "documents")),
+        WAV_FRAME_LEN).toDF()
     }
   )
 
