@@ -207,7 +207,10 @@ object Multimodal {
     * flatMap-over-partition-iterator shape is exactly what that needs;
     * output fan-out is frames, not a shuffle. The frame count derives
     * from the REAL payload length (for the planted BMPs that length is
-    * itself header math the oracle replays).
+    * itself header math the oracle replays). Kept as the
+    * index-only/no-decode variant; [[sampleVideoFrames]] (round 14) is
+    * the real-container path that seeks into a GVF1 directory and
+    * decodes the sampled frames' pixels.
     */
   final case class SampledFrame(asset_id: Long, frame_idx: Long)
 
@@ -219,6 +222,69 @@ object Multimodal {
         val nFrames = a.payload.length / 100 + 1
         (0 until nFrames by stride).iterator
           .map(i => SampledFrame(a.asset_id, i.toLong))
+      }
+    }
+  }
+
+  // ----------------------------------------------------------- video
+
+  /** Deterministic frame count for the planted video corpus: 2..6
+    * frames per asset (every stride-2 sampling hits a tail case).
+    */
+  def vidFrames(h: Long): Int = (2 + h % 5).toInt
+
+  /** Per-frame pixel formula: frame `f` of asset `h` is the planted
+    * [[bmpPixel]] image of `h + 131·(f+1)` at the ASSET's dims — so
+    * every frame has distinct, position-dependent content and the
+    * oracle can address any frame in closed form.
+    */
+  def vidFramePixel(h: Long, f: Int)(x: Int, y: Int, c: Int): Int =
+    bmpPixel(h + 131L * (f + 1))(x, y, c)
+
+  /** Build a REAL video corpus from a documents-like table: one GVF1
+    * container of [[vidFrames]] BMP frames per doc. Narrow batched
+    * mapPartitions, no shuffle.
+    */
+  def vidAssetsFromDocuments(docs: DataFrame, idCol: String = "doc_id")
+      : Dataset[Asset] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val h = Hashing.h60(id.toString)
+        val (w, hgt) = bmpDims(h)
+        val frames = (0 until vidFrames(h)).map(f =>
+          Bmp.encode(w, hgt, vidFramePixel(h, f)))
+        Asset(id, Vid.encode(frames), "video/gvf1")
+      }
+    }
+  }
+
+  /** One REALLY-decoded sampled frame: geometry plus the [[Bmp.decode]]
+    * checksum pair of that frame's pixels.
+    */
+  final case class DecodedFrame(asset_id: Long, frame_idx: Long,
+      width: Long, height: Long, px_sum: Long, px_wsum: Long)
+
+  /** The video frame-sample pass: demux-seek to every `stride`-th
+    * frame and decode ONLY those (the container's length directory is
+    * walked, other frames' pixel bytes are never parsed) — the
+    * mapPartitions/flatMap shape a real demuxer amortizes its open
+    * over; output fan-out is sampled frames, never a shuffle.
+    */
+  def sampleVideoFrames(assets: Dataset[Asset], stride: Int)
+      : Dataset[DecodedFrame] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { rows =>
+      rows.flatMap { a =>
+        val n = Vid.frameCount(a.payload)
+        (0 until n by stride).iterator.map { f =>
+          val s = Bmp.decode(Vid.frame(a.payload, f))
+          DecodedFrame(a.asset_id, f.toLong, s.width, s.height,
+            s.px_sum, s.px_wsum)
+        }
       }
     }
   }

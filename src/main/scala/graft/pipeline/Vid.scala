@@ -1,0 +1,82 @@
+package graft.pipeline
+
+/** A REAL in-JVM video container for the multimodal pipeline — the
+  * third modality next to [[Bmp]] (image) and [[Wav]] (audio): a
+  * minimal length-prefixed frame container ("GVF1") holding one 24-bit
+  * BMP blob per frame. Pure byte math, no external library; the
+  * demuxer validates the magic and frame directory and SEEKS by the
+  * length prefixes, so stride sampling decodes ONLY the sampled frames
+  * — the property a real video pipeline relies on (decoding every
+  * frame to sample every 10th defeats the point).
+  *
+  * Layout:
+  *   - bytes 0-3  'GVF1' magic
+  *   - bytes 4-7  frame count (LE u32, ≥ 1)
+  *   - per frame: LE u32 byte length, then that many bytes of a
+  *     complete BMP payload ([[Bmp]] decodes it).
+  *
+  * Demux failures are LOUD (`IllegalArgumentException` naming the
+  * offending field); frame payloads then fail or pass [[Bmp]]'s own
+  * validation.
+  */
+object Vid {
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >> 8) & 0xff).toByte
+    b(off + 2) = ((v >> 16) & 0xff).toByte
+    b(off + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  /** Encode `frames` (each a complete BMP payload) as one container. */
+  def encode(frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "video needs at least one frame")
+    val total = 8 + frames.map(4 + _.length).sum
+    val b = new Array[Byte](total)
+    b(0) = 'G'; b(1) = 'V'; b(2) = 'F'; b(3) = '1'
+    putLe32(b, 4, frames.length)
+    var off = 8
+    frames.foreach { f =>
+      putLe32(b, off, f.length)
+      System.arraycopy(f, 0, b, off + 4, f.length)
+      off += 4 + f.length
+    }
+    b
+  }
+
+  /** Number of frames (header only — no frame decode). */
+  def frameCount(bytes: Array[Byte]): Int = {
+    require(bytes.length >= 8,
+      s"video too short: ${bytes.length} bytes < 8-byte header")
+    require(bytes(0) == 'G' && bytes(1) == 'V' && bytes(2) == 'F' &&
+      bytes(3) == '1', "not a GVF1 container")
+    val n = le32(bytes, 4)
+    require(n >= 1, s"bad frame count $n")
+    n
+  }
+
+  /** Seek to and return frame `idx`'s payload WITHOUT touching other
+    * frames' bytes beyond their length prefixes (the demux-seek shape).
+    * Loud on a truncated directory or an out-of-range index.
+    */
+  def frame(bytes: Array[Byte], idx: Int): Array[Byte] = {
+    val n = frameCount(bytes)
+    require(idx >= 0 && idx < n, s"frame $idx out of range 0..${n - 1}")
+    var off = 8
+    var i = 0
+    while (i < idx) {
+      require(off + 4 <= bytes.length, s"truncated directory at frame $i")
+      off += 4 + le32(bytes, off)
+      i += 1
+    }
+    require(off + 4 <= bytes.length, s"truncated directory at frame $idx")
+    val len = le32(bytes, off)
+    require(len > 0 && off + 4 + len <= bytes.length,
+      s"truncated frame $idx: need ${off + 4 + len} bytes, have ${bytes.length}")
+    java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + len)
+  }
+}

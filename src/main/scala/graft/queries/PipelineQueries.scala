@@ -349,6 +349,13 @@ object PipelineQueries {
     */
   private val CONTAM_SPAN_L = 4
 
+  /** Video frame-sampling stride for p62 — 2 against planted frame
+    * counts of 2..6, so both the every-other selection and the tail
+    * behavior (odd counts sample the last frame, even counts don't)
+    * are what the hash compare certifies.
+    */
+  private val VID_STRIDE = 2
+
   /** Frame length for the p61 audio frame-feature gate — small enough
     * that every planted clip (8..40 samples) yields multiple frames
     * including a short tail frame, so the windowing edge cases are what
@@ -2351,6 +2358,46 @@ object PipelineQueries {
       Multimodal.wavFrameFeatures(
         Multimodal.wavAssetsFromDocuments(t(s, dir, "documents")),
         WAV_FRAME_LEN).toDF()
+    },
+
+    // ---- video frame sampling (round 14 — the third modality): one
+    // GVF1 container of 2..6 planted BMP frames per doc; every
+    // stride-2 frame is demux-SEEKED to (other frames' pixels never
+    // parsed) and really decoded — geometry + the position-weighted
+    // checksum of exactly the sampled frames' pixels. The oracle
+    // replays the per-frame formula in closed form, so container
+    // directory walking, frame addressing, and the BMP decode of each
+    // sampled frame are all certified by the hash.
+    QueryDef(
+      "p62_video_frame_sample",
+      s"""WITH d AS (
+         |  SELECT doc_id, ${Hashing.sqlH60("CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents
+         |), dims AS (
+         |  SELECT doc_id, h, 2 + h % 8 AS w, 2 + (h // 8) % 8 AS hh,
+         |    2 + h % 5 AS nf
+         |  FROM d
+         |), fr AS (
+         |  SELECT doc_id, h, w, hh, f.f AS f
+         |  FROM dims, UNNEST(range(0, nf)) AS f(f)
+         |  WHERE f.f % $VID_STRIDE = 0
+         |), px AS (
+         |  SELECT doc_id, f, w, hh,
+         |    ((h + 131 * (f + 1) + 7 * x.x + 13 * y.y + 31 * c.c) % 256) AS v,
+         |    ((y.y * w + x.x) * 3 + c.c + 1) AS wt
+         |  FROM fr,
+         |    UNNEST(range(0, w)) AS x(x),
+         |    UNNEST(range(0, hh)) AS y(y),
+         |    UNNEST(range(0, 3)) AS c(c)
+         |)
+         |SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_idx,
+         |  CAST(MIN(w) AS BIGINT) AS width, CAST(MIN(hh) AS BIGINT) AS height,
+         |  CAST(SUM(v) AS BIGINT) AS px_sum,
+         |  CAST(SUM(wt * v) AS BIGINT) AS px_wsum
+         |FROM px GROUP BY doc_id, f""".stripMargin) { (s, dir) =>
+      Multimodal.sampleVideoFrames(
+        Multimodal.vidAssetsFromDocuments(t(s, dir, "documents")),
+        VID_STRIDE).toDF()
     }
   )
 
