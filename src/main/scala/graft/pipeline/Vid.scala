@@ -66,17 +66,24 @@ object Vid {
   def frame(bytes: Array[Byte], idx: Int): Array[Byte] = {
     val n = frameCount(bytes)
     require(idx >= 0 && idx < n, s"frame $idx out of range 0..${n - 1}")
-    var off = 8
+    // Directory walk in LONG with every length validated: a corrupt
+    // length prefix (negative, or large enough to wrap an Int bound
+    // check) must fail the documented loud require, not cycle the walk
+    // or escape into copyOfRange (the same header-arithmetic hardening
+    // as Bmp's stride check, ADVICE round 12).
+    var off = 8L
     var i = 0
-    while (i < idx) {
+    while (i <= idx) {
       require(off + 4 <= bytes.length, s"truncated directory at frame $i")
-      off += 4 + le32(bytes, off)
+      val len = le32(bytes, off.toInt)
+      require(len > 0 && off + 4 + len <= bytes.length,
+        s"bad frame $i: length $len at offset $off in ${bytes.length} bytes")
+      if (i == idx)
+        return java.util.Arrays.copyOfRange(
+          bytes, off.toInt + 4, off.toInt + 4 + len)
+      off += 4L + len
       i += 1
     }
-    require(off + 4 <= bytes.length, s"truncated directory at frame $idx")
-    val len = le32(bytes, off)
-    require(len > 0 && off + 4 + len <= bytes.length,
-      s"truncated frame $idx: need ${off + 4 + len} bytes, have ${bytes.length}")
-    java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + len)
+    throw new IllegalStateException("unreachable")
   }
 }

@@ -60,5 +60,12 @@ class VidSpec extends AnyFunSuite {
     // a corrupted frame payload fails in the BMP decoder, not silently
     val corrupt = v.clone(); corrupt(8 + 4) = 'X' // first frame's magic
     intercept[IllegalArgumentException](Bmp.decode(Vid.frame(corrupt, 0)))
+    // a corrupt LENGTH prefix (negative / huge) fails the walk loudly —
+    // never wraps the bound check or cycles the directory
+    val negLen = v.clone(); negLen(8 + 3) = 0x80.toByte // frame-0 len < 0
+    intercept[IllegalArgumentException](Vid.frame(negLen, 1))
+    val hugeLen = v.clone()
+    hugeLen(8 + 2) = 0xff.toByte; hugeLen(8 + 3) = 0x7f.toByte // ~2^31
+    intercept[IllegalArgumentException](Vid.frame(hugeLen, 1))
   }
 }
