@@ -366,6 +366,18 @@ object Bench {
     val overCommitted = overCommittedNames(times.toMap, committedMins)
     val contended = confirmed.nonEmpty || unstable.nonEmpty ||
       overCommitted.nonEmpty
+    // Name the over-commit reference in the artifact (round-14 ADVICE):
+    // on checkouts without git or a matching clean committed
+    // bench_last, committedMins is empty and the over-commit check is
+    // silently disabled — a reader diffing rounds must see that.
+    // "committed" = active; "scan" = rerun gating only (BENCH_r* scan),
+    // over-commit OFF; "none"/"disabled" = no baseline at all.
+    val baselineSource =
+      if (sys.env.get("SPARK_GRAFT_BENCH_BASELINE").contains("none"))
+        "disabled"
+      else if (committedMins.nonEmpty) "committed"
+      else if (prevMin.nonEmpty) "scan"
+      else "none"
     def jnum(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     def jmap(m: scala.collection.Map[String, Double]): String =
@@ -379,7 +391,7 @@ object Bench {
     val st = stabilized.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     val total = times.values.sum
-    val jsonLine = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${jmap(times)},"min_queries":${jmap(mins)},"contended":$contended,"contention":{"confirmed":${jarr(confirmed)},"unstable":${jarr(unstable)},"over_committed":${jarr(overCommitted)}},"reruns":$rr,"stability_reruns":$st,"errors":$es,"sf":"$sfDir"}"""
+    val jsonLine = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${jmap(times)},"min_queries":${jmap(mins)},"contended":$contended,"contention":{"confirmed":${jarr(confirmed)},"unstable":${jarr(unstable)},"over_committed":${jarr(overCommitted)},"baseline_source":"$baselineSource"},"reruns":$rr,"stability_reruns":$st,"errors":$es,"sf":"$sfDir"}"""
     emit(jsonLine)
     spark.stop()
     // Regression loudness (VERDICT round 4 #3): an erroring query must

@@ -39,15 +39,41 @@ object Hashing {
     * [[graft.functions.HashedShingles]] when shingling; a custom function
     * keeps the higher-order fallback composite.
     */
-  sealed trait HashMode { def apply(c: Column): Column }
+  sealed trait HashMode {
+    def apply(c: Column): Column
+    /** Stable name persisted in index metadata ([[Dedup.IndexParams]]);
+      * a gate run with a different-named mode than the index was built
+      * with can never collide on band signatures, so the mismatch must
+      * fail loudly instead of silently missing every near-duplicate.
+      */
+    def name: String
+  }
   object HashMode {
     /** md5-derived [[h60]] — DuckDB-replayable; the correctness default. */
-    case object Oracle extends HashMode { def apply(c: Column): Column = h60(c) }
+    case object Oracle extends HashMode {
+      def apply(c: Column): Column = h60(c)
+      def name: String = "oracle"
+    }
     /** xxHash64 [[fast60]] — the production engine mode. */
-    case object Fast extends HashMode { def apply(c: Column): Column = fast60(c) }
-    /** Any per-shingle column function (no native fast path). */
+    case object Fast extends HashMode {
+      def apply(c: Column): Column = fast60(c)
+      def name: String = "fast"
+    }
+    /** Any per-shingle column function (no native fast path). Persisted
+      * metadata can only record "custom" — two Customs compare equal by
+      * name, which is the honest limit of function identity.
+      */
     final case class Custom(f: Column => Column) extends HashMode {
       def apply(c: Column): Column = f(c)
+      def name: String = "custom"
+    }
+    /** Inverse of [[HashMode.name]] for the two standard modes. */
+    def forName(name: String): HashMode = name match {
+      case "oracle" => Oracle
+      case "fast" => Fast
+      case other => throw new IllegalArgumentException(
+        s"cannot reconstruct HashMode '$other' from persisted metadata " +
+          "(custom modes must be supplied by the caller)")
     }
   }
 

@@ -279,12 +279,17 @@ object Multimodal {
     import spark.implicits._
     assets.mapPartitions { rows =>
       rows.flatMap { a =>
-        val n = Vid.frameCount(a.payload)
-        (0 until n by stride).iterator.map { f =>
-          val s = Bmp.decode(Vid.frame(a.payload, f))
-          DecodedFrame(a.asset_id, f.toLong, s.width, s.height,
-            s.px_sum, s.px_wsum)
-        }
+        // ONE directory walk per asset (round-14 ADVICE: per-frame
+        // Vid.frame calls re-walked from offset 8, O(frames²/stride));
+        // only the sampled frames' payload bytes are ever sliced or
+        // pixel-parsed.
+        Vid.frameDirectory(a.payload)
+          .filter(_.idx % stride == 0)
+          .map { ref =>
+            val s = Bmp.decode(Vid.payload(a.payload, ref))
+            DecodedFrame(a.asset_id, ref.idx.toLong, s.width, s.height,
+              s.px_sum, s.px_wsum)
+          }
       }
     }
   }

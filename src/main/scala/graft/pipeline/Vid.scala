@@ -59,31 +59,58 @@ object Vid {
     n
   }
 
+  /** One directory entry: frame index plus the payload's byte extent.
+    * Holding extents instead of payload copies lets a sampler walk the
+    * whole directory and slice ONLY the sampled frames.
+    */
+  final case class FrameRef(idx: Int, off: Int, len: Int)
+
+  /** Single-pass lazy directory walk — one `FrameRef` per frame, each
+    * length prefix validated exactly once as the walk reaches it.
+    * Sampling every k-th of n frames through this costs one O(n) walk
+    * total, not the O(n²/k) of calling [[frame]] per sampled index
+    * (round-14 ADVICE: per-frame re-walks from offset 8 undercut the
+    * demux-seek claim at realistic frame counts).
+    *
+    * Offset arithmetic in LONG with every length validated: a corrupt
+    * length prefix (negative, or large enough to wrap an Int bound
+    * check) must fail the documented loud require, not cycle the walk
+    * or escape into copyOfRange (the same header-arithmetic hardening
+    * as Bmp's stride check, ADVICE round 12).
+    */
+  def frameDirectory(bytes: Array[Byte]): Iterator[FrameRef] = {
+    val n = frameCount(bytes)
+    new Iterator[FrameRef] {
+      private var off = 8L
+      private var i = 0
+      def hasNext: Boolean = i < n
+      def next(): FrameRef = {
+        require(hasNext, s"frame $i out of range 0..${n - 1}")
+        require(off + 4 <= bytes.length, s"truncated directory at frame $i")
+        val len = le32(bytes, off.toInt)
+        require(len > 0 && off + 4 + len <= bytes.length,
+          s"bad frame $i: length $len at offset $off in ${bytes.length} bytes")
+        val ref = FrameRef(i, off.toInt + 4, len)
+        off += 4L + len
+        i += 1
+        ref
+      }
+    }
+  }
+
+  /** Copy out one frame's payload given its directory extent. */
+  def payload(bytes: Array[Byte], ref: FrameRef): Array[Byte] =
+    java.util.Arrays.copyOfRange(bytes, ref.off, ref.off + ref.len)
+
   /** Seek to and return frame `idx`'s payload WITHOUT touching other
     * frames' bytes beyond their length prefixes (the demux-seek shape).
-    * Loud on a truncated directory or an out-of-range index.
+    * Loud on a truncated directory or an out-of-range index. One walk
+    * per call — batch samplers should walk [[frameDirectory]] once.
     */
   def frame(bytes: Array[Byte], idx: Int): Array[Byte] = {
     val n = frameCount(bytes)
     require(idx >= 0 && idx < n, s"frame $idx out of range 0..${n - 1}")
-    // Directory walk in LONG with every length validated: a corrupt
-    // length prefix (negative, or large enough to wrap an Int bound
-    // check) must fail the documented loud require, not cycle the walk
-    // or escape into copyOfRange (the same header-arithmetic hardening
-    // as Bmp's stride check, ADVICE round 12).
-    var off = 8L
-    var i = 0
-    while (i <= idx) {
-      require(off + 4 <= bytes.length, s"truncated directory at frame $i")
-      val len = le32(bytes, off.toInt)
-      require(len > 0 && off + 4 + len <= bytes.length,
-        s"bad frame $i: length $len at offset $off in ${bytes.length} bytes")
-      if (i == idx)
-        return java.util.Arrays.copyOfRange(
-          bytes, off.toInt + 4, off.toInt + 4 + len)
-      off += 4L + len
-      i += 1
-    }
-    throw new IllegalStateException("unreachable")
+    val ref = frameDirectory(bytes).drop(idx).next()
+    payload(bytes, ref)
   }
 }

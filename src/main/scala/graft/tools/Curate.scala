@@ -26,7 +26,9 @@ import graft.pipeline.{Curation, Dedup, TextAnalysis}
   * `gateIndex=<dir>` gates the (internally deduped) batch against a
   * persisted standing [[Dedup.CorpusIndex]] (`Dedup.writeIndex`) with
   * the broadcast-delta plan — exact-key and verified-near duplicates of
-  * the standing corpus are dropped; the corpus side never shuffles.
+  * the standing corpus are dropped; the corpus side never shuffles. The
+  * gate's LSH parameters (shingle n, bands, rows, hash mode) are read
+  * from the index's own `params.json`, never from CLI flags.
   *
   * `docs.parquet` needs `(doc_id: long, text: string, source: string)`.
   * `benchmark.parquet|-` is an eval set to decontaminate against (`-`
@@ -193,8 +195,10 @@ object Curate {
             Seq("doc_id"))
           .select("doc_id", "text", "source")
       }
+      // coalesce: sum over an empty relation is NULL (an empty input
+      // corpus must record 0 cut words, not NPE — round-14 ADVICE).
       stats(s"${name}_words_cut") =
-        cut.agg(sum("cut_words")).head().getLong(0).toDouble
+        cut.agg(coalesce(sum("cut_words"), lit(0L))).head().getLong(0).toDouble
       s
     }
 
@@ -208,10 +212,18 @@ object Curate {
     val gated = gateIndex match {
       case None => near
       case Some(path) => stage("corpus_gate") {
+        // The gate's LSH parameters come FROM the index's params.json —
+        // hardcoding them here silently missed every near-duplicate
+        // whenever the index was built differently (round-14 ADVICE).
+        val idx = Dedup.readIndex(spark, path)
+        val p = idx.params.getOrElse(throw new IllegalArgumentException(
+          s"standing index at $path has no params.json — rebuild it with " +
+            "Dedup.writeIndex (legacy layouts cannot be validated)"))
         val verdicts = Dedup.incrementalDedupAgainst(
-          Dedup.readIndex(spark, path),
-          near.select("doc_id", "text"), shingleN,
-          numBands = 24, rowsPerBand = 2, threshold = jaccardT,
+          idx, near.select("doc_id", "text"), p.n,
+          numBands = p.numBands, rowsPerBand = p.rowsPerBand,
+          threshold = jaccardT,
+          mode = graft.pipeline.Hashing.HashMode.forName(p.mode),
           broadcastDelta = true)
         near.join(verdicts.filter(col("keep")).select("doc_id"),
           Seq("doc_id"), "left_semi")

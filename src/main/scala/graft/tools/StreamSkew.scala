@@ -26,7 +26,8 @@ import graft.streaming.StreamingOps
   *
   * `skewDir` is a [[SkewCorpus]] output dir. Prints one JSON line with
   * wall seconds, candidate-pair counts, verified content-pair counts,
-  * and the peak state row count per route. Streaming queries drain with
+  * and the end-of-drain cumulative state row count per route
+  * (`numRowsTotal` at the final progress). Streaming queries drain with
   * `Trigger.AvailableNow` over `files` staged parquet files
   * (maxFilesPerTrigger=1 — cross-micro-batch state really exercised).
   */
@@ -70,9 +71,14 @@ object StreamSkew {
         .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       val wall = (System.nanoTime() - t0) / 1e9
-      val stateMem = Option(q.lastProgress)
-        .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(-1L)
-      (wall, spark.read.parquet(out).dropDuplicates().count(), stateMem)
+      // numRowsTotal at the final progress: keyed state is cumulative
+      // across micro-batches under AvailableNow, so the last progress's
+      // total IS the end-of-drain state row count (round-14 ADVICE: the
+      // old field summed memoryUsedBytes of only the final micro-batch —
+      // neither a row count nor a peak).
+      val stateRows = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      (wall, spark.read.parquet(out).dropDuplicates().count(), stateRows)
     }
 
     val (tU, pairsU, stateU) = route("skew_uncapped", Int.MaxValue)
@@ -117,7 +123,7 @@ object StreamSkew {
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     println(s"""{"uncapped_sec":${j(tU)},"capped_sec":${j(tC)},""" +
       s""""pairs":$pairsU,"pairs_capped":$pairsC,""" +
-      s""""state_mem_bytes":$stateU,"state_mem_bytes_capped":$stateC,""" +
+      s""""state_rows_total":$stateU,"state_rows_total_capped":$stateC,""" +
       s""""content_verified":$cvU,"content_verified_capped":$cvC,""" +
       s""""verify_sec":${j(tvU)},"verify_sec_capped":${j(tvC)},""" +
       s""""max_bucket":$maxBucket,"dir":"$dir"}""")

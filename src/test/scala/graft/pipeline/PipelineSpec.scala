@@ -252,6 +252,68 @@ class PipelineSpec extends SparkSpec {
     assert(viaMem == oneShot)
   }
 
+  test("incremental dedup: index params persist, mismatches fail loudly, " +
+      "compaction gates identically") {
+    val corpus = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated corpus material about spark partitions"))
+    val batch = docs(
+      (20L, "the quick brown fox jumps over the lazy dog again and again"),
+      (21L, "a genuinely novel document the corpus has never seen before"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxp").toString
+    Dedup.writeIndex(Dedup.corpusIndex(corpus, 3, 24, 2), dir)
+    // params.json round-trips
+    assert(Dedup.readIndexParams(spark, dir)
+      .contains(Dedup.IndexParams(3, 24, 2, "oracle")))
+    val idx = Dedup.readIndex(spark, dir)
+    assert(idx.params.contains(Dedup.IndexParams(3, 24, 2, "oracle")))
+    // gating with ANY mismatched parameter fails loudly (silently
+    // missing every near-dup is the hazard — round-14 ADVICE)
+    for ((n, b, r, m) <- Seq(
+        (4, 24, 2, Hashing.HashMode.Oracle),
+        (3, 12, 4, Hashing.HashMode.Oracle),
+        (3, 24, 2, Hashing.HashMode.Fast))) {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.incrementalDedupAgainst(idx, batch, n, b, r, 0.5, mode = m)
+      }
+      assert(e.getMessage.contains("standing index was built with"))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.appendToIndex(dir, batch, 3, 24, 2, Hashing.HashMode.Fast)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.appendedIndex(idx, batch, 4, 24, 2)
+    }
+    // a params-less index refuses writeIndex (metadata must travel)
+    intercept[IllegalArgumentException] {
+      Dedup.writeIndex(Dedup.CorpusIndex(idx.keys, idx.buckets, idx.shingles),
+        dir + "_bare")
+    }
+    // append twice (duplicate keys + unsorted delta files accumulate),
+    // then compact: verdicts identical before/after, params preserved,
+    // and the duplicate key rows are actually gone.
+    Dedup.appendToIndex(dir, batch, 3, 24, 2)
+    Dedup.appendToIndex(dir, batch, 3, 24, 2)
+    val keysBefore = spark.read.parquet(s"$dir/keys").count()
+    val b2 = docs(
+      (30L, "a genuinely novel document the corpus has never seen before"),
+      (31L, "something else entirely fresh for the compaction check"))
+    val before = Dedup.incrementalDedupAgainst(Dedup.readIndex(spark, dir),
+      b2, 3, 24, 2, 0.5, broadcastDelta = true)
+      .collect().map(_.toSeq).toSet
+    Dedup.compactIndex(spark, dir)
+    assert(Dedup.readIndexParams(spark, dir)
+      .contains(Dedup.IndexParams(3, 24, 2, "oracle")))
+    val keysAfter = spark.read.parquet(s"$dir/keys").count()
+    assert(keysAfter < keysBefore,
+      s"compaction left duplicate keys: $keysAfter vs $keysBefore")
+    val after = Dedup.incrementalDedupAgainst(Dedup.readIndex(spark, dir),
+      b2, 3, 24, 2, 0.5, broadcastDelta = true)
+      .collect().map(_.toSeq).toSet
+    assert(after == before)
+    assert(after.map(_.head).toSet == Set(30L, 31L))
+  }
+
   test("exact dedup: canonical id and group size") {
     val d = docs((5L, "same text"), (3L, "same text"), (9L, "Other"))
     val r = Dedup.exact(d).collect()
