@@ -1,0 +1,273 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.plans.Lineage
+
+/** Distributed byte-pair-encoding tokenizer training and token-grain
+  * accounting — the subword grain every real pretraining pipeline
+  * budgets in (context windows, mixture weights, and yield reports are
+  * token-denominated, not whitespace-word-denominated).
+  *
+  * The algorithm is classic word-level BPE (Sennrich et al. 2016,
+  * public knowledge): count distinct lowered whitespace words, start
+  * each word as its character symbols plus an end-of-word marker, then
+  * repeatedly (a) count adjacent symbol pairs weighted by word
+  * frequency, (b) merge the most frequent pair everywhere (leftmost-
+  * first, non-overlapping), recording the merge table in rank order.
+  * Encoding any word = replaying the merge table in rank order.
+  *
+  * == Relational formulation ==
+  *
+  * The training state is ONE string column per distinct word: every
+  * symbol wrapped in a `` separator (`␟l␟␟o␟␟w␟␟</w>␟`). That
+  * representation makes both halves of a BPE round pure relational
+  * algebra:
+  *
+  *  - pair counting: split on `␟␟`, zip the array with its own tail,
+  *    explode, one map-side-combinable `groupBy(a, b).sum(freq)` —
+  *    vocabulary-sized, never corpus-sized;
+  *  - the merge: `replace(state, '␟A␟␟B␟', '␟AB␟')` — SQL `replace`
+  *    scans left-to-right non-overlapping, which is EXACTLY BPE's
+  *    greedy merge order (`aaaa` + merge(a,a) → `aa aa`, and the
+  *    consumed trailing separator prevents the overlapping `aa a a`
+  *    misparse). Symbols never contain the separator, so the pattern
+  *    can only match at true symbol boundaries.
+  *
+  * Scale: training touches the corpus text ONCE (the word-frequency
+  * aggregate); every round after that runs on the distinct-word state
+  * relation — vocabulary-sized, shuffle rows bounded by distinct
+  * symbol pairs — with a 1-row argmax collect per round (the same
+  * driver-loop shape as the engine's LPA/k-core rounds). Encoding is a
+  * per-distinct-word expression chain (R literal `replace`s), never a
+  * per-occurrence join.
+  *
+  * Everything is DuckDB-replayable: the oracle unrolls R rounds as a
+  * materialized CTE chain (`p63_bpe_vocab`) and re-derives token
+  * counts from the round-R state (`p65_bpe_pack`, `p66_bpe_chunks`).
+  */
+object Bpe {
+
+  /** Symbol separator. Every symbol in a state string is wrapped
+    * `␟sym␟` (so adjacent symbols read `…␟␟…`), which anchors merge
+    * patterns to whole-symbol boundaries. U+001F never appears in
+    * text tokens (it is a control character; the corpus convention
+    * lowercase-whitespace tokenization would strip it anyway).
+    */
+  val Sep = "\u001F"
+  private val SepSep: String = Sep + Sep
+
+  /** End-of-word marker symbol (a single SYMBOL, not four characters),
+    * so merges distinguish word-final from word-internal contexts —
+    * the standard Sennrich formulation.
+    */
+  val Eow = "</w>"
+
+  /** One trained merge: at `rank`, adjacent symbols (`lhs`, `rhs`)
+    * fused into `lhs+rhs`; `count` is the weighted pair count that won
+    * the round (ties broken by (count desc, lhs asc, rhs asc) — fully
+    * deterministic, cross-engine).
+    */
+  final case class Merge(rank: Int, lhs: String, rhs: String, count: Long) {
+    def merged: String = lhs + rhs
+    private[pipeline] def pattern: String = s"$Sep$lhs$SepSep$rhs$Sep"
+    private[pipeline] def replacement: String = s"$Sep$lhs$rhs$Sep"
+  }
+
+  /** Distinct lowered whitespace words with corpus frequencies — the
+    * one corpus-sized pass of training.
+    */
+  def wordFreqs(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(lower(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Initial symbol state of a word: each character wrapped `␟c␟`,
+    * then the `␟</w>␟` marker.
+    */
+  def initState(word: Column): Column =
+    concat(
+      concat_ws("", transform(sequence(lit(1), length(word)),
+        i => concat(lit(Sep), word.substr(i, lit(1)), lit(Sep)))),
+      lit(Sep + Eow + Sep))
+
+  /** Replay a merge table in rank order over a state column — R
+    * literal `replace`s, a single codegen'd expression chain.
+    */
+  def applyMerges(state: Column, merges: Seq[Merge]): Column =
+    merges.sortBy(_.rank).foldLeft(state)((s, m) =>
+      replace(s, lit(m.pattern), lit(m.replacement)))
+
+  /** Final segmentation state of a word under a trained merge table. */
+  def segmentState(word: Column, merges: Seq[Merge]): Column =
+    applyMerges(initState(word), merges)
+
+  /** Symbol (= token) count of a wrapped state: every symbol
+    * contributes exactly two separators.
+    */
+  def stateTokenCount(state: Column): Column =
+    ((length(state) - length(replace(state, lit(Sep), lit("")))) / 2)
+      .cast("long")
+
+  /** Subword token count of one word under a merge table. */
+  def wordTokenCount(word: Column, merges: Seq[Merge]): Column =
+    stateTokenCount(segmentState(word, merges))
+
+  /** The symbol array of a wrapped state (unwrap + split on `␟␟`). */
+  def stateSymbols(state: Column): Column =
+    split(trim(state, Sep), SepSep)
+
+  /** Adjacent-pair counts of a `(freq, state)` state relation —
+    * vocabulary-sized input, `(a, b, cnt)` output, map-side combined.
+    */
+  private def pairCounts(state: DataFrame): DataFrame = {
+    val withSyms = state
+      .select(col("freq"), stateSymbols(col("state")).as("syms"))
+      .filter(size(col("syms")) >= 2)
+    val n1 = size(col("syms")) - 1
+    withSyms
+      .select(col("freq"),
+        explode(zip_with(
+          slice(col("syms"), lit(1), n1),
+          slice(col("syms"), lit(2), n1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("freq").as("cnt"))
+  }
+
+  /** Train `numMerges` BPE merges over a documents table. One corpus
+    * pass (word frequencies), then `numMerges` vocabulary-sized rounds,
+    * each: pair-count aggregate → deterministic 1-row argmax collect
+    * ((cnt desc, a, b) — the only driver data is one (pair, count) row
+    * per round) → literal replace over the state column, lineage-cut so
+    * round r+1 never recomputes rounds 1..r. Stops early (returning
+    * fewer merges) only when every word is a single symbol.
+    */
+  def train(docs: DataFrame, numMerges: Int, textCol: String = "text")
+      : Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    var state = Lineage.cut(
+      wordFreqs(docs, textCol)
+        .select(col("freq"), initState(col("word")).as("state")))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      val top = pairCounts(state)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val m = Merge(r, top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        out += m
+        state = Lineage.cut(state.withColumn("state",
+          replace(col("state"), lit(m.pattern), lit(m.replacement))))
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** The trained merge table as a DataFrame — `p63_bpe_vocab`'s output
+    * shape and the persisted vocabulary layout.
+    */
+  def mergesDF(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF()
+      .select(col("rank").cast("long").as("rank"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"),
+        col("count").as("pair_count"))
+  }
+
+  /** Persist a trained vocabulary (merge table) as parquet. */
+  def saveVocab(spark: SparkSession, merges: Seq[Merge], path: String): Unit =
+    mergesDF(spark, merges).repartition(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a persisted vocabulary. The collect is bounded by the merge
+    * count the vocabulary was trained with (a tokenizer-sized constant,
+    * thousands at most — same driver-side-bound contract as
+    * [[Pq.MaxDriverQueries]]); a corpus-sized relation at this path is
+    * a caller bug and fails loudly.
+    */
+  val MaxMerges = 65536
+
+  def loadVocab(spark: SparkSession, path: String): Seq[Merge] = {
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    require(n <= MaxMerges,
+      s"vocabulary at $path has $n merges (> $MaxMerges) — not a merge table")
+    df.orderBy("rank")
+      .select(col("rank").cast("int"), col("lhs"), col("rhs"),
+        col("pair_count"))
+      .collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .toSeq
+  }
+
+  /** Per-distinct-word subword token counts: `(word, n_tok)`. The
+    * merge replay runs once per DISTINCT word, never per occurrence.
+    */
+  def wordTokenCounts(docs: DataFrame, merges: Seq[Merge],
+      textCol: String = "text"): DataFrame =
+    wordFreqs(docs, textCol)
+      .select(col("word"), wordTokenCount(col("word"), merges).as("n_tok"))
+
+  /** Per-document subword token counts: `(doc_id, n_tokens)`. Shape:
+    * per-(doc, word) occurrence counts (map-side combinable), merge
+    * replay on those vocabulary-bounded rows, one per-doc sum — no
+    * corpus-sized join, no window.
+    */
+  def docTokenCounts(docs: DataFrame, merges: Seq[Merge],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n_occ"))
+      .select(col("doc_id"),
+        (col("n_occ") * wordTokenCount(col("word"), merges)).as("toks"))
+      .groupBy("doc_id").agg(sum("toks").as("n_tokens"))
+
+  /** Whole-relation subword token total — the token-denominated yield
+    * number a curation stage reports. One scalar collect.
+    */
+  def tokenSum(docs: DataFrame, merges: Seq[Merge],
+      textCol: String = "text"): Long =
+    Option(
+      wordFreqs(docs, textCol)
+        .select((col("freq") * wordTokenCount(col("word"), merges)).as("t"))
+        .agg(coalesce(sum("t"), lit(0L))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+
+  /** Token-budget chunking: each word goes to the chunk its START
+    * token offset falls in (`floor(exclusive-token-cumsum / budget)` —
+    * the same straddle convention as [[Curation.packSequences]] bins).
+    * Output: `(doc_id, chunk_id, n_words, n_tokens, chunk_text)`.
+    *
+    * Scale: the window partitions by `doc_id` — bounded by the longest
+    * document, never the corpus (the p51 argument); everything else is
+    * narrow maps plus one per-(doc, chunk) aggregate.
+    */
+  def chunkByTokenBudget(docs: DataFrame, merges: Seq[Merge], budget: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val pos = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(lower(col(textCol)), " "))).toDF("doc_id", "pos", "word")
+      .filter(col("word") =!= "")
+      .withColumn("n_tok", wordTokenCount(col("word"), merges))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pos
+      .withColumn("start_tok", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("chunk_id", expr(s"start_tok div $budget"))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+            s => s.getField("word")), " ").as("chunk_text"))
+  }
+}

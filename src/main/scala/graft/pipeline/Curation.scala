@@ -74,11 +74,22 @@ object Curation {
   def packSequences(docs: DataFrame, budget: Long,
       shardCol: String = "source", tokenCount: Column => Column =
         c => TextAnalysis.tokenCount(c),
+      numSubShards: Int = 64): DataFrame =
+    packSequencesFrom(
+      docs.select(col(shardCol).as("shard"), col("doc_id"),
+        tokenCount(col("text")).as("n_tokens")),
+      budget, numSubShards)
+
+  /** [[packSequences]] over a PRECOMPUTED `(shard, doc_id, n_tokens)`
+    * relation — the entry point for token grains that aren't a per-row
+    * column expression (e.g. [[Bpe.docTokenCounts]], where the subword
+    * count comes from a distinct-word merge replay rather than the text
+    * column itself). Same two-phase distributed prefix sum, same output.
+    */
+  def packSequencesFrom(base: DataFrame, budget: Long,
       numSubShards: Int = 64): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     require(numSubShards >= 1, s"numSubShards must be >= 1, got $numSubShards")
-    val base = docs.select(col(shardCol).as("shard"), col("doc_id"),
-      tokenCount(col("text")).as("n_tokens"))
     // Order-preserving sub-shard index: proportional position of doc_id
     // inside the shard's [lo, hi] id span. Double arithmetic (no ANSI
     // overflow for extreme id ranges) is fine here — the map only has to

@@ -206,6 +206,12 @@ object PipelineQueries {
   private[queries] val WS_K = 15
   private val CHUNK_LEN = 32
   private val CHUNK_STRIDE = 16
+  // BPE tokenizer family (p63/p65/p66): R merge rounds; token-grain
+  // packing/chunking budgets are TOKEN-denominated (a word is >=1
+  // subword tokens, so budgets sit above their word-grain cousins).
+  private val BPE_MERGES = 16
+  private val BPE_PACK_BUDGET = 1024L
+  private val BPE_CHUNK_BUDGET = 64L
   private val ED_MAX = 2
   // q is THE candidate-volume lever on low-entropy corpora: candidate
   // pairs scale as Σ_rare-grams df², and this synthetic corpus's word
@@ -2398,6 +2404,101 @@ object PipelineQueries {
       Multimodal.sampleVideoFrames(
         Multimodal.vidAssetsFromDocuments(t(s, dir, "documents")),
         VID_STRIDE).toDF()
+    },
+
+    // ---- BPE tokenizer training (round 15): the full distributed
+    // merge loop — word-frequency pass, then BPE_MERGES rounds of
+    // (pair-count aggregate, deterministic argmax, greedy merge) — with
+    // the ENTIRE merge table replayed by the oracle as an unrolled
+    // materialized CTE chain, so ranks, pairs, AND weighted counts must
+    // match round for round. The engine's training state is
+    // vocabulary-sized after the first pass; so is the oracle's.
+    QueryDef(
+      "p63_bpe_vocab",
+      sqlBpeChain(BPE_MERGES) +
+        (1 to BPE_MERGES).map(k =>
+            s"SELECT CAST($k AS BIGINT) AS rank, a AS lhs, b AS rhs, " +
+              s"a||b AS merged, cnt AS pair_count FROM b$k")
+          .mkString("\nSELECT rank, lhs, rhs, merged, pair_count FROM (\n",
+            "\nUNION ALL\n", "\n)")) { (s, dir) =>
+      Bpe.mergesDF(s, Bpe.train(t(s, dir, "documents"), BPE_MERGES))
+    },
+
+    // ---- token-grain sequence packing: p20's concatenate-then-chunk
+    // packing re-keyed in BPE subword tokens (context windows are
+    // token-denominated in every real pretraining pipeline). The token
+    // counts come from the trained merge table via the distinct-word
+    // replay; the oracle re-trains the same table and re-derives the
+    // same counts from the round-R state, then replays the packing
+    // window — bins, doc counts, and token totals all hash-gated.
+    QueryDef(
+      "p65_bpe_pack",
+      sqlBpeChain(BPE_MERGES) + sqlBpeWordToks(BPE_MERGES) +
+        s""", occ AS (
+           |  SELECT doc_id, word FROM (
+           |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+           |    FROM documents
+           |  ) WHERE word <> ''
+           |), dtc AS (
+           |  SELECT doc_id, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+           |  FROM occ JOIN wt USING (word) GROUP BY doc_id
+           |), td AS (
+           |  SELECT d.source AS shard, d.doc_id, c.n_tokens
+           |  FROM documents d JOIN dtc c USING (doc_id)
+           |), off AS (
+           |  SELECT shard, doc_id, n_tokens,
+           |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+           |      ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS start_offset
+           |  FROM td
+           |)
+           |SELECT shard, CAST(start_offset // $BPE_PACK_BUDGET AS BIGINT) AS bin,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+           |FROM off GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.train(docs, BPE_MERGES)
+      val base = docs.select(col("source").as("shard"), col("doc_id"))
+        .join(Bpe.docTokenCounts(docs, merges), Seq("doc_id"))
+        .select(col("shard"), col("doc_id"), col("n_tokens"))
+      Curation.packSequencesFrom(base, BPE_PACK_BUDGET)
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+    },
+
+    // ---- token-budget chunking: p43's fixed-WORD-window chunking
+    // re-keyed in BPE tokens — each word goes to the chunk its start
+    // token offset falls in (the packSequences straddle convention),
+    // chunk text rebuilt in word order. Window partitions by doc_id
+    // (bounded by the longest doc, never the corpus).
+    QueryDef(
+      "p66_bpe_chunks",
+      sqlBpeChain(BPE_MERGES) + sqlBpeWordToks(BPE_MERGES) +
+        s""", pos AS (
+           |  SELECT doc_id, i - 1 AS pos, words[i] AS word
+           |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+           |        FROM documents),
+           |    UNNEST(range(1, len(words) + 1)) AS u(i)
+           |  WHERE words[i] <> ''
+           |), wtok AS (
+           |  SELECT p.doc_id, p.pos, p.word, wt.n_tok
+           |  FROM pos p JOIN wt USING (word)
+           |), cum AS (
+           |  SELECT doc_id, pos, word, n_tok,
+           |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS start_tok
+           |  FROM wtok
+           |)
+           |SELECT doc_id, CAST(start_tok // $BPE_CHUNK_BUDGET AS BIGINT) AS chunk_id,
+           |  CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           |  string_agg(word, ' ' ORDER BY pos) AS chunk_text
+           |FROM cum GROUP BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Bpe.chunkByTokenBudget(docs, Bpe.train(docs, BPE_MERGES),
+        BPE_CHUNK_BUDGET)
     }
   )
 
@@ -2562,6 +2663,70 @@ object PipelineQueries {
        |  CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS n_est
        |FROM probe p LEFT JOIN cm c ON p.cm_row = c.cm_row AND p.pos = c.pos
        |GROUP BY p.w, p.n_true""".stripMargin
+
+  /** DuckDB `chr(31)` — the [[graft.pipeline.Bpe.Sep]] symbol separator
+    * as a SQL expression (kept out of the SQL text as a raw control
+    * character).
+    */
+  private def sqlUs = "chr(31)"
+
+  /** The unrolled `rounds`-round BPE training replay: CTEs `w`
+    * (word frequencies), `s0` (initial char states), then per round k
+    * `b{k}` (the argmax pair, ties (cnt desc, a, b)) and `s{k}` (states
+    * after replaying merge k). Every CTE is MATERIALIZED: `s{k}`
+    * references `b{k}` in three scalar subqueries, and DuckDB's default
+    * inlining would re-expand the whole chain exponentially (measured: a
+    * 10-round inline chain never finishes; materialized it is
+    * milliseconds). `replace`'s left-to-right non-overlapping scan IS
+    * BPE's greedy merge order — see [[graft.pipeline.Bpe]].
+    */
+  private def sqlBpeChain(rounds: Int): String = {
+    val us = sqlUs
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH w AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS word
+         |    FROM documents
+         |  ) WHERE word <> '' GROUP BY word
+         |), s0 AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    $us || array_to_string(string_split(word, ''), $us||$us) || $us
+         |      || $us||'</w>'||$us AS state
+         |  FROM w
+         |)""".stripMargin)
+    for (k <- 1 to rounds) {
+      val p = k - 1
+      sb.append(
+        s""", b$k AS MATERIALIZED (
+           |  SELECT a, b, cnt FROM (
+           |    SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+           |      SELECT syms[i] AS a, syms[i+1] AS b, freq
+           |      FROM (SELECT freq, string_split(trim(state, $us), $us||$us)
+           |              AS syms FROM s$p),
+           |        UNNEST(range(1, len(syms))) AS u(i)
+           |    ) GROUP BY a, b
+           |  ) ORDER BY cnt DESC, a, b LIMIT 1
+           |), s$k AS MATERIALIZED (
+           |  SELECT word, freq, replace(state,
+           |    $us || (SELECT a FROM b$k) || $us||$us || (SELECT b FROM b$k) || $us,
+           |    $us || (SELECT a FROM b$k) || (SELECT b FROM b$k) || $us) AS state
+           |  FROM s$p
+           |)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** Per-distinct-word subword token counts from the round-`rounds`
+    * BPE state (appended after [[sqlBpeChain]]): each symbol
+    * contributes two separators.
+    */
+  private def sqlBpeWordToks(rounds: Int): String =
+    s""", wt AS MATERIALIZED (
+       |  SELECT word,
+       |    (length(state) - length(replace(state, $sqlUs, ''))) // 2 AS n_tok
+       |  FROM s$rounds
+       |)""".stripMargin
 
   /** DuckDB fragment: HLL estimate (incl. linear-counting switch) over
     * a `(… rho …)` register relation — mirrors
