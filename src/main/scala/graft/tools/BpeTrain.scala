@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.Bpe
+
+/** Train a BPE vocabulary over a documents table and persist the merge
+  * table — the one-time artifact [[Curate]]'s `tokens=bpe:<dir>` mode
+  * (and any token-grain consumer) loads.
+  *
+  * ```
+  * runMain graft.tools.BpeTrain <docs.parquet> <vocabDir> [merges=64]
+  * ```
+  *
+  * Prints one JSON line: corpus size, distinct words, merges trained,
+  * wall seconds, and the corpus token total under the trained table
+  * (the compression the vocabulary buys — word count is the 0-merge
+  * upper bound times average word length).
+  */
+object BpeTrain {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: BpeTrain <docs.parquet> <vocabDir> [merges=64]")
+    val docsPath = args(0)
+    val vocabDir = args(1)
+    val numMerges = args.lift(2).map { a =>
+      require(a.startsWith("merges="), s"expected merges=<n>, got '$a'")
+      a.stripPrefix("merges=").toInt
+    }.getOrElse(64)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.SessionTuning.autoConfs(docsPath, cpus.toInt)
+      .foldLeft(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")) {
+        case (b, (k, v)) => b.config(k, v) }
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(docsPath).select("doc_id", "text")
+    val nDocs = docs.count()
+    val t0 = System.nanoTime()
+    val merges = Bpe.train(docs, numMerges)
+    val trainSec = (System.nanoTime() - t0) / 1e9
+    Bpe.saveVocab(spark, merges, vocabDir)
+    val nWords = Bpe.wordFreqs(docs).count()
+    val nTokens = Bpe.tokenSum(docs, merges)
+    def j(d: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    println(s"""{"docs":"$docsPath","n_docs":$nDocs,""" +
+      s""""n_distinct_words":$nWords,"merges":${merges.size},""" +
+      s""""train_sec":${j(trainSec)},"corpus_tokens":$nTokens,""" +
+      s""""vocab":"$vocabDir"}""")
+    spark.stop()
+  }
+}

@@ -20,8 +20,14 @@ import graft.pipeline.{Curation, Dedup, TextAnalysis}
   *     [decontam=exact|bloom] [pii=on|off] [equalize=on|off] \
   *     [minStopRatio=0.01] [domainCap=<k>] [spanCut=<L>] \
   *     [contamSpans=<L>] [buckets=keep:head,middle] \
-  *     [mixture=equalize|temperature] [gateIndex=<dir>]
+  *     [mixture=equalize|temperature] [gateIndex=<dir>] [tokens=bpe:<dir>]
   * ```
+  *
+  * `tokens=bpe:<dir>` loads a [[graft.pipeline.Bpe]] vocabulary
+  * (trained once with [[BpeTrain]]) and re-keys the run in SUBWORD
+  * TOKENS: every stage's yield gains a `<stage>_tokens` stat (the
+  * denomination training actually budgets in) and `outDir/packed` is
+  * packed to `packBudget` TOKENS instead of whitespace words.
   *
   * `gateIndex=<dir>` gates the (internally deduped) batch against a
   * persisted standing [[Dedup.CorpusIndex]] (`Dedup.writeIndex`) with
@@ -102,7 +108,8 @@ object Curate {
       contamSpans: Option[Int] = None,
       bucketsKeep: Option[Set[String]] = None,
       mixture: Option[String] = None,
-      gateIndex: Option[String] = None): Map[String, Double] = {
+      gateIndex: Option[String] = None,
+      bpeVocab: Option[String] = None): Map[String, Double] = {
     require(decontamMode == "exact" || decontamMode == "bloom",
       s"decontam mode must be 'exact' or 'bloom', got '$decontamMode'")
     require(contamSpans.isEmpty || benchmarkPath.nonEmpty,
@@ -117,6 +124,13 @@ object Curate {
     require(mixture.isEmpty || !equalize || mixture.contains("equalize"),
       "conflicting equalize=on and mixture= flags")
     val stats = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // tokens=bpe:<dir>: every stage's yield is ALSO reported in BPE
+    // subword tokens (`<stage>_tokens`) — the denomination training
+    // actually budgets in; a stage that drops 1% of docs but 30% of
+    // tokens (long-doc-heavy cuts) is invisible in doc counts. The
+    // per-stage cost is one vocabulary-sized merge replay over the
+    // stage's (checkpointed) output — never a second corpus shuffle.
+    val bpeMerges = bpeVocab.map(p => graft.pipeline.Bpe.loadVocab(spark, p))
     def stage(name: String)(f: => DataFrame): DataFrame = {
       val ((df, n), sec) = timed {
         val cut = f.localCheckpoint()
@@ -124,6 +138,10 @@ object Curate {
       }
       stats(s"${name}_docs") = n.toDouble
       stats(s"${name}_sec") = sec
+      bpeMerges.foreach { m =>
+        stats(s"${name}_tokens") =
+          graft.pipeline.Bpe.tokenSum(df, m).toDouble
+      }
       df
     }
 
@@ -328,9 +346,19 @@ object Curate {
       groups.select(col("doc_id"), col("canonical_id").as("group_id"),
           (col("doc_id") === col("canonical_id")).as("is_canonical"))
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/groups")
-      Curation.packSequences(curated.filter(col("split") === "train"),
-        packBudget)
-        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/packed")
+      // With tokens=bpe the pack budget is TOKEN-denominated: context
+      // windows are subword-sized, so word-grain packing over- or
+      // under-fills them wherever token/word ratios drift by source.
+      val train = curated.filter(col("split") === "train")
+      val packed = bpeMerges match {
+        case None => Curation.packSequences(train, packBudget)
+        case Some(m) => Curation.packSequencesFrom(
+          train.select(col("source").as("shard"), col("doc_id"))
+            .join(graft.pipeline.Bpe.docTokenCounts(train, m), Seq("doc_id"))
+            .select(col("shard"), col("doc_id"), col("n_tokens")),
+          packBudget)
+      }
+      packed.write.mode(SaveMode.Overwrite).parquet(s"$outDir/packed")
     }
     stats("write_pack_sec") = writeSec
     stats.toMap
@@ -355,7 +383,7 @@ object Curate {
         a.startsWith("minStopRatio=") || a.startsWith("domainCap=") ||
         a.startsWith("spanCut=") || a.startsWith("contamSpans=") ||
         a.startsWith("buckets=") || a.startsWith("mixture=") ||
-        a.startsWith("gateIndex="))
+        a.startsWith("gateIndex=") || a.startsWith("tokens="))
     val flags = flagArgs.map { a =>
       val Array(k, v) = a.split("=", 2); k -> v
     }.toMap
@@ -388,7 +416,12 @@ object Curate {
         v.stripPrefix("keep:").split(",").map(_.trim).toSet
       },
       mixture = flags.get("mixture"),
-      gateIndex = flags.get("gateIndex"))
+      gateIndex = flags.get("gateIndex"),
+      bpeVocab = flags.get("tokens").map { v =>
+        require(v.startsWith("bpe:") && v.length > 4,
+          s"tokens flag must be bpe:<vocab dir>, got '$v'")
+        v.stripPrefix("bpe:")
+      })
     val fields = stats.map { case (k, v) =>
       val vs = if (k.endsWith("_docs")) v.toLong.toString
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

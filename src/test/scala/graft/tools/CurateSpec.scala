@@ -305,6 +305,54 @@ class CurateSpec extends SparkSpec {
     assert(kept == Set(103L, 104L))
   }
 
+  test("tokens=bpe mode reports token yields and packs in tokens") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val filler = (i: Int) => s"doc $i body is about the data and it has " +
+      s"plenty of plain words in it for the quality gate ${i * 37}"
+    val docs = (1 to 20).map(i => (i.toLong, filler(i), "web")).toDF(
+      "doc_id", "text", "source")
+    val docsP = java.nio.file.Files.createTempDirectory("curate-bpe")
+      .toString + "/docs.parquet"
+    docs.write.parquet(docsP)
+    val vocabDir = java.nio.file.Files.createTempDirectory("curate-bpe-v")
+      .toString + "/vocab"
+    val merges = graft.pipeline.Bpe.train(docs, 12)
+    graft.pipeline.Bpe.saveVocab(spark, merges, vocabDir)
+    val out = java.nio.file.Files.createTempDirectory("curate-bpe-out")
+      .toString
+    val budget = 64L
+    val stats = Curate.run(spark, docsP, out, benchmarkPath = None,
+      packBudget = budget, bpeVocab = Some(vocabDir))
+    // every stage gained a token yield, and tokens only ever shrink
+    val tok = Seq("input_tokens", "quality_tokens", "exact_dedup_tokens",
+      "near_dedup_tokens", "split_tokens").map(stats)
+    assert(tok.head > 0)
+    assert(tok.sliding(2).forall { case Seq(a, b) => b <= a })
+    // the input token yield is EXACTLY the vocabulary's corpus total
+    assert(tok.head == graft.pipeline.Bpe.tokenSum(docs, merges).toDouble)
+    // packed offsets are token-denominated: each doc's n_tokens equals
+    // the BPE doc count (not its word count), and bin boundaries follow
+    // start_offset div budget over those token offsets
+    val train = spark.read.parquet(s"$out/curated")
+      .filter(col("split") === "train")
+    val packed = spark.read.parquet(s"$out/packed")
+    val wantTok = graft.pipeline.Bpe.docTokenCounts(train, merges)
+      .as[(Long, Long)].collect().toMap
+    val rows = packed.select("doc_id", "n_tokens", "start_offset", "bin")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nt, off, bin) =>
+      assert(nt == wantTok(id), s"doc $id: packed $nt vs bpe ${wantTok(id)}")
+      assert(bin == off / budget)
+    }
+    // token counts genuinely differ from word counts (the mode matters)
+    val words = train.select(col("doc_id"),
+        graft.pipeline.TextAnalysis.tokenCount(col("text")).as("w"))
+      .as[(Long, Long)].collect().toMap
+    assert(rows.exists { case (id, nt, _, _) => nt != words(id) })
+  }
+
   test("domainCap stage keeps at most k docs per source, then splits") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
