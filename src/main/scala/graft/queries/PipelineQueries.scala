@@ -2424,6 +2424,69 @@ object PipelineQueries {
       Bpe.mergesDF(s, Bpe.train(t(s, dir, "documents"), BPE_MERGES))
     },
 
+    // ---- corpus-trained char-3-gram Naive Bayes language classifier
+    // (round 15): distant supervision from the stopword heuristic
+    // bootstraps per-label Laplace-smoothed gram log-likelihoods in
+    // integer micro-nats (the p27 fixed-point policy); every doc is
+    // re-classified by full-character argmax. Model is vocab × labels —
+    // broadcast-sized at any corpus scale. Oracle replays training AND
+    // classification; ties (score desc, label asc).
+    QueryDef(
+      "p64_lang_nb",
+      s"""WITH t AS (
+         |  SELECT doc_id, lower(text) AS tx,
+         |    string_split(lower(text), ' ') AS tokens
+         |  FROM documents
+         |), lab AS (
+         |  SELECT doc_id,
+         |    CASE WHEN CAST(len(list_filter(tokens, w ->
+         |        list_contains($STOPLIST, w))) AS DOUBLE)
+         |      / CAST(len(tokens) AS DOUBLE) >= 0.04
+         |    THEN 'en' ELSE 'und' END AS label
+         |  FROM t
+         |), dg AS (
+         |  SELECT doc_id, substr(tx, i, 3) AS gram,
+         |    CAST(count(*) AS BIGINT) AS occ
+         |  FROM t, UNNEST(range(1, length(tx) - 1)) AS u(i)
+         |  GROUP BY 1, 2
+         |), gl AS (
+         |  SELECT g.gram, l.label, CAST(SUM(g.occ) AS BIGINT) AS cnt
+         |  FROM dg g JOIN lab l USING (doc_id) GROUP BY 1, 2
+         |), labs AS (SELECT DISTINCT label FROM lab),
+         |tot AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS tot FROM gl
+         |        GROUP BY label),
+         |voc AS (SELECT CAST(count(DISTINCT gram) AS BIGINT) AS v FROM dg),
+         |dense AS (
+         |  SELECT vg.gram, ls.label,
+         |    CAST(floor(ln(CAST(COALESCE(gl.cnt, 0) + 1 AS DOUBLE)
+         |      / CAST(COALESCE(tt.tot, 0) + voc.v AS DOUBLE)) * 1000000)
+         |      AS BIGINT) AS lp
+         |  FROM (SELECT DISTINCT gram FROM dg) vg
+         |  CROSS JOIN labs ls CROSS JOIN voc
+         |  LEFT JOIN tot tt ON tt.label = ls.label
+         |  LEFT JOIN gl ON gl.gram = vg.gram AND gl.label = ls.label
+         |), ds AS (
+         |  SELECT g.doc_id, d.label, CAST(SUM(g.occ * d.lp) AS BIGINT) AS gsum
+         |  FROM dg g JOIN dense d USING (gram) GROUP BY 1, 2
+         |), nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lab),
+         |pri AS (
+         |  SELECT label,
+         |    CAST(floor(ln(CAST(count(*) AS DOUBLE) / CAST(n AS DOUBLE))
+         |      * 1000000) AS BIGINT) AS lp0
+         |  FROM lab CROSS JOIN nd GROUP BY label, n
+         |)
+         |SELECT doc_id, label, CAST(score_micro AS BIGINT) AS score_micro
+         |FROM (
+         |  SELECT t.doc_id, p.label,
+         |    p.lp0 + COALESCE(ds.gsum, 0) AS score_micro,
+         |    row_number() OVER (PARTITION BY t.doc_id
+         |      ORDER BY p.lp0 + COALESCE(ds.gsum, 0) DESC, p.label) AS rk
+         |  FROM t CROSS JOIN pri p
+         |  LEFT JOIN ds ON ds.doc_id = t.doc_id AND ds.label = p.label
+         |) WHERE rk = 1""".stripMargin) { (s, dir) =>
+      LangNb.classifySelfTrained(t(s, dir, "documents"))
+    },
+
     // ---- token-grain sequence packing: p20's concatenate-then-chunk
     // packing re-keyed in BPE subword tokens (context windows are
     // token-denominated in every real pretraining pipeline). The token

@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LangNbSpec extends SparkSpec {
+
+  // Two synthetic "languages" with disjoint character distributions:
+  // lang A words draw from a..g, lang B words from p..z — what a real
+  // char-n-gram model keys on. Deterministic word generators.
+  private def wordA(i: Int) = "abcdefg".map(c => c).grouped(1)
+    .toSeq.map(_.head).slice(i % 5, i % 5 + 3).mkString
+  private def docA(i: Int) = (0 until 12).map(w => wordA(i + w)).mkString(" ")
+  private def wordB(i: Int) = "pqrstuvwxyz".slice(i % 8, i % 8 + 3)
+  private def docB(i: Int) = (0 until 12).map(w => wordB(i + w)).mkString(" ")
+
+  test("NB recovers planted languages on held-out docs") {
+    import spark.implicits._
+    val trainDocs = ((0 until 20).map(i => (i.toLong, docA(i), "A")) ++
+      (0 until 20).map(i => (100L + i, docB(i), "B")))
+      .toDF("doc_id", "text", "label")
+    val model = LangNb.train(trainDocs, trainDocs.select("doc_id", "label"))
+    // Held-out docs shifted to unseen offsets; every one must classify
+    // to its plant (full separation between the char sets).
+    val heldOut = ((0 until 10).map(i => (200L + i, docA(i + 50))) ++
+      (0 until 10).map(i => (300L + i, docB(i + 50))))
+      .toDF("doc_id", "text")
+    val got = LangNb.classify(heldOut, model).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 20)
+    (0 until 10).foreach { i =>
+      assert(got(200L + i) == "A", s"doc ${200 + i}: ${got(200L + i)}")
+      assert(got(300L + i) == "B", s"doc ${300 + i}: ${got(300L + i)}")
+    }
+  }
+
+  test("classifier handles short and out-of-vocabulary docs via priors") {
+    import spark.implicits._
+    // Imbalanced priors: 3 A-docs, 1 B-doc => prior argmax is A.
+    val trainDocs = ((0 until 3).map(i => (i.toLong, docA(i), "A")) :+
+      ((10L, docB(0), "B"))).toDF("doc_id", "text", "label")
+    val model = LangNb.train(trainDocs, trainDocs.select("doc_id", "label"))
+    // "hm": shorter than the gram width (no grams at all) and "00000"
+    // entirely outside the training vocabulary — both must fall back to
+    // the prior argmax instead of erroring or dropping out.
+    val odd = Seq((500L, "hm"), (501L, "00000")).toDF("doc_id", "text")
+    val got = LangNb.classify(odd, model).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(500L -> "A", 501L -> "A"))
+  }
+
+  test("self-trained run is deterministic and one-row-per-doc") {
+    import spark.implicits._
+    val docs = ((0 until 15).map(i => (i.toLong,
+      s"the data of the run $i is in the table and it has the rows")) ++
+      (100 until 110).map(i => (i.toLong, s"zzz qqq xxx vvv kkk $i")))
+      .toDF("doc_id", "text")
+    val a = LangNb.classifySelfTrained(docs).collect().map(_.toSeq).toSet
+    val b = LangNb.classifySelfTrained(docs).collect().map(_.toSeq).toSet
+    assert(a == b)
+    assert(a.size == 25)
+    // the stopword-heavy docs classify en, the consonant soup und
+    val byId = a.map(s => s.head.asInstanceOf[Long] ->
+      s(1).asInstanceOf[String]).toMap
+    assert(byId(0L) == "en" && byId(100L) == "und")
+  }
+}
