@@ -711,6 +711,67 @@ object SourceMlQueries {
         s.table("s15_cand").dropDuplicates(), PipelineQueries.MH_T)
     },
 
+    // ---- s16: the s15 gate against the PERSISTED standing index — the
+    // production shape where the streaming ingest gate and the batch
+    // delta gate share ONE writeIndex artifact on storage (round-14
+    // VERDICT ask #5: s15 re-planned an in-memory corpus derivation per
+    // micro-batch; here every micro-batch's stream-static joins probe
+    // the readIndex parquet relations, params.json-validated). Verdicts
+    // must equal the batch operator's EXACTLY, so p54's oracle SQL
+    // gates this too, verbatim — which also pins s16 == s15.
+    QueryDef(
+      "s16_streaming_index_gate",
+      PipelineQueries.sqlIncrementalDedup) { (s, dir) =>
+      import graft.streaming.StreamingOps
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val base = scratch(dir, "s16")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val corpus = docs.filter(
+        pmod(col("doc_id"), lit(PipelineQueries.INC_MOD)) =!=
+          PipelineQueries.INC_REM)
+      val batch = docs.filter(
+        pmod(col("doc_id"), lit(PipelineQueries.INC_MOD)) ===
+          PipelineQueries.INC_REM)
+      stageOnce(s"$base/in") {
+        batch.select(col("doc_id"), col("text"))
+          .repartition(2)
+          .write.mode(SaveMode.Overwrite).parquet(s"$base/in")
+      }
+      stageOnce(s"$base/idx") {
+        graft.pipeline.Dedup.writeIndex(
+          graft.pipeline.Dedup.corpusIndex(corpus,
+            PipelineQueries.SHINGLE_N, PipelineQueries.MH_BANDS,
+            PipelineQueries.MH_ROWS),
+          s"$base/idx")
+      }
+      val idx = graft.pipeline.Dedup.readIndex(s, s"$base/idx")
+      val p = idx.params.get
+      p.requireMatches(PipelineQueries.SHINGLE_N, PipelineQueries.MH_BANDS,
+        PipelineQueries.MH_ROWS, graft.pipeline.Hashing.HashMode.Oracle,
+        "s16 streaming gate")
+      def stream = s.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in")
+      val qe = StreamingOps.incrementalExactStream(stream, idx.keys)
+        .writeStream.format("memory").queryName("s16_exact")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val qc = StreamingOps.incrementalCandidatesStream(
+          graft.pipeline.Dedup.minHashBandBuckets(stream,
+            PipelineQueries.SHINGLE_N, PipelineQueries.MH_BANDS,
+            PipelineQueries.MH_ROWS), idx.buckets)
+        .writeStream.format("memory").queryName("s16_cand")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      qe.awaitTermination(); qc.awaitTermination()
+      graft.pipeline.Dedup.incrementalVerdicts(idx.shingles,
+        graft.pipeline.Dedup.docShingles(batch, PipelineQueries.SHINGLE_N),
+        s.table("s16_exact").filter(col("dup_exact")).select("id"),
+        s.table("s16_cand").dropDuplicates(), PipelineQueries.MH_T)
+    },
+
     // ---- M1-M4: StringIndexer (frequencyDesc, ties alphabetic, SPARK
     // docs) → OneHotEncoder(dropLast=false) → VectorAssembler. The active
     // one-hot indices of each part are fully determined by the per-feature

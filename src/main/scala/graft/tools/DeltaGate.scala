@@ -72,12 +72,66 @@ object DeltaGate {
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - g0) / 1e9
     }
+
+    // Optional STREAMING gate of the same delta against the same
+    // persisted index (round-14 VERDICT ask #5): the delta staged as
+    // `streamFiles` parquet files drained with maxFilesPerTrigger=1, so
+    // every micro-batch's stream-static joins probe the readIndex
+    // relations — per-drain wall measured the same min-of-samples way.
+    // Flat-in-corpus for the same reason the batch gate is: the corpus
+    // side is only ever the probe side of delta-built hash joins.
+    val streamFiles = args.lift(4).map { a =>
+      require(a.startsWith("streamFiles="), s"expected streamFiles=<n>, got '$a'")
+      a.stripPrefix("streamFiles=").toInt
+    }.getOrElse(0)
+    val streamSecs = if (streamFiles <= 0) Nil else {
+      val inDir = s"$indexDir/../delta_stream_in"
+      delta.repartition(streamFiles).write.mode("overwrite").parquet(inDir)
+      (1 to samples).map { s =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        Seq(s"$indexDir/../s_exact_$s", s"$indexDir/../s_cand_$s").foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), true))
+        val g0 = System.nanoTime()
+        val idx = Dedup.readIndex(spark, indexDir)
+        def stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val qe = graft.streaming.StreamingOps
+          .incrementalExactStream(stream, idx.keys)
+          .writeStream.format("parquet")
+          .option("path", s"$indexDir/../s_exact_$s")
+          .option("checkpointLocation", s"$indexDir/../s_exact_$s/_ckpt")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val qc = graft.streaming.StreamingOps.incrementalCandidatesStream(
+            Dedup.minHashBandBuckets(stream, n, bands, rows), idx.buckets)
+          .writeStream.format("parquet")
+          .option("path", s"$indexDir/../s_cand_$s")
+          .option("checkpointLocation", s"$indexDir/../s_cand_$s/_ckpt")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        qe.awaitTermination(); qc.awaitTermination()
+        Dedup.incrementalVerdicts(idx.shingles, Dedup.docShingles(delta, n),
+            spark.read.parquet(s"$indexDir/../s_exact_$s")
+              .filter(col("dup_exact")).select("id"),
+            spark.read.parquet(s"$indexDir/../s_cand_$s").dropDuplicates(),
+            thr)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - g0) / 1e9
+      }
+    }
     def j(d: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val streamJson = if (streamSecs.isEmpty) "" else
+      s""","stream_files":$streamFiles,""" +
+        s""""stream_gate_secs":[${streamSecs.map(j).mkString(",")}],""" +
+        s""""stream_gate_min_sec":${j(streamSecs.min)}"""
     println(s"""{"corpus":"$corpusDir","n_corpus":$nCorpus,""" +
       s""""n_delta":$nDelta,"index_build_sec":${j(buildSec)},""" +
       s""""gate_secs":[${gateSecs.map(j).mkString(",")}],""" +
-      s""""gate_min_sec":${j(gateSecs.min)}}""")
+      s""""gate_min_sec":${j(gateSecs.min)}$streamJson}""")
     spark.stop()
   }
 }

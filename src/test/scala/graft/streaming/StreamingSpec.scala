@@ -543,4 +543,68 @@ class StreamingSpec extends SparkSpec {
       assert(byId(24L) == Seq(false, -1L, 0.0, true))
     } finally { qe.stop(); qc.stop() }
   }
+
+  test("streaming gate against a PERSISTED index equals the in-memory gate, " +
+      "and appends keep the shared artifact current") {
+    // Round-14 VERDICT ask #5: the ingest gate and the batch delta gate
+    // share ONE writeIndex artifact. Lifecycle under streaming: gate
+    // delta-1 through stream-static joins probing the readIndex parquet
+    // relations, appendToIndex the accepted docs, then gate delta-2 —
+    // each gate's verdicts must equal the batch operator's against the
+    // equivalent standing corpus.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated corpus material about spark partitions"))
+      .toDF("doc_id", "text")
+    val d1 = Seq(
+      (10L, "a brand new document that joins the corpus after the gate"))
+    val d2 = Seq(
+      (20L, "a brand new document that joins the corpus after the gate"),
+      (21L, "the quick brown fox jumps over the lazy dog again and again"),
+      (22L, "novel fresh content sharing nothing with anything prior"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidx").toString
+    Dedup.writeIndex(Dedup.corpusIndex(corpus, 3, 24, 2), dir)
+
+    def gateStream(rows: Seq[(Long, String)]): Set[Seq[Any]] = {
+      val idx = Dedup.readIndex(spark, dir)
+      assert(idx.params.contains(Dedup.IndexParams(3, 24, 2, "oracle")))
+      val inE = MemoryStream[(Long, String)]
+      val inC = MemoryStream[(Long, String)]
+      val qe = StreamingOps.incrementalExactStream(
+          inE.toDF().toDF("doc_id", "text"), idx.keys)
+        .writeStream.format("memory").queryName("sp_exact")
+        .outputMode(OutputMode.Append).start()
+      val qc = StreamingOps.incrementalCandidatesStream(
+          Dedup.minHashBandBuckets(inC.toDF().toDF("doc_id", "text"), 3, 24, 2),
+          idx.buckets)
+        .writeStream.format("memory").queryName("sp_cand")
+        .outputMode(OutputMode.Append).start()
+      try {
+        rows.foreach { r => inE.addData(r); qe.processAllAvailable() }
+        rows.reverse.foreach { r => inC.addData(r); qc.processAllAvailable() }
+        Dedup.incrementalVerdicts(idx.shingles,
+            Dedup.docShingles(rows.toDF("doc_id", "text"), 3),
+            spark.table("sp_exact").filter(col("dup_exact")).select("id"),
+            spark.table("sp_cand").dropDuplicates(), 0.5).collect()
+          .map(_.toSeq).toSet
+      } finally { qe.stop(); qc.stop() }
+    }
+
+    val g1 = gateStream(d1)
+    assert(g1 == Dedup.incrementalDedup(corpus, d1.toDF("doc_id", "text"),
+      3, 24, 2, 0.5).collect().map(_.toSeq).toSet)
+    // append the accepted delta-1 docs; the NEXT streaming gate sees them
+    Dedup.appendToIndex(dir, d1.toDF("doc_id", "text"), 3, 24, 2)
+    val g2 = gateStream(d2)
+    assert(g2 == Dedup.incrementalDedup(
+      corpus.union(d1.toDF("doc_id", "text")), d2.toDF("doc_id", "text"),
+      3, 24, 2, 0.5).collect().map(_.toSeq).toSet)
+    val byId = g2.map(s => s.head -> s.tail).toMap
+    assert(byId(20L) == Seq(true, 10L, 1.0, false)) // exact dup of appended
+    assert(byId(21L) == Seq(true, 1L, 1.0, false))  // exact dup of original
+    assert(byId(22L) == Seq(false, -1L, 0.0, true)) // clean
+  }
 }
