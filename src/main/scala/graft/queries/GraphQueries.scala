@@ -625,10 +625,19 @@ object GraphQueries {
         implicit val spark: SparkSession = s
         val v = t(s, dir, "part").select(col("p_partkey").as("id"))
         val e = derivedEdges(s, dir)
+        // The CC and LPA detector runs are session-cached inputs, like
+        // edgesR/btw above (round-14 VERDICT ask #6): g16's bench
+        // headline then measures Modularity.score's own marginal cost,
+        // and a detector regression surfaces under g08/g15's names
+        // instead of masquerading as a scoring regression. The oracle
+        // still recomputes the detectors from scratch, so correctness
+        // is unchanged.
         val labelings = Seq(
-          "cc" -> Communities.connectedComponents(PropertyGraph(v, e))
-            .select(col("id"), col("component").as("label")),
-          "lpa" -> LabelProp.run(v, e, LPA_ITERS),
+          "cc" -> cached(s, dir, "ccLabeling") {
+            Communities.connectedComponents(PropertyGraph(v, e))
+              .select(col("id"), col("component").as("label"))
+          },
+          "lpa" -> cached(s, dir, "lpaLabeling")(LabelProp.run(v, e, LPA_ITERS)),
           "singleton" -> v.select(col("id"), col("id").as("label")))
         labelings.map { case (tag, l) =>
           Modularity.score(l, e).withColumn("labeling", lit(tag))
