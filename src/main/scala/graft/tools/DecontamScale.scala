@@ -64,14 +64,19 @@ object DecontamScale {
     detect(); cut() // warmup
     val dMin = (1 to runs).map(_ => time(detect())).min
     val cMin = (1 to runs).map(_ => time(cut())).min
-    val spanRows = Curation.contaminationSpans(corpus, bench, spanL).count()
+    // contaminationSpans emits one row per INPUT doc (zeros included),
+    // so the informative stats are the flagged subset and its volume.
+    val st = Curation.contaminationSpans(corpus, bench, spanL)
+      .agg(sum(when(col("n_contam_spans") > 0, 1L).otherwise(0L)),
+        coalesce(sum("contam_words"), lit(0L))).head()
+    val (flagged, contamWords) = (st.getLong(0), st.getLong(1))
 
     def j(d: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     println(s"""{"corpus":"$corpusDir","n_corpus":$nCorpus,""" +
       s""""bench":"$benchSf","n_bench":$nBench,"span_l":$spanL,""" +
-      s""""span_rows":$spanRows,"detect_min_sec":${j(dMin)},""" +
-      s""""cut_min_sec":${j(cMin)}}""")
+      s""""flagged_docs":$flagged,"contam_words":$contamWords,""" +
+      s""""detect_min_sec":${j(dMin)},"cut_min_sec":${j(cMin)}}""")
     spark.stop()
   }
 }

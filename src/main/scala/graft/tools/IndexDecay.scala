@@ -22,9 +22,13 @@ import graft.pipeline.Dedup
   * FIXED 5k-doc probe delta (min of `samples`, same shape as
   * [[DeltaGate]]); run `appends` appends of `appendDocs` DISTINCT new
   * docs each; gate again; [[Dedup.compactIndex]]; gate again and
-  * re-assert the verdicts are IDENTICAL to the pre-compaction gate.
-  * Prints one JSON line with the three gate walls, per-relation file
-  * counts before/after compaction, and the compaction wall.
+  * re-assert the verdicts are IDENTICAL to the pre-compaction gate;
+  * finally REBUILD the index from scratch over corpus ∪ appends (the
+  * true pristine reference at the post-append size — the index
+  * legitimately holds more docs than the fresh phase did) and gate
+  * once more. Prints one JSON line with the four gate walls,
+  * per-relation file counts before/after compaction, and the
+  * compaction wall.
   */
 object IndexDecay {
 
@@ -111,6 +115,23 @@ object IndexDecay {
     require(vAfter == vBefore,
       s"compaction changed gate verdicts: ${vBefore.size} vs ${vAfter.size}")
 
+    // The TRUE pristine reference for the compacted gate: a from-scratch
+    // writeIndex over corpus ∪ all appended batches — the index now
+    // legitimately holds more docs than the fresh phase did, so
+    // gate_fresh alone understates how much compaction recovers.
+    val appended = (0 until appends).map { i =>
+      baseDocs.limit((i + 1) * appendDocs)
+        .orderBy(col("doc_id").desc).limit(appendDocs)
+        .select((col("doc_id") + 2000000000000L + i * 10000000L)
+          .as("doc_id"), col("text"))
+    }.reduce(_ union _)
+    Dedup.writeIndex(
+      Dedup.corpusIndex(corpus.union(appended), n, bands, rows), indexDir)
+    val gateRebuilt = gate()
+    val vRebuilt = verdicts().collect().map(_.toSeq).toSet
+    require(vRebuilt == vBefore,
+      s"rebuild changed gate verdicts: ${vBefore.size} vs ${vRebuilt.size}")
+
     def j(d: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     def jm(m: Map[String, Int]) =
@@ -122,6 +143,7 @@ object IndexDecay {
       s""""gate_fresh_sec":${j(gateFresh)},""" +
       s""""gate_appended_sec":${j(gateAppended)},""" +
       s""""gate_compacted_sec":${j(gateCompacted)},""" +
+      s""""gate_rebuilt_sec":${j(gateRebuilt)},""" +
       s""""compact_sec":${j(compactSec)},""" +
       s""""files_before":${jm(filesBefore)},"files_after":${jm(filesAfter)},""" +
       s""""verdicts_equal":true}""")
