@@ -241,6 +241,64 @@ object Bpe {
         .agg(coalesce(sum("t"), lit(0L))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
 
+  /** The integer token-id vocabulary of a trained merge table:
+    * `(token, token_id)` — corpus base characters sorted ascending get
+    * ids `0..C-1`, the end-of-word marker id `C`, merge rank `r` id
+    * `C+r`. Two different merge ranks CAN produce the same surface
+    * string (`(a,bc)` and `(ab,c)` both yield `abc`); ids are
+    * per-SURFACE (min id wins), since two same-surface symbols are
+    * indistinguishable downstream. The char window is bounded by the
+    * alphabet (not the corpus), so the single global row_number is a
+    * constant-size task by construction.
+    */
+  def vocab(docs: DataFrame, merges: Seq[Merge],
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chars = wordFreqs(docs, textCol)
+      .select(explode(transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1)))).as("token"))
+      .distinct()
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy("token")) - 1).cast("long"))
+    val nChars = chars.count()
+    val rest = (Seq((Eow, nChars)) ++
+      merges.map(m => (m.merged, nChars + m.rank)))
+      .toDF("token", "token_id")
+    chars.unionByName(rest)
+      .groupBy("token").agg(min("token_id").as("token_id"))
+  }
+
+  /** Encode a documents table into the token-id SEQUENCE relation a
+    * training exporter ships: `(doc_id, pos, token, token_id)` — one
+    * row per subword token, `pos` 0-based within the doc in (word
+    * position, within-word symbol index) order.
+    *
+    * Scale shape: the merge replay runs once per DISTINCT word (the
+    * segmentation table), occurrences join it by word; the only
+    * per-doc operation is the position row_number, partitioned by
+    * doc_id (bounded by the longest doc, never the corpus).
+    */
+  def encode(docs: DataFrame, merges: Seq[Merge],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = wordFreqs(docs, textCol)
+      .select(col("word"),
+        stateSymbols(segmentState(col("word"), merges)).as("syms"))
+    val occ = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(lower(col(textCol)), " "))).toDF("doc_id", "wpos", "word")
+      .filter(col("word") =!= "")
+    val toks = occ.join(segs, Seq("word"))
+      .select(col("doc_id"), col("wpos"),
+        posexplode(col("syms"))).toDF("doc_id", "wpos", "sidx", "token")
+    val w = Window.partitionBy("doc_id").orderBy("wpos", "sidx")
+    toks.join(vocab(docs, merges, textCol), Seq("token"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select("doc_id", "pos", "token", "token_id")
+  }
+
   /** Token-budget chunking: each word goes to the chunk its START
     * token offset falls in (`floor(exclusive-token-cumsum / budget)` —
     * the same straddle convention as [[Curation.packSequences]] bins).

@@ -321,6 +321,82 @@ object TextAnalysis {
         (col("n_oov").cast("double") / col("n_tokens").cast("double"))
           .as("oov_frac"))
   }
+
+  /** Stupid-backoff micro-nat score of the backoff branch: `ln(0.4)`
+    * quantized ONCE driver-side and interpolated into both engines as
+    * the same integer literal — never recomputed per-engine (the
+    * [[unigramQuality]] fixed-point policy applied to the one constant
+    * the formula carries).
+    */
+  val StupidBackoffMicro: Long = math.floor(math.log(0.4) * 1e6).toLong
+
+  /** Corpus-self-derived BIGRAM language-model quality score with
+    * stupid backoff (Brants et al. 2007 — the web-scale LM smoothing
+    * that needs no held-out tuning): a doc's score is the sum over its
+    * adjacent token pairs of `ln(c(w1 w2) / c(w1))` when the bigram was
+    * seen, else `ln(0.4) + ln(c(w2) / T)` (backoff to the unigram).
+    * All log-probs are integer micro-nats BEFORE summation, so per-doc
+    * sums are order-independent and cross-engine bit-exact; the
+    * backoff constant is [[StupidBackoffMicro]].
+    *
+    * Output: `(doc_id, n_bigrams, lp2_micro_sum, mean_lp2_micro,
+    * n_backoff, backoff_frac)` — one row per doc with ≥ 1 bigram
+    * (single-token docs have no bigram signal by definition).
+    *
+    * `minCount` prunes the bigram table (web-scale LMs drop singleton
+    * n-grams): bigrams seen fewer than `minCount` times score through
+    * the backoff branch — which is also what makes backoff REACHABLE
+    * when the corpus scores itself (self-derived counts are ≥ 1 by
+    * construction).
+    *
+    * Scale: bigram extraction is a narrow zip of each token array with
+    * its own tail (no self-join on position); the bigram table is one
+    * map-side-combinable aggregate, vocabulary²-bounded but in practice
+    * Heaps-law-sized; scoring joins doc bigram occurrences against it
+    * by key. Nothing is ever corpus × corpus.
+    */
+  def bigramQuality(docs: DataFrame, minCount: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+    val n1 = size(col("ts")) - 1
+    val bi = toks.filter(size(col("ts")) >= 2)
+      .select(col("id"),
+        explode(zip_with(
+          slice(col("ts"), lit(1), n1),
+          slice(col("ts"), lit(2), n1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val total = uni.agg(sum(col("c1")).as("tot"))
+    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    // Dense per-seen-bigram scores; the backoff branch needs only the
+    // unigram table. Both are key-joined to the doc's bigram stream.
+    val lp2 = big
+      .join(uni.select(col("w").as("w1"), col("c1")), Seq("w1"))
+      .select(col("w1"), col("w2"),
+        floor(log(col("c2").cast("double") / col("c1").cast("double")) * 1e6)
+          .cast("long").as("lp2"))
+    val lp1 = uni.crossJoin(broadcast(total))
+      .select(col("w").as("w2"),
+        floor(log(col("c1").cast("double") / col("tot").cast("double")) * 1e6)
+          .cast("long").as("lp1"))
+    bi.join(lp2, Seq("w1", "w2"), "left")
+      .join(lp1, Seq("w2"))
+      .select(col("id"),
+        coalesce(col("lp2"), col("lp1") + lit(StupidBackoffMicro)).as("lp"),
+        col("lp2").isNull.cast("int").as("backoff"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("lp2_micro_sum"),
+        sum(col("backoff")).cast("long").as("n_backoff"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("lp2_micro_sum"),
+        (col("lp2_micro_sum").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_lp2_micro"),
+        col("n_backoff"),
+        (col("n_backoff").cast("double") / col("n_bigrams").cast("double"))
+          .as("backoff_frac"))
+  }
 }
 
 /** Word n-gram shingling shared by fingerprinting and the dedup family. */

@@ -212,6 +212,7 @@ object PipelineQueries {
   private val BPE_MERGES = 16
   private val BPE_PACK_BUDGET = 1024L
   private val BPE_CHUNK_BUDGET = 64L
+  private val BIGRAM_MIN = 2L
   private val ED_MAX = 2
   // q is THE candidate-volume lever on low-entropy corpora: candidate
   // pairs scale as Σ_rare-grams df², and this synthetic corpus's word
@@ -2562,6 +2563,107 @@ object PipelineQueries {
       val docs = t(s, dir, "documents")
       Bpe.chunkByTokenBudget(docs, Bpe.train(docs, BPE_MERGES),
         BPE_CHUNK_BUDGET)
+    },
+
+    // ---- BPE token-id SEQUENCE export (round 15): the relation a
+    // training exporter actually ships — one row per subword token with
+    // a deterministic integer vocabulary (corpus chars sorted, then
+    // </w>, then merges by rank; same-surface symbols share the min id).
+    // The oracle re-trains the merge table, re-derives every word's
+    // segmentation from the round-R state, and replays the id
+    // assignment + per-doc position numbering.
+    QueryDef(
+      "p67_bpe_encode",
+      sqlBpeChain(BPE_MERGES) +
+        s""", segs AS MATERIALIZED (
+           |  SELECT word, string_split(trim(state, $sqlUs), $sqlUs||$sqlUs)
+           |    AS syms
+           |  FROM s$BPE_MERGES
+           |), chars AS MATERIALIZED (
+           |  SELECT DISTINCT unnest(string_split(word, '')) AS token FROM w
+           |), cid AS (
+           |  SELECT token,
+           |    CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT)
+           |      AS token_id
+           |  FROM chars
+           |), nch AS (SELECT CAST(count(*) AS BIGINT) AS c FROM chars),
+           |vocab0 AS (
+           |  SELECT token, token_id FROM cid
+           |  UNION ALL SELECT '</w>', (SELECT c FROM nch)
+           |${(1 to BPE_MERGES).map(k =>
+               s"  UNION ALL SELECT a||b, (SELECT c FROM nch) + $k FROM b$k")
+              .mkString("\n")}
+           |), vocab AS (
+           |  SELECT token, MIN(token_id) AS token_id FROM vocab0
+           |  GROUP BY token
+           |), occ AS (
+           |  SELECT doc_id, i - 1 AS wpos, words[i] AS word
+           |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+           |        FROM documents),
+           |    UNNEST(range(1, len(words) + 1)) AS u(i)
+           |  WHERE words[i] <> ''
+           |), tk AS (
+           |  SELECT o.doc_id, o.wpos, j - 1 AS sidx, s.syms[j] AS token
+           |  FROM occ o JOIN segs s USING (word),
+           |    UNNEST(range(1, len(s.syms) + 1)) AS v(j)
+           |)
+           |SELECT t.doc_id,
+           |  CAST(row_number() OVER (PARTITION BY t.doc_id
+           |    ORDER BY t.wpos, t.sidx) - 1 AS BIGINT) AS pos,
+           |  t.token, v.token_id
+           |FROM tk t JOIN vocab v USING (token)""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Bpe.encode(docs, Bpe.train(docs, BPE_MERGES))
+    },
+
+    // ---- bigram LM quality with stupid backoff (round 15): p27's
+    // unigram score graduated to the n-gram grain web-scale filters
+    // actually use (Brants et al. 2007 — no held-out tuning). Bigrams
+    // pruned below BIGRAM_MIN score through the backoff branch
+    // (ln(0.4) quantized ONCE driver-side, interpolated into BOTH
+    // engines as the same integer literal). Integer micro-nats before
+    // summation — order-independent, bit-exact.
+    QueryDef(
+      "p68_bigram_lm",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+         |), bi AS (
+         |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+         |  FROM toks, UNNEST(range(1, len(ts))) AS u(i)
+         |), uni AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM (
+         |    SELECT unnest(ts) AS w FROM toks
+         |  ) GROUP BY w
+         |), tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t FROM uni),
+         |big AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bi
+         |  GROUP BY 1, 2 HAVING count(*) >= $BIGRAM_MIN
+         |), lp2 AS (
+         |  SELECT b.w1, b.w2,
+         |    CAST(floor(ln(CAST(b.c2 AS DOUBLE) / CAST(u.c1 AS DOUBLE))
+         |      * 1000000) AS BIGINT) AS lp2
+         |  FROM big b JOIN uni u ON u.w = b.w1
+         |), lp1 AS (
+         |  SELECT w AS w2,
+         |    CAST(floor(ln(CAST(c1 AS DOUBLE) / CAST(t AS DOUBLE))
+         |      * 1000000) AS BIGINT) AS lp1
+         |  FROM uni CROSS JOIN tot
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(lp) AS BIGINT) AS lp2_micro_sum,
+         |  CAST(SUM(lp) AS DOUBLE) / count(*) AS mean_lp2_micro,
+         |  CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+         |  CAST(SUM(backoff) AS DOUBLE) / count(*) AS backoff_frac
+         |FROM (
+         |  SELECT bi.doc_id,
+         |    COALESCE(lp2.lp2, lp1.lp1 + ${TextAnalysis.StupidBackoffMicro})
+         |      AS lp,
+         |    CASE WHEN lp2.lp2 IS NULL THEN 1 ELSE 0 END AS backoff
+         |  FROM bi
+         |  LEFT JOIN lp2 ON lp2.w1 = bi.w1 AND lp2.w2 = bi.w2
+         |  JOIN lp1 ON lp1.w2 = bi.w2
+         |) GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.bigramQuality(t(s, dir, "documents"), BIGRAM_MIN)
     }
   )
 

@@ -80,6 +80,30 @@ class BpeSpec extends SparkSpec {
       (0L, 2L, 4L, "a b"), (1L, 2L, 4L, "c d"), (2L, 1L, 2L, "e")))
   }
 
+  test("vocab ids are deterministic and encode round-trips the text") {
+    import spark.implicits._
+    val d = docs((1L, "low lower"), (2L, "low"))
+    val m = Bpe.train(d, 2) // merges: lo, low
+    // vocab: chars e,l,o,r,w sorted -> 0..4; </w> -> 5; lo -> 6; low -> 7
+    val v = Bpe.vocab(d, m).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v == Map("e" -> 0L, "l" -> 1L, "o" -> 2L, "r" -> 3L, "w" -> 4L,
+      "</w>" -> 5L, "lo" -> 6L, "low" -> 7L))
+    val enc = Bpe.encode(d, m).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // doc 2 "low" -> [low, </w>] = ids [7, 5] at pos 0,1
+    assert(enc.filter(_._1 == 2L).sortBy(_._2).map(x => (x._3, x._4)).toSeq ==
+      Seq(("low", 7L), ("</w>", 5L)))
+    // doc 1 "low lower" -> [low,</w>, low,e,r,</w>]
+    assert(enc.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq ==
+      Seq("low", "</w>", "low", "e", "r", "</w>"))
+    // positions are dense 0..n-1 per doc, and token counts agree with
+    // the counting grain
+    val dt = Bpe.docTokenCounts(d, m).as[(Long, Long)].collect().toMap
+    assert(enc.filter(_._1 == 1L).map(_._2).sorted.toSeq ==
+      (0L until dt(1L)).toSeq)
+  }
+
   test("packSequencesFrom equals packSequences on the word grain") {
     val d = docs((1L, "one two three"), (2L, "four five"), (3L, "six"))
       .withColumn("source", lit("s"))

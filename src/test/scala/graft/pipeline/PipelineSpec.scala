@@ -391,6 +391,24 @@ class PipelineSpec extends SparkSpec {
     assert(got(2L) == ((3L, lp(3) + lp(2) + lp(1), 1L, 1.0 / 3)))
   }
 
+  test("bigram LM: seen bigrams score conditionals, pruned ones back off") {
+    // corpus: "a b" appears 2x (kept at minCount=2), "b c" once (pruned
+    // -> backoff). unigrams: a x2, b x2, c x1 -> total 5.
+    val d = docs((1L, "a b"), (2L, "a b c"))
+    val got = TextAnalysis.bigramQuality(d, minCount = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("lp2_micro_sum"),
+          r.getAs[Long]("n_backoff")))).toMap
+    def m(x: Double) = math.floor(math.log(x) * 1e6).toLong
+    val lpAB = m(2.0 / 2.0) // ln(c2(a,b)/c1(a)) = ln(1) = 0
+    val lpBC = TextAnalysis.StupidBackoffMicro + m(1.0 / 5.0) // backoff to c1(c)/T
+    assert(got(1L) == ((1L, lpAB, 0L)))
+    assert(got(2L) == ((2L, lpAB + lpBC, 1L)))
+    // single-token docs carry no bigram signal: absent from the output
+    val single = TextAnalysis.bigramQuality(docs((9L, "solo")), 2).count()
+    assert(single == 0L)
+  }
+
   test("segment dedup at minDocs=3 keeps a 2-doc span") {
     val d = docs((1L, "x1 x2 a"), (2L, "x1 x2 b"))
     val got = Dedup.segmentDedup(d, segWords = 2, minDocs = 3).collect()
