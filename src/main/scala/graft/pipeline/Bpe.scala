@@ -39,9 +39,11 @@ import graft.plans.Lineage
   * aggregate); every round after that runs on the distinct-word state
   * relation — vocabulary-sized, shuffle rows bounded by distinct
   * symbol pairs — with a 1-row argmax collect per round (the same
-  * driver-loop shape as the engine's LPA/k-core rounds). Encoding is a
-  * per-distinct-word expression chain (R literal `replace`s), never a
-  * per-occurrence join.
+  * driver-loop shape as the engine's LPA/k-core rounds). Encoding
+  * replays the table once per DISTINCT word in [[ReplayBatch]]-sized
+  * expression batches with a lineage cut between batches
+  * ([[wordStates]]) — constant plan depth at production merge counts
+  * (32k+), never a per-occurrence replay.
   *
   * Everything is DuckDB-replayable: the oracle unrolls R rounds as a
   * materialized CTE chain (`p63_bpe_vocab`) and re-derives token
@@ -92,16 +94,71 @@ object Bpe {
         i => concat(lit(Sep), word.substr(i, lit(1)), lit(Sep)))),
       lit(Sep + Eow + Sep))
 
-  /** Replay a merge table in rank order over a state column — R
-    * literal `replace`s, a single codegen'd expression chain.
+  /** Replay a merge table in rank order over a state column — literal
+    * `replace`s fused into one codegen'd expression chain. COLUMN-level
+    * helper: callers replaying more than [[ReplayBatch]] merges over a
+    * RELATION must go through [[wordStates]], which batches the chain
+    * with lineage cuts — a single expression thousands of calls deep
+    * breaks whole-stage codegen (janino's 64 KB method limit) and makes
+    * every analyzer rule walk the whole tree.
     */
   def applyMerges(state: Column, merges: Seq[Merge]): Column =
     merges.sortBy(_.rank).foldLeft(state)((s, m) =>
       replace(s, lit(m.pattern), lit(m.replacement)))
 
-  /** Final segmentation state of a word under a trained merge table. */
+  /** Final segmentation state of a word under a trained merge table
+    * (column-level — see the [[applyMerges]] depth caveat).
+    */
   def segmentState(word: Column, merges: Seq[Merge]): Column =
     applyMerges(initState(word), merges)
+
+  /** Literal `replace`s fused into ONE expression per replay pass.
+    * Production merge tables carry 32k–64k ranks; a single R-deep
+    * expression chain at that depth blows janino's 64 KB generated-
+    * method limit (interpreted fallback at best) and costs a full-tree
+    * analyzer walk per rule — so [[wordStates]] replays in batches of
+    * this size with a [[graft.plans.Lineage.cut]] between passes, the
+    * exact loop shape [[train]] already uses. 128 keeps each pass well
+    * inside codegen limits while needing only R/128 materializations of
+    * the vocabulary-sized state relation (BpeDeepSpec pins engine ==
+    * sequential-reference at 2048+ merges).
+    */
+  val ReplayBatch = 128
+
+  /** Segmentation-state table of a word relation under a trained merge
+    * table: any relation with a `word` column in (other columns carried
+    * through), the same relation plus `state` out — the wrapped symbol
+    * string after replaying ALL merges in rank order. This is THE
+    * relation-level replay entry point: merges apply in [[ReplayBatch]]-
+    * sized expression batches with a lineage cut between batches, so
+    * plan depth is constant in the merge count; a single-batch replay
+    * (R <= ReplayBatch — every oracle catalog query) is one uncut
+    * codegen'd expression, byte-identical to the column helper.
+    *
+    * Call it on the DISTINCT-word relation: the replay cost is
+    * vocabulary-sized, never per-occurrence (occurrences join the
+    * result by `word`).
+    */
+  def wordStates(words: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val batches = merges.sortBy(_.rank).grouped(ReplayBatch).toSeq
+    if (batches.size <= 1)
+      words.withColumn("state", segmentState(col("word"), merges))
+    else {
+      // Cut between batches (not after the last): batch k+1's plan
+      // starts from a materialized leaf instead of k batches of chained
+      // replaces, and the final batch stays a plain expression the
+      // consumer's plan fuses into.
+      val init = words.withColumn("state", initState(col("word")))
+      batches.init.foldLeft(init) { (df, b) =>
+        val next = graft.plans.Lineage.cut(
+          df.withColumn("state", applyMerges(col("state"), b)))
+        // Release the previous batch's checkpoint blocks: at 32k+ merges
+        // there are R/ReplayBatch cuts and only the latest is ever read.
+        if (df ne init) graft.plans.Lineage.release(df)
+        next
+      }.withColumn("state", applyMerges(col("state"), batches.last))
+    }
+  }
 
   /** Symbol (= token) count of a wrapped state: every symbol
     * contributes exactly two separators.
@@ -161,8 +218,13 @@ object Bpe {
         val m = Merge(r, top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         out += m
-        state = Lineage.cut(state.withColumn("state",
+        val next = Lineage.cut(state.withColumn("state",
           replace(col("state"), lit(m.pattern), lit(m.replacement))))
+        // Production merge counts mean thousands of rounds: release each
+        // round's checkpoint once the next is materialized, or the loop
+        // pins rounds × vocab-size of block storage.
+        Lineage.release(state)
+        state = next
         r += 1
       }
     }
@@ -208,27 +270,34 @@ object Bpe {
   }
 
   /** Per-distinct-word subword token counts: `(word, n_tok)`. The
-    * merge replay runs once per DISTINCT word, never per occurrence.
+    * merge replay runs once per DISTINCT word ([[wordStates]] — batched,
+    * so production merge counts are fine), never per occurrence.
     */
   def wordTokenCounts(docs: DataFrame, merges: Seq[Merge],
       textCol: String = "text"): DataFrame =
-    wordFreqs(docs, textCol)
-      .select(col("word"), wordTokenCount(col("word"), merges).as("n_tok"))
+    wordStates(wordFreqs(docs, textCol).select("word"), merges)
+      .select(col("word"), stateTokenCount(col("state")).as("n_tok"))
 
   /** Per-document subword token counts: `(doc_id, n_tokens)`. Shape:
-    * per-(doc, word) occurrence counts (map-side combinable), merge
-    * replay on those vocabulary-bounded rows, one per-doc sum — no
-    * corpus-sized join, no window.
+    * per-(doc, word) occurrence counts (map-side combinable, the one
+    * corpus-text pass — lineage-cut because both the distinct-word
+    * relation and the re-attach join consume it), merge replay on the
+    * DISTINCT words only ([[wordStates]]), a vocab-keyed equi-join, one
+    * per-doc sum. No corpus-sized state, no window.
     */
   def docTokenCounts(docs: DataFrame, merges: Seq[Merge],
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(split(lower(col(textCol)), " ")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("n_occ"))
-      .select(col("doc_id"),
-        (col("n_occ") * wordTokenCount(col("word"), merges)).as("toks"))
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dw = graft.plans.Lineage.cut(
+      docs.select(col(idCol).as("doc_id"),
+          explode(split(lower(col(textCol)), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("n_occ")))
+    val wt = wordStates(dw.select("word").distinct(), merges)
+      .select(col("word"), stateTokenCount(col("state")).as("n_tok"))
+    dw.join(wt, Seq("word"))
+      .select(col("doc_id"), (col("n_occ") * col("n_tok")).as("toks"))
       .groupBy("doc_id").agg(sum("toks").as("n_tokens"))
+  }
 
   /** Whole-relation subword token total — the token-denominated yield
     * number a curation stage reports. One scalar collect.
@@ -236,8 +305,8 @@ object Bpe {
   def tokenSum(docs: DataFrame, merges: Seq[Merge],
       textCol: String = "text"): Long =
     Option(
-      wordFreqs(docs, textCol)
-        .select((col("freq") * wordTokenCount(col("word"), merges)).as("t"))
+      wordStates(wordFreqs(docs, textCol), merges)
+        .select((col("freq") * stateTokenCount(col("state"))).as("t"))
         .agg(coalesce(sum("t"), lit(0L))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
 
@@ -283,9 +352,8 @@ object Bpe {
   def encode(docs: DataFrame, merges: Seq[Merge],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val segs = wordFreqs(docs, textCol)
-      .select(col("word"),
-        stateSymbols(segmentState(col("word"), merges)).as("syms"))
+    val segs = wordStates(wordFreqs(docs, textCol).select("word"), merges)
+      .select(col("word"), stateSymbols(col("state")).as("syms"))
     val occ = docs
       .select(col(idCol).as("doc_id"),
         posexplode(split(lower(col(textCol)), " "))).toDF("doc_id", "wpos", "word")
@@ -312,11 +380,16 @@ object Bpe {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget >= 1, s"budget must be >= 1, got $budget")
-    val pos = docs
+    // One corpus-text pass (lineage-cut: the distinct-word relation and
+    // the re-attach join both consume it); the merge replay runs on
+    // DISTINCT words only.
+    val occ = graft.plans.Lineage.cut(docs
       .select(col(idCol).as("doc_id"),
         posexplode(split(lower(col(textCol)), " "))).toDF("doc_id", "pos", "word")
-      .filter(col("word") =!= "")
-      .withColumn("n_tok", wordTokenCount(col("word"), merges))
+      .filter(col("word") =!= ""))
+    val wt = wordStates(occ.select("word").distinct(), merges)
+      .select(col("word"), stateTokenCount(col("state")).as("n_tok"))
+    val pos = occ.join(wt, Seq("word"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     pos

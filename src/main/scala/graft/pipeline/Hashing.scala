@@ -59,13 +59,22 @@ object Hashing {
       def apply(c: Column): Column = fast60(c)
       def name: String = "fast"
     }
-    /** Any per-shingle column function (no native fast path). Persisted
-      * metadata can only record "custom" — two Customs compare equal by
-      * name, which is the honest limit of function identity.
+    /** Any per-shingle column function (no native fast path). The caller
+      * MUST tag the mode: function identity is not observable, so the tag
+      * is what index metadata persists and what [[Dedup.IndexParams]]
+      * compares — two differently-tagged Customs fail `requireMatches`
+      * loudly instead of comparing equal and silently missing every
+      * near-duplicate (round-15 ADVICE: the untagged "custom" name let a
+      * gate probe an index built with a DIFFERENT custom hash).
+      * Case-class equality is on the tag alone (second parameter list),
+      * which is exactly the persisted-metadata contract.
       */
-    final case class Custom(f: Column => Column) extends HashMode {
+    final case class Custom(tag: String)(val f: Column => Column)
+        extends HashMode {
+      require(tag.matches("[A-Za-z0-9_.-]+"),
+        s"custom hash tag must be [A-Za-z0-9_.-]+ (persisted in params.json), got '$tag'")
       def apply(c: Column): Column = f(c)
-      def name: String = "custom"
+      def name: String = s"custom:$tag"
     }
     /** Inverse of [[HashMode.name]] for the two standard modes. */
     def forName(name: String): HashMode = name match {

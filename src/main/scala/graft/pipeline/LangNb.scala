@@ -119,12 +119,100 @@ object LangNb {
   /** Distant supervision end to end: label every doc with the
     * [[TextAnalysis.languageId]] stopword heuristic, train NB on those
     * labels, re-classify the same corpus with the full character
-    * model — `p64_lang_nb`'s operator.
+    * model — `p64_lang_nb`'s operator semantics. A standing corpus
+    * persists the model once ([[saveModel]]) and re-classifies with
+    * [[classifyPersisted]] instead of re-training per call.
     */
   def classifySelfTrained(docs: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val labels = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.languageId(col(textCol)).as("label"))
     classify(docs, train(docs, labels, n, idCol, textCol), n, idCol, textCol)
+  }
+
+  // ------------------------------------------------ model persistence
+
+  /** The parameters a persisted model was trained with — `params.json`
+    * next to the two relations, validated on load: classifying with a
+    * different gram size than the model's grid silently scores nothing
+    * (no gram ever joins), so a mismatch must fail loudly. Same
+    * lifecycle as [[Dedup.IndexParams]].
+    */
+  final case class ModelParams(n: Int, labels: Seq[String]) {
+    def json: String =
+      s"""{"n":$n,"labels":[${labels.map(l => s""""$l"""").mkString(",")}]}"""
+    def requireMatches(n: Int, what: String): Unit =
+      require(this.n == n,
+        s"$what with gram size n=$n but the persisted model was trained " +
+          s"with n=${this.n} — no gram would ever join the model grid, " +
+          "so every document would silently fall back to the prior argmax")
+  }
+
+  object ModelParams {
+    private val Pat = """\{"n":(\d+),"labels":\[([^\]]*)\]\}""".r
+    def parse(json: String): ModelParams = json.trim match {
+      case Pat(n, ls) => ModelParams(n.toInt,
+        ls.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq)
+      case other => throw new IllegalArgumentException(
+        s"unparseable LangNb model params.json: $other")
+    }
+  }
+
+  private def paramsPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/params.json")
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Persist a trained model: `gram_lp` range-partitioned + sorted on
+    * the probe key (`gram` — the column classification joins on, so
+    * row-group min/max stats are tight), `priors` (labels-sized), and
+    * `params.json` written LAST (a params.json implies the relations
+    * are complete; any pre-existing one is deleted FIRST so an
+    * interrupted overwrite reads as absent, never as validated-current
+    * — the [[Dedup.writeIndex]] crash-safety convention).
+    */
+  def saveModel(model: Model, n: Int, path: String): Unit = {
+    val spark = model.gramLp.sparkSession
+    fsOf(spark, path).delete(paramsPath(path), false)
+    model.gramLp.repartitionByRange(col("gram"), col("label"))
+      .sortWithinPartitions("gram", "label")
+      .write.mode("overwrite").parquet(s"$path/gram_lp")
+    model.priors.repartition(1).write.mode("overwrite")
+      .parquet(s"$path/priors")
+    val labels = model.priors.select("label").collect()
+      .map(_.getString(0)).sorted.toSeq // labels-sized collect
+    val out = fsOf(spark, path).create(paramsPath(path), true)
+    try out.write(ModelParams(n, labels).json
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load a persisted model with its params. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Model, ModelParams) = {
+    val fs = fsOf(spark, path)
+    require(fs.exists(paramsPath(path)),
+      s"no params.json under $path — not a saveModel-persisted LangNb model")
+    val in = fs.open(paramsPath(path))
+    val p = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
+      ModelParams.parse(new String(bytes.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8))
+    } finally in.close()
+    (Model(spark.read.parquet(s"$path/gram_lp"),
+      spark.read.parquet(s"$path/priors")), p)
+  }
+
+  /** Classify against a persisted model — gram size comes FROM the
+    * model's own params, never from a caller flag that could drift.
+    */
+  def classifyPersisted(docs: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (model, p) = loadModel(docs.sparkSession, path)
+    classify(docs, model, p.n, idCol, textCol)
   }
 }

@@ -426,8 +426,8 @@ object Shingles {
         graft.functions.HashedShingles(text, n, fast = false)
       case Hashing.HashMode.Fast =>
         graft.functions.HashedShingles(text, n, fast = true)
-      case Hashing.HashMode.Custom(f) =>
-        transform(wordShingles(TextAnalysis.tokens(text), n), s => f(s))
+      case c: Hashing.HashMode.Custom =>
+        transform(wordShingles(TextAnalysis.tokens(text), n), s => c.f(s))
     }
 
   /** DuckDB fragment computing the same shingle list from a token-list

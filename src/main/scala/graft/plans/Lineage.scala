@@ -29,6 +29,20 @@ import org.apache.spark.sql.graftshim.Shim
   */
 object Lineage {
 
+  /** Unpersist the materialized RDD behind a [[cut]] result — for LONG
+    * driver loops (hundreds+ of iterations, e.g. BPE training rounds)
+    * where keeping every round's checkpoint blocks alive would pin
+    * rounds × state-size of storage for the whole run. Call it on
+    * round r's state only AFTER round r+1's cut has materialized
+    * (cut is eager, so by the time it returns the old blocks are no
+    * longer an input of anything). No-op for non-cut DataFrames.
+    */
+  def release(df: DataFrame): Unit =
+    df.asInstanceOf[ClassicDataset[Row]].queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** `localCheckpoint` + drop origin statistics/constraints. */
   def cut(df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint().asInstanceOf[ClassicDataset[Row]]

@@ -213,6 +213,11 @@ object PipelineQueries {
   private val BPE_PACK_BUDGET = 1024L
   private val BPE_CHUNK_BUDGET = 64L
   private val BIGRAM_MIN = 2L
+  /** p69 token-span window: ~the token cost of SPAN_L words under the
+    * R=16 toy vocabulary (a word is >= 1 subword tokens), so the token-
+    * grain detector fires on the same planted copying p51 sees.
+    */
+  private val TOK_SPAN_L = 12
   private val ED_MAX = 2
   // q is THE candidate-volume lever on low-entropy corpora: candidate
   // pairs scale as Σ_rare-grams df², and this synthetic corpus's word
@@ -2431,7 +2436,13 @@ object PipelineQueries {
     // integer micro-nats (the p27 fixed-point policy); every doc is
     // re-classified by full-character argmax. Model is vocab × labels —
     // broadcast-sized at any corpus scale. Oracle replays training AND
-    // classification; ties (score desc, label asc).
+    // classification; ties (score desc, label asc). Round 16 (VERDICT
+    // ask #2): the model is trained + persisted ONCE per session
+    // (stageOnce — the s16 standing-artifact pattern) and every
+    // execution classifies against the persisted model, so the bench
+    // row prices CLASSIFICATION (the recurring per-corpus cost), not
+    // re-training; output is identical by construction (the heuristic
+    // labels and the trainer are deterministic).
     QueryDef(
       "p64_lang_nb",
       s"""WITH t AS (
@@ -2485,7 +2496,14 @@ object PipelineQueries {
          |  FROM t CROSS JOIN pri p
          |  LEFT JOIN ds ON ds.doc_id = t.doc_id AND ds.label = p.label
          |) WHERE rk = 1""".stripMargin) { (s, dir) =>
-      LangNb.classifySelfTrained(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
+      val modelDir = SourceMlQueries.scratch(dir, "p64_model")
+      SourceMlQueries.stageOnce(modelDir) {
+        val labels = docs.select(col("doc_id"),
+          TextAnalysis.languageId(col("text")).as("label"))
+        LangNb.saveModel(LangNb.train(docs, labels), 3, modelDir)
+      }
+      LangNb.classifyPersisted(docs, modelDir)
     },
 
     // ---- token-grain sequence packing: p20's concatenate-then-chunk
@@ -2574,44 +2592,8 @@ object PipelineQueries {
     // assignment + per-doc position numbering.
     QueryDef(
       "p67_bpe_encode",
-      sqlBpeChain(BPE_MERGES) +
-        s""", segs AS MATERIALIZED (
-           |  SELECT word, string_split(trim(state, $sqlUs), $sqlUs||$sqlUs)
-           |    AS syms
-           |  FROM s$BPE_MERGES
-           |), chars AS MATERIALIZED (
-           |  SELECT DISTINCT unnest(string_split(word, '')) AS token FROM w
-           |), cid AS (
-           |  SELECT token,
-           |    CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT)
-           |      AS token_id
-           |  FROM chars
-           |), nch AS (SELECT CAST(count(*) AS BIGINT) AS c FROM chars),
-           |vocab0 AS (
-           |  SELECT token, token_id FROM cid
-           |  UNION ALL SELECT '</w>', (SELECT c FROM nch)
-           |${(1 to BPE_MERGES).map(k =>
-               s"  UNION ALL SELECT a||b, (SELECT c FROM nch) + $k FROM b$k")
-              .mkString("\n")}
-           |), vocab AS (
-           |  SELECT token, MIN(token_id) AS token_id FROM vocab0
-           |  GROUP BY token
-           |), occ AS (
-           |  SELECT doc_id, i - 1 AS wpos, words[i] AS word
-           |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
-           |        FROM documents),
-           |    UNNEST(range(1, len(words) + 1)) AS u(i)
-           |  WHERE words[i] <> ''
-           |), tk AS (
-           |  SELECT o.doc_id, o.wpos, j - 1 AS sidx, s.syms[j] AS token
-           |  FROM occ o JOIN segs s USING (word),
-           |    UNNEST(range(1, len(s.syms) + 1)) AS v(j)
-           |)
-           |SELECT t.doc_id,
-           |  CAST(row_number() OVER (PARTITION BY t.doc_id
-           |    ORDER BY t.wpos, t.sidx) - 1 AS BIGINT) AS pos,
-           |  t.token, v.token_id
-           |FROM tk t JOIN vocab v USING (token)""".stripMargin) { (s, dir) =>
+      sqlBpeChain(BPE_MERGES) + sqlBpeEncode(BPE_MERGES) +
+        "\nSELECT doc_id, pos, token, token_id FROM enc") { (s, dir) =>
       val docs = t(s, dir, "documents")
       Bpe.encode(docs, Bpe.train(docs, BPE_MERGES))
     },
@@ -2664,6 +2646,64 @@ object PipelineQueries {
          |  JOIN lp1 ON lp1.w2 = bi.w2
          |) GROUP BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.bigramQuality(t(s, dir, "documents"), BIGRAM_MIN)
+    },
+
+    // ---- cross-document duplicate TOKEN spans (round 16, VERDICT ask
+    // #6): p51's exact-substring detector at the grain Lee et al.
+    // actually operate on — token sequences from the BPE encode
+    // relation. The oracle replays training, the token-id encode, AND
+    // the token-gram postings + island algebra end to end; the engine
+    // side is the same mergeIslands machinery over per-doc token-id
+    // arrays (bounded by the longest document, never the corpus).
+    QueryDef(
+      "p69_dup_token_spans",
+      sqlBpeChain(BPE_MERGES) + sqlBpeEncode(BPE_MERGES) +
+        s""", arr AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |    list(CAST(token_id AS VARCHAR) ORDER BY pos) AS ids
+           |  FROM enc GROUP BY doc_id
+           |), tg AS (
+           |  SELECT doc_id, n_tokens,
+           |    CAST(unnest(range(1, greatest(len(ids) - ${TOK_SPAN_L - 1}, 1) + 1))
+           |      AS BIGINT) AS pos,
+           |    unnest(list_transform(
+           |      range(1, greatest(len(ids) - ${TOK_SPAN_L - 1}, 1) + 1),
+           |      i -> ${Hashing.sqlH60(
+               s"array_to_string(list_slice(ids, i, i + ${TOK_SPAN_L - 1}), ' ')")}))
+           |      AS h
+           |  FROM arr
+           |), dupg AS (
+           |  SELECT h FROM tg GROUP BY h
+           |  HAVING count(DISTINCT doc_id) >= $SPAN_MIN_DOCS
+           |), dp AS (
+           |  SELECT tg.doc_id, tg.n_tokens, tg.pos FROM tg JOIN dupg USING (h)
+           |), isl AS (
+           |  SELECT doc_id, n_tokens, pos,
+           |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+           |      <= $TOK_SPAN_L THEN 0 ELSE 1 END AS brk
+           |  FROM dp
+           |), isl2 AS (
+           |  SELECT doc_id, n_tokens, pos,
+           |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           |  FROM isl
+           |), spans AS (
+           |  SELECT doc_id, n_tokens, island, min(pos) AS s,
+           |    least(max(pos) + ${TOK_SPAN_L - 1}, n_tokens) AS e
+           |  FROM isl2 GROUP BY doc_id, n_tokens, island
+           |), per_doc AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+           |    CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+           |  FROM spans GROUP BY doc_id
+           |)
+           |SELECT a.doc_id, a.n_tokens,
+           |  coalesce(n_dup_spans, 0) AS n_dup_spans,
+           |  coalesce(dup_tokens, 0) AS dup_tokens,
+           |  CAST(coalesce(dup_tokens, 0) AS DOUBLE) / CAST(a.n_tokens AS DOUBLE)
+           |    AS dup_frac
+           |FROM arr a LEFT JOIN per_doc USING (doc_id)""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val enc = Bpe.encode(docs, Bpe.train(docs, BPE_MERGES))
+      Dedup.dupTokenSpans(enc, TOK_SPAN_L, SPAN_MIN_DOCS)
     }
   )
 
@@ -2873,14 +2913,68 @@ object PipelineQueries {
            |    ) GROUP BY a, b
            |  ) ORDER BY cnt DESC, a, b LIMIT 1
            |), s$k AS MATERIALIZED (
-           |  SELECT word, freq, replace(state,
-           |    $us || (SELECT a FROM b$k) || $us||$us || (SELECT b FROM b$k) || $us,
-           |    $us || (SELECT a FROM b$k) || (SELECT b FROM b$k) || $us) AS state
+           |  -- Exhaustion guard (round-15 ADVICE): if the engine's train()
+           |  -- stopped early, b$k is empty and replace(state, NULL, NULL)
+           |  -- would NULL every state — carry the last valid state instead,
+           |  -- exactly like the engine's early-stopped loop.
+           |  SELECT word, freq, CASE WHEN EXISTS (SELECT 1 FROM b$k)
+           |    THEN replace(state,
+           |      $us || (SELECT a FROM b$k) || $us||$us || (SELECT b FROM b$k) || $us,
+           |      $us || (SELECT a FROM b$k) || (SELECT b FROM b$k) || $us)
+           |    ELSE state END AS state
            |  FROM s$p
            |)""".stripMargin)
     }
     sb.toString
   }
+
+  /** The BPE token-id SEQUENCE replay (appended after [[sqlBpeChain]]):
+    * re-derives every word's segmentation from the round-`rounds`
+    * state, assigns the deterministic integer vocabulary (corpus chars
+    * sorted, then `</w>`, then merges by rank; same-surface symbols
+    * share the min id), and numbers positions per doc — ends with the
+    * `enc (doc_id, pos, token, token_id)` CTE p67 selects verbatim and
+    * p69 builds token grams from.
+    */
+  private def sqlBpeEncode(rounds: Int): String =
+    s""", segs AS MATERIALIZED (
+       |  SELECT word, string_split(trim(state, $sqlUs), $sqlUs||$sqlUs)
+       |    AS syms
+       |  FROM s$rounds
+       |), chars AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(string_split(word, '')) AS token FROM w
+       |), cid AS (
+       |  SELECT token,
+       |    CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT)
+       |      AS token_id
+       |  FROM chars
+       |), nch AS (SELECT CAST(count(*) AS BIGINT) AS c FROM chars),
+       |vocab0 AS (
+       |  SELECT token, token_id FROM cid
+       |  UNION ALL SELECT '</w>', (SELECT c FROM nch)
+       |${(1 to rounds).map(k =>
+           s"  UNION ALL SELECT a||b, (SELECT c FROM nch) + $k FROM b$k")
+          .mkString("\n")}
+       |), vocab AS (
+       |  SELECT token, MIN(token_id) AS token_id FROM vocab0
+       |  GROUP BY token
+       |), occ AS (
+       |  SELECT doc_id, i - 1 AS wpos, words[i] AS word
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+       |        FROM documents),
+       |    UNNEST(range(1, len(words) + 1)) AS u(i)
+       |  WHERE words[i] <> ''
+       |), tk AS (
+       |  SELECT o.doc_id, o.wpos, j - 1 AS sidx, s.syms[j] AS token
+       |  FROM occ o JOIN segs s USING (word),
+       |    UNNEST(range(1, len(s.syms) + 1)) AS v(j)
+       |), enc AS MATERIALIZED (
+       |  SELECT t.doc_id,
+       |    CAST(row_number() OVER (PARTITION BY t.doc_id
+       |      ORDER BY t.wpos, t.sidx) - 1 AS BIGINT) AS pos,
+       |    t.token, v.token_id
+       |  FROM tk t JOIN vocab v USING (token)
+       |)""".stripMargin
 
   /** Per-distinct-word subword token counts from the round-`rounds`
     * BPE state (appended after [[sqlBpeChain]]): each symbol

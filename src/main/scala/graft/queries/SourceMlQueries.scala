@@ -46,7 +46,7 @@ object SourceMlQueries {
   /** Per-(session, sf-dir) scratch dir for the sink roundtrips — stable so
     * repeated runs overwrite rather than accumulate.
     */
-  private def scratch(dir: String, name: String): String =
+  private[queries] def scratch(dir: String, name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${name}_${Integer.toHexString(dir.hashCode)}"
 
   /** JVM-session staging cache for the streaming family's input files
@@ -62,7 +62,7 @@ object SourceMlQueries {
     */
   private val stagedPaths =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def stageOnce(path: String)(write: => Unit): Unit =
+  private[queries] def stageOnce(path: String)(write: => Unit): Unit =
     if (stagedPaths.add(path)) {
       // Mark staged only if the write SUCCEEDS (ADVICE round 12): a
       // failed staging write must not leave the path marked, or every
@@ -770,6 +770,59 @@ object SourceMlQueries {
         graft.pipeline.Dedup.docShingles(batch, PipelineQueries.SHINGLE_N),
         s.table("s16_exact").filter(col("dup_exact")).select("id"),
         s.table("s16_cand").dropDuplicates(), PipelineQueries.MH_T)
+    },
+
+    // ---- s17: the PRODUCTION streaming drain of the persisted-index
+    // gate (round-15 VERDICT ask #4) — foreachBatch runs the batch
+    // gate's broadcast-delta plan per micro-batch against ONE loaded
+    // index whose relations are cached across micro-batches, instead of
+    // s16's stream-static joins that re-scan the index parquet every
+    // micro-batch. Verdicts are per-delta-doc independent, so the
+    // drained union over any micro-batch split equals the whole-delta
+    // batch operator's output exactly: p54's oracle SQL gates this too,
+    // verbatim — pinning s17 == s16 == s15 == p54.
+    QueryDef(
+      "s17_streaming_gate_foreachbatch",
+      PipelineQueries.sqlIncrementalDedup) { (s, dir) =>
+      import graft.streaming.StreamingOps
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val base = scratch(dir, "s17")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val corpus = docs.filter(
+        pmod(col("doc_id"), lit(PipelineQueries.INC_MOD)) =!=
+          PipelineQueries.INC_REM)
+      val batch = docs.filter(
+        pmod(col("doc_id"), lit(PipelineQueries.INC_MOD)) ===
+          PipelineQueries.INC_REM)
+      stageOnce(s"$base/in") {
+        batch.select(col("doc_id"), col("text"))
+          .repartition(2)
+          .write.mode(SaveMode.Overwrite).parquet(s"$base/in")
+      }
+      stageOnce(s"$base/idx") {
+        graft.pipeline.Dedup.writeIndex(
+          graft.pipeline.Dedup.corpusIndex(corpus,
+            PipelineQueries.SHINGLE_N, PipelineQueries.MH_BANDS,
+            PipelineQueries.MH_ROWS),
+          s"$base/idx")
+      }
+      val idx = graft.pipeline.Dedup.readIndex(s, s"$base/idx")
+      idx.params.get.requireMatches(PipelineQueries.SHINGLE_N,
+        PipelineQueries.MH_BANDS, PipelineQueries.MH_ROWS,
+        graft.pipeline.Hashing.HashMode.Oracle, "s17 foreachBatch gate")
+      // Per-execution sink/checkpoint (foreachBatch APPENDS; a re-run in
+      // the same session must not double its verdicts).
+      val run = s"$base/run_${System.nanoTime()}"
+      val stream = s.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in")
+      val (q, cached) = StreamingOps.indexGateDrain(stream, idx,
+        PipelineQueries.SHINGLE_N, PipelineQueries.MH_BANDS,
+        PipelineQueries.MH_ROWS, PipelineQueries.MH_T,
+        outPath = s"$run/verdicts", checkpoint = s"$run/_ckpt")
+      q.awaitTermination()
+      StreamingOps.unpersistIndex(cached)
+      s.read.parquet(s"$run/verdicts")
     },
 
     // ---- M1-M4: StringIndexer (frequencyDesc, ties alphabetic, SPARK

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -403,4 +403,59 @@ object StreamingOps {
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .outputMode(outputMode)
+
+  /** ForeachBatch persisted-index gate — the PRODUCTION streaming drain
+    * of [[graft.pipeline.Dedup.incrementalDedupAgainst]] (round-15
+    * VERDICT ask #4). The stream-static drain
+    * ([[incrementalExactStream]]/[[incrementalCandidatesStream]], s15/
+    * s16) re-scans the static index parquet once per MICRO-BATCH, so an
+    * 8-micro-batch drain paid ~8 index scans where the batch gate pays
+    * one. Here every micro-batch runs the batch gate's broadcast-delta
+    * plan VERBATIM against ONE loaded index whose three relations are
+    * persisted MEMORY_AND_DISK — the first micro-batch materializes the
+    * index blocks, every later one probes the cache, and the wide work
+    * stays delta-bounded (the corpus side never shuffles, exactly the
+    * batch plan). Verdicts are per-delta-doc independent, so the drained
+    * union over ANY micro-batch split equals the whole-delta batch
+    * gate's output exactly — p54's oracle SQL gates it verbatim (s17).
+    *
+    * Each micro-batch's full verdict relation (`doc_id, dup_exact,
+    * near_id, near_jaccard, keep`) appends to `outPath` as parquet.
+    * Returns the started query plus the cached index — callers
+    * `unpersistIndex` it after `awaitTermination` (the cache belongs to
+    * the drain, not the session).
+    */
+  def indexGateDrain(stream: DataFrame,
+      index: graft.pipeline.Dedup.CorpusIndex,
+      n: Int, numBands: Int, rowsPerBand: Int, threshold: Double,
+      mode: graft.pipeline.Hashing.HashMode =
+        graft.pipeline.Hashing.HashMode.Oracle,
+      outPath: String = null, checkpoint: String = null)
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         graft.pipeline.Dedup.CorpusIndex) = {
+    require(outPath != null && checkpoint != null,
+      "indexGateDrain needs outPath and checkpoint locations")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cached = graft.pipeline.Dedup.CorpusIndex(
+      index.keys.persist(lvl), index.buckets.persist(lvl),
+      index.shingles.persist(lvl), index.params)
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.pipeline.Dedup.incrementalDedupAgainst(cached, batch,
+            n, numBands, rowsPerBand, threshold, mode,
+            broadcastDelta = true)
+          .write.mode("append").parquet(outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    (q, cached)
+  }
+
+  /** Release the blocks [[indexGateDrain]] pinned. */
+  def unpersistIndex(index: graft.pipeline.Dedup.CorpusIndex): Unit = {
+    index.keys.unpersist(false)
+    index.buckets.unpersist(false)
+    index.shingles.unpersist(false)
+  }
 }

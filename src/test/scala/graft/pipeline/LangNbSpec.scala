@@ -64,4 +64,36 @@ class LangNbSpec extends SparkSpec {
       s(1).asInstanceOf[String]).toMap
     assert(byId(0L) == "en" && byId(100L) == "und")
   }
+
+  test("persisted model: save -> load -> classify equals the in-memory model, " +
+      "gram-size mismatch fails loudly") {
+    import spark.implicits._
+    val docs = ((0 until 15).map(i => (i.toLong,
+      s"the data of the run $i is in the table and it has the rows")) ++
+      (100 until 110).map(i => (i.toLong, s"zzz qqq xxx vvv kkk $i")))
+      .toDF("doc_id", "text")
+    val labels = docs.select(col("doc_id"),
+      TextAnalysis.languageId(col("text")).as("label"))
+    val model = LangNb.train(docs, labels)
+    val inMem = LangNb.classify(docs, model).collect().map(_.toSeq).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_nbmodel").toString
+    LangNb.saveModel(model, 3, dir)
+    val (loaded, params) = LangNb.loadModel(spark, dir)
+    assert(params == LangNb.ModelParams(3, Seq("en", "und")))
+    val viaDisk = LangNb.classify(docs, loaded, params.n)
+      .collect().map(_.toSeq).toSet
+    assert(viaDisk == inMem)
+    assert(LangNb.classifyPersisted(docs, dir).collect().map(_.toSeq).toSet
+      == inMem)
+    // classifying a persisted n=3 grid with n=4 grams would join nothing
+    // and silently prior-argmax every doc — the params must refuse
+    val e = intercept[IllegalArgumentException] {
+      params.requireMatches(4, "spec gate")
+    }
+    assert(e.getMessage.contains("n=3"))
+    // a directory without params.json is not a model
+    val empty = java.nio.file.Files.createTempDirectory("graft_nbnone").toString
+    intercept[IllegalArgumentException] { LangNb.loadModel(spark, empty) }
+  }
 }

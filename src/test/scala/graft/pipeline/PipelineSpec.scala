@@ -127,6 +127,52 @@ class PipelineSpec extends SparkSpec {
     assert(got(8L) == ((2L, 2L, "")))
   }
 
+  test("token dup spans + cut: same algebra at the token grain (p69)") {
+    // The word-grain fixtures above, restated as a token-id SEQUENCE
+    // relation (letters -> ids): dupTokenSpans must produce the same
+    // span geometry, dupTokenSpansCut the same survivors with dense
+    // renumbered positions. spanL=3 token grams.
+    import spark.implicits._
+    val idOf = ('a' to 'z').zipWithIndex.map { case (c, i) =>
+      c.toString -> (i + 1).toLong }.toMap
+    val texts = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y c d e f u v w"),
+      (3L, "k l m n o p"),
+      (4L, "m m m m m m"),
+      (5L, "c d e f p q r s t u v c d e f"),
+      (7L, "c d"), (8L, "c d"))
+    val enc = texts.flatMap { case (d, t) =>
+      t.split(" ").zipWithIndex.map { case (w, p) => (d, p.toLong, idOf(w)) }
+    }.toDF("doc_id", "pos", "token_id")
+    val got = Dedup.dupTokenSpans(enc, spanL = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Long]("dup_tokens"), r.getAs[Double]("dup_frac")))).toMap
+    assert(got(1L) == ((10L, 1L, 4L, 0.4)))
+    assert(got(2L) == ((9L, 1L, 4L, 4.0 / 9.0)))
+    assert(got(3L) == ((6L, 0L, 0L, 0.0)))
+    assert(got(4L) == ((6L, 0L, 0L, 0.0)))
+    assert(got(5L) == ((15L, 2L, 8L, 8.0 / 15.0)))
+    assert(got(7L) == ((2L, 1L, 2L, 1.0)))
+    assert(got(8L) == ((2L, 1L, 2L, 1.0)))
+
+    val cut = Dedup.dupTokenSpansCut(enc, spanL = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (d, rows) =>
+        d -> rows.sortBy(_._2).map(_._3).toSeq }
+    def ids(s: String) = s.split(" ").map(idOf).toSeq
+    assert(cut(1L) == ids("a b c d e f g h i j")) // keeper intact
+    assert(cut(2L) == ids("x y u v w"))
+    assert(cut(3L) == ids("k l m n o p"))
+    assert(cut(4L) == ids("m m m m m m"))
+    assert(cut(5L) == ids("p q r s t u v"))
+    assert(cut(7L) == ids("c d"))
+    assert(!cut.contains(8L)) // fully cut -> no surviving tokens
+    // positions renumber dense from 0 per doc
+    assert(cut.values.forall(v => v.indices.nonEmpty))
+  }
+
   test("incremental dedup: exact dup, near dup, novel doc") {
     val corpus = docs(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
