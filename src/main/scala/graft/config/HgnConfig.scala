@@ -163,7 +163,10 @@ object HgnConfig {
         maxSpLength = int("run_options.max_sp_length", 2),
         maxSteps = int("run_options.max_steps", 30),
         minCompSize = int("run_options.min_comp_size", 10),
-        maxMidDegree = kv.get("run_options.max_mid_degree").map(_.toLong)),
+        maxMidDegree = kv.get("run_options.max_mid_degree").map(_.toLong),
+        // 2-hop/r-metric chain splitter for large iterative runs
+        // (RMetrics.run splitTwoHop — round-16 step-1 experiment knob).
+        splitTwoHop = bool("run_options.split_two_hop", dflt = false)),
       outputDir = str("output.dir", "output"),
       saveCommunities = bool("output.save_communities_to_csvs", dflt = true),
       cachedInitStep = bool("run_options.cached_init_step", dflt = false),

@@ -20,7 +20,11 @@ final case class HgnParams(
     // Hub-degree cap for every 2-hop expansion (None = exact; see
     // graph/Skew.scala for the approximation semantics) — the knob that
     // keeps power-law graphs tractable at scale.
-    maxMidDegree: Option[Long] = None)
+    maxMidDegree: Option[Long] = None,
+    // Materialize the 2-hop neighbor table before the r-metric joins
+    // (RMetrics.run splitTwoHop) — the step-1 working-set splitter for
+    // large iterative runs; off by default (fused is faster small).
+    splitTwoHop: Boolean = false)
 
 /** The HGN main loop (SURVEY §2.9 G8): iteration =
   * r-metrics → edge weights → edges-to-delete → anti-join deletion →
@@ -79,7 +83,7 @@ object HgnPipeline {
     // Lineage.cut, not bare localCheckpoint: the loop compounds checkpoint
     // origin-stats double-exponentially otherwise (see graft.plans.Lineage).
     val edgesR = Lineage.cut(RMetrics.run(g, params.rLvl1Thres,
-      params.rLvl2Thres, params.maxMidDegree))
+      params.rLvl2Thres, params.maxMidDegree, params.splitTwoHop))
                          // replaces the reference's parquet round-trips
                          // (`spark_manager.py:215-231`, SURVEY §7.1)
     val weights = Lineage.cut(

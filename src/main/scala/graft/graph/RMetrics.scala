@@ -88,11 +88,24 @@ object RMetrics {
   /** Convenience: compute both neighborhood levels and the metrics.
     * `maxMidDegree` caps the level-2 hub fan-out
     * ([[Skew.cappedMidAdjacency]]; `None` = exact).
+    *
+    * `splitTwoHop` materializes the level-2 neighbor table
+    * ([[graft.plans.Lineage.cut]]) before the two endpoint joins —
+    * the round-16 step-1 experiment lever for the HGN loop at scale:
+    * the fused 2-hop-aggregate + double-join + similarity chain is the
+    * loop's peak working set (the 30× heap A/B localized step 1 as
+    * GC-bound on it, BASELINE.md round 15), and the cut splits that
+    * chain into two smaller-footprint stages at the price of one
+    * materialization of the neighbor arrays. Default off: at catalog
+    * scale the fused chain is faster (and g03's oracle plan unchanged).
     */
   def run(g: PropertyGraph, rLvl1Thres: Double, rLvl2Thres: Double,
-      maxMidDegree: Option[Long] = None): DataFrame =
+      maxMidDegree: Option[Long] = None,
+      splitTwoHop: Boolean = false): DataFrame = {
+    val lvl2 = Neighborhoods.neighbors(g, 2, maxMidDegree)
     edgesWithMetrics(g,
       Neighborhoods.neighbors(g, 1),
-      Neighborhoods.neighbors(g, 2, maxMidDegree),
+      if (splitTwoHop) graft.plans.Lineage.cut(lvl2) else lvl2,
       rLvl1Thres, rLvl2Thres)
+  }
 }

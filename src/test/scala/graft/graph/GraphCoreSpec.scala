@@ -72,6 +72,19 @@ class GraphCoreSpec extends SparkSpec {
     assert(kept == Set((1L, 2L), (2L, 3L), (1L, 3L)))
   }
 
+  test("r-metrics: splitTwoHop materialization changes nothing but the plan") {
+    // The step-1 working-set splitter (round 16) must be semantically
+    // invisible: identical rows with and without the level-2 cut.
+    def canon(split: Boolean) = RMetrics.run(g, 0.45, 0.9,
+        splitTwoHop = split).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"),
+        r.getAs[Seq[Long]]("common_neighbors").sorted,
+        r.getAs[Double]("r11"), r.getAs[Double]("r12"),
+        r.getAs[Double]("r21"), r.getAs[Double]("r22"),
+        r.getAs[Boolean]("keepit"))).toSet
+    assert(canon(split = true) == canon(split = false))
+  }
+
   test("bounded distances") {
     val d = Betweenness.boundedDistances(g.adjacency, 2).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
