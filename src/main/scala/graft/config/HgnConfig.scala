@@ -108,7 +108,7 @@ object HgnConfig {
     "run_options.max_edge_weight", "run_options.betweenness_thres",
     "run_options.max_sp_length", "run_options.max_steps",
     "run_options.min_comp_size", "run_options.max_mid_degree",
-    "run_options.cached_init_step",
+    "run_options.cached_init_step", "run_options.split_two_hop",
     "output.dir", "output.save_communities_to_csvs",
     "datastore.url", "datastore.username", "datastore.password",
     "datastore.driver", "datastore.communities_table",

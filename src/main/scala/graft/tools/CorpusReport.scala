@@ -61,8 +61,16 @@ object CorpusReport {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val json = build(spark, docsPath, merges, packBudget, jaccardT,
+    val t0 = System.nanoTime()
+    val built = build(spark, docsPath, merges, packBudget, jaccardT,
       bpeVocabDir, langModelDir)
+    val wall = (System.nanoTime() - t0) / 1e9
+    // Wall is measured OUTSIDE build (session setup excluded, all card
+    // queries included) and spliced into the JSON so scale rows don't
+    // need external timing.
+    val json = built.stripSuffix("}") +
+      s""","wall_sec":${String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(wall))}}"""
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(outDir))

@@ -95,6 +95,15 @@ object DeltaGate {
     }.getOrElse("static")
     require(streamMode == "static" || streamMode == "foreachbatch",
       s"streamMode must be static|foreachbatch, got '$streamMode'")
+    // Micro-batch granularity knob (files per trigger): the round-16
+    // measurement shows the drain cost decomposes as ~(batch gate) +
+    // (per-micro-batch fixed work) × nMicroBatches, so coarse batching
+    // is the operating lever for the foreachBatch drain.
+    val streamMaxFiles = args.lift(6).map { a =>
+      require(a.startsWith("streamMaxFiles="),
+        s"expected streamMaxFiles=<n>, got '$a'")
+      a.stripPrefix("streamMaxFiles=").toInt
+    }.getOrElse(1)
     val streamSecs = if (streamFiles <= 0) Nil else {
       val inDir = s"$indexDir/../delta_stream_in"
       delta.repartition(streamFiles).write.mode("overwrite").parquet(inDir)
@@ -107,7 +116,7 @@ object DeltaGate {
         val g0 = System.nanoTime()
         val idx = Dedup.readIndex(spark, indexDir)
         def stream = spark.readStream.schema("doc_id BIGINT, text STRING")
-          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .option("maxFilesPerTrigger", streamMaxFiles.toString).parquet(inDir)
         if (streamMode == "foreachbatch") {
           val run = s"$indexDir/../s_fb_$s"
           val (q, cached) = graft.streaming.StreamingOps.indexGateDrain(
@@ -147,6 +156,7 @@ object DeltaGate {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val streamJson = if (streamSecs.isEmpty) "" else
       s""","stream_files":$streamFiles,"stream_mode":"$streamMode",""" +
+        s""""stream_max_files":$streamMaxFiles,""" +
         s""""stream_gate_secs":[${streamSecs.map(j).mkString(",")}],""" +
         s""""stream_gate_min_sec":${j(streamSecs.min)}"""
     println(s"""{"corpus":"$corpusDir","n_corpus":$nCorpus,""" +
