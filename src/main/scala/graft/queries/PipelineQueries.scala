@@ -258,6 +258,24 @@ object PipelineQueries {
       Dedup.jaccardPairsPrefix(t(s, dir, "documents"), SHINGLE_N, JACCARD_T)
     }
 
+  /** Session-cached trained BPE merge table (round 16 — the g16/p14
+    * attribution policy): p63 MEASURES training and always trains
+    * fresh; the four derived token-grain queries (p65 packing, p66
+    * chunking, p67 encode, p69 token spans) measure their OWN
+    * operators over the trained table, which a real pipeline trains
+    * once — so they share one session-cached table instead of each
+    * re-running the 16-round loop. Cached as the mergesDF relation
+    * (SessionCache holds DataFrames); the collect is merge-count-
+    * bounded (= BPE_MERGES rows).
+    */
+  private def bpeMergesCached(s: SparkSession, dir: String): Seq[Bpe.Merge] =
+    SessionCache(s, dir, s"bpe_merges@$BPE_MERGES") {
+      Bpe.mergesDF(s, Bpe.train(t(s, dir, "documents"), BPE_MERGES))
+    }.orderBy("rank").collect()
+      .map(r => Bpe.Merge(r.getLong(0).toInt, r.getString(1), r.getString(2),
+        r.getLong(4)))
+      .toSeq
+
   // ---------------------------------------------------------------- SQL bits
 
   private val STOPLIST =
@@ -2540,7 +2558,7 @@ object PipelineQueries {
            |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
            |FROM off GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val merges = Bpe.train(docs, BPE_MERGES)
+      val merges = bpeMergesCached(s, dir)
       val base = docs.select(col("source").as("shard"), col("doc_id"))
         .join(Bpe.docTokenCounts(docs, merges), Seq("doc_id"))
         .select(col("shard"), col("doc_id"), col("n_tokens"))
@@ -2579,7 +2597,7 @@ object PipelineQueries {
            |  string_agg(word, ' ' ORDER BY pos) AS chunk_text
            |FROM cum GROUP BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      Bpe.chunkByTokenBudget(docs, Bpe.train(docs, BPE_MERGES),
+      Bpe.chunkByTokenBudget(docs, bpeMergesCached(s, dir),
         BPE_CHUNK_BUDGET)
     },
 
@@ -2595,7 +2613,7 @@ object PipelineQueries {
       sqlBpeChain(BPE_MERGES) + sqlBpeEncode(BPE_MERGES) +
         "\nSELECT doc_id, pos, token, token_id FROM enc") { (s, dir) =>
       val docs = t(s, dir, "documents")
-      Bpe.encode(docs, Bpe.train(docs, BPE_MERGES))
+      Bpe.encode(docs, bpeMergesCached(s, dir))
     },
 
     // ---- bigram LM quality with stupid backoff (round 15): p27's
@@ -2702,7 +2720,7 @@ object PipelineQueries {
            |    AS dup_frac
            |FROM arr a LEFT JOIN per_doc USING (doc_id)""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val enc = Bpe.encode(docs, Bpe.train(docs, BPE_MERGES))
+      val enc = Bpe.encode(docs, bpeMergesCached(s, dir))
       Dedup.dupTokenSpans(enc, TOK_SPAN_L, SPAN_MIN_DOCS)
     }
   )
