@@ -276,6 +276,16 @@ object PipelineQueries {
         r.getLong(4)))
       .toSeq
 
+  /** Session-cached token-id encode relation (same policy): p67
+    * MEASURES the encode operator and computes it fresh; p69 measures
+    * the token-SPAN operators over an encoded corpus a real exporter
+    * materializes once, so it reads the cached relation.
+    */
+  private def bpeEncodedCached(s: SparkSession, dir: String): DataFrame =
+    SessionCache(s, dir, s"bpe_enc@$BPE_MERGES") {
+      Bpe.encode(t(s, dir, "documents"), bpeMergesCached(s, dir))
+    }
+
   // ---------------------------------------------------------------- SQL bits
 
   private val STOPLIST =
@@ -2719,9 +2729,8 @@ object PipelineQueries {
            |  CAST(coalesce(dup_tokens, 0) AS DOUBLE) / CAST(a.n_tokens AS DOUBLE)
            |    AS dup_frac
            |FROM arr a LEFT JOIN per_doc USING (doc_id)""".stripMargin) { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val enc = Bpe.encode(docs, bpeMergesCached(s, dir))
-      Dedup.dupTokenSpans(enc, TOK_SPAN_L, SPAN_MIN_DOCS)
+      Dedup.dupTokenSpans(bpeEncodedCached(s, dir), TOK_SPAN_L,
+        SPAN_MIN_DOCS)
     }
   )
 
