@@ -2685,22 +2685,8 @@ object PipelineQueries {
     // arrays (bounded by the longest document, never the corpus).
     QueryDef(
       "p69_dup_token_spans",
-      sqlBpeChain(BPE_MERGES) + sqlBpeEncode(BPE_MERGES) +
-        s""", arr AS (
-           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           |    list(CAST(token_id AS VARCHAR) ORDER BY pos) AS ids
-           |  FROM enc GROUP BY doc_id
-           |), tg AS (
-           |  SELECT doc_id, n_tokens,
-           |    CAST(unnest(range(1, greatest(len(ids) - ${TOK_SPAN_L - 1}, 1) + 1))
-           |      AS BIGINT) AS pos,
-           |    unnest(list_transform(
-           |      range(1, greatest(len(ids) - ${TOK_SPAN_L - 1}, 1) + 1),
-           |      i -> ${Hashing.sqlH60(
-               s"array_to_string(list_slice(ids, i, i + ${TOK_SPAN_L - 1}), ' ')")}))
-           |      AS h
-           |  FROM arr
-           |), dupg AS (
+      sqlBpeChain(BPE_MERGES) + sqlBpeEncode(BPE_MERGES) + sqlTokenGrams +
+        s""", dupg AS (
            |  SELECT h FROM tg GROUP BY h
            |  HAVING count(DISTINCT doc_id) >= $SPAN_MIN_DOCS
            |), dp AS (
@@ -2730,6 +2716,54 @@ object PipelineQueries {
            |    AS dup_frac
            |FROM arr a LEFT JOIN per_doc USING (doc_id)""".stripMargin) { (s, dir) =>
       Dedup.dupTokenSpans(bpeEncodedCached(s, dir), TOK_SPAN_L,
+        SPAN_MIN_DOCS)
+    },
+
+    // ---- token-grain duplicate-span CUT (round 17, VERDICT ask #1):
+    // p69's detect completed to the Lee-et-al. end-to-end at the TOKEN
+    // grain — duplicated token spans removed from every non-keeper doc
+    // and the token SEQUENCE rebuilt with dense per-doc renumbering.
+    // The oracle replays training, encode, the token-gram keeper
+    // election, the island merge, the covered-position anti-join, AND
+    // the renumber — the full cut, not a summary of it.
+    QueryDef(
+      "p70_dup_token_span_cut",
+      sqlBpeChain(BPE_MERGES) + sqlBpeEncode(BPE_MERGES) + sqlTokenGrams +
+        s""", keepers AS (
+           |  SELECT h, CAST(min(doc_id) AS BIGINT) AS keeper
+           |  FROM tg GROUP BY h
+           |  HAVING count(DISTINCT doc_id) >= $SPAN_MIN_DOCS
+           |), cuttable AS (
+           |  SELECT tg.doc_id, tg.n_tokens, tg.pos
+           |  FROM tg JOIN keepers USING (h) WHERE tg.doc_id <> keepers.keeper
+           |), isl AS (
+           |  SELECT doc_id, n_tokens, pos,
+           |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+           |      <= $TOK_SPAN_L THEN 0 ELSE 1 END AS brk
+           |  FROM cuttable
+           |), isl2 AS (
+           |  SELECT doc_id, n_tokens, pos,
+           |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           |  FROM isl
+           |), spans AS (
+           |  SELECT doc_id, island, min(pos) AS s,
+           |    least(max(pos) + ${TOK_SPAN_L - 1}, n_tokens) AS e
+           |  FROM isl2 GROUP BY doc_id, n_tokens, island
+           |), covered AS (
+           |  SELECT doc_id, CAST(unnest(range(s, e + 1)) AS BIGINT) AS i
+           |  FROM spans
+           |), kept AS (
+           |  SELECT en.doc_id, en.pos + 1 AS i, en.token_id
+           |  FROM enc en LEFT JOIN covered c
+           |    ON c.doc_id = en.doc_id AND c.i = en.pos + 1
+           |  WHERE c.i IS NULL
+           |)
+           |SELECT doc_id,
+           |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+           |    AS BIGINT) AS pos,
+           |  token_id
+           |FROM kept""".stripMargin) { (s, dir) =>
+      Dedup.dupTokenSpansCut(bpeEncodedCached(s, dir), TOK_SPAN_L,
         SPAN_MIN_DOCS)
     }
   )
@@ -3001,6 +3035,28 @@ object PipelineQueries {
        |      ORDER BY t.wpos, t.sidx) - 1 AS BIGINT) AS pos,
        |    t.token, v.token_id
        |  FROM tk t JOIN vocab v USING (token)
+       |)""".stripMargin
+
+  /** Token [[TOK_SPAN_L]]-gram postings over the replayed `enc`
+    * relation (appended after [[sqlBpeEncode]]): yields
+    * `arr (doc_id, n_tokens, ids)` and `tg (doc_id, n_tokens, pos, h)`
+    * — the posting CTEs shared by p69 (span detect) and p70 (span cut).
+    */
+  private def sqlTokenGrams: String =
+    s""", arr AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    list(CAST(token_id AS VARCHAR) ORDER BY pos) AS ids
+       |  FROM enc GROUP BY doc_id
+       |), tg AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(unnest(range(1, greatest(len(ids) - ${TOK_SPAN_L - 1}, 1) + 1))
+       |      AS BIGINT) AS pos,
+       |    unnest(list_transform(
+       |      range(1, greatest(len(ids) - ${TOK_SPAN_L - 1}, 1) + 1),
+       |      i -> ${Hashing.sqlH60(
+           s"array_to_string(list_slice(ids, i, i + ${TOK_SPAN_L - 1}), ' ')")}))
+       |      AS h
+       |  FROM arr
        |)""".stripMargin
 
   /** Per-distinct-word subword token counts from the round-`rounds`

@@ -49,7 +49,12 @@ import graft.pipeline.{Curation, Dedup, TextAnalysis}
   * boilerplate that whole-doc dedup can't touch; docs cut to empty are
   * dropped, and the yield row reports total words removed. Surviving
   * text becomes the tokenizer's lowercased single-spaced view (the
-  * convention every downstream text stage gates on anyway).
+  * convention every downstream text stage gates on anyway). When
+  * `tokens=bpe:` is also on, the cut runs at the TOKEN grain instead
+  * ([[Dedup.dupTokenSpansCutText]] — encode, cut duplicated token
+  * `L`-grams, decode the surviving stream back to text; the grain Lee
+  * et al. actually operate on) and the yield row reports
+  * `span_cut_tokens_cut`.
   *
   * `contamSpans=<L>` (requires a benchmark) replaces the drop-based
   * decontamination with the SPAN-cut variant
@@ -205,11 +210,13 @@ object Curate {
     }
 
     // Re-attach a cut relation's rebuilt text to the surviving rows of
-    // `prev`, dropping docs cut to empty; records total words removed.
-    // The cut relation is checkpointed ONCE so the words-removed stat
-    // and the join don't re-run the span machinery.
-    def applyCut(name: String, prev: DataFrame, cutRel: DataFrame)
-        : DataFrame = {
+    // `prev`, dropping docs cut to empty; records the total removed in
+    // the cut's own grain (`cut_words` for word-grain cuts,
+    // `cut_tokens` for the BPE token-grain cut). The cut relation is
+    // checkpointed ONCE so the removed-count stat and the join don't
+    // re-run the span machinery.
+    def applyCut(name: String, prev: DataFrame, cutRel: DataFrame,
+        cutCol: String = "cut_words"): DataFrame = {
       var cut: DataFrame = null
       val s = stage(name, rewritesText = true) {
         // checkpoint INSIDE the timed stage: the span machinery's
@@ -225,8 +232,8 @@ object Curate {
       }
       // coalesce: sum over an empty relation is NULL (an empty input
       // corpus must record 0 cut words, not NPE — round-14 ADVICE).
-      stats(s"${name}_words_cut") =
-        cut.agg(coalesce(sum("cut_words"), lit(0L))).head().getLong(0).toDouble
+      stats(s"${name}_${cutCol.stripPrefix("cut_")}_cut") =
+        cut.agg(coalesce(sum(cutCol), lit(0L))).head().getLong(0).toDouble
       s
     }
 
@@ -260,10 +267,19 @@ object Curate {
 
     // Optional exact-substring span CUT (Lee et al. end to end): remove
     // duplicated spans from every non-keeper doc and rebuild — the
-    // boilerplate whole-doc dedup can't touch.
+    // boilerplate whole-doc dedup can't touch. With tokens=bpe the cut
+    // runs at the TOKEN grain (the grain Lee et al. actually cut at —
+    // encode under the vocab, cut duplicated token L-grams, decode the
+    // surviving stream back to text); L then counts subword tokens, not
+    // words, so the same L bites on shorter surface repeats.
     val spanCutted = spanCut match {
       case None => gated
-      case Some(l) => applyCut("span_cut", gated, Dedup.dupSpansCut(gated, l))
+      case Some(l) => bpeMerges match {
+        case Some(m) => applyCut("span_cut", gated,
+          Dedup.dupTokenSpansCutText(gated, m, l), cutCol = "cut_tokens")
+        case None =>
+          applyCut("span_cut", gated, Dedup.dupSpansCut(gated, l))
+      }
     }
 
     val decontam = benchmarkPath match {

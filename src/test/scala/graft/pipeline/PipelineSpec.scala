@@ -173,6 +173,42 @@ class PipelineSpec extends SparkSpec {
     assert(cut.values.forall(v => v.indices.nonEmpty))
   }
 
+  test("token span cut TEXT rebuild == decoding the cut id stream") {
+    // dupTokenSpansCutText (the Curate-facing shape) must equal
+    // encode -> dupTokenSpansCut -> decode via the vocab, doc for doc —
+    // including docs cut to empty (a row with text_cut = '' where the
+    // id relation has no surviving rows).
+    val d = docs(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y c d e f u v w"),
+      (3L, "k l m n o p"),
+      (4L, "m m m m m m"),
+      (5L, "c d e f p q r s t u v c d e f"),
+      (7L, "c d"), (8L, "c d"))
+    val merges = Bpe.train(d, 6)
+    val got = Dedup.dupTokenSpansCutText(d, merges, spanL = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cut_tokens"), r.getAs[String]("text_cut")))).toMap
+    val voc = Bpe.vocab(d, merges).collect()
+      .map(r => r.getAs[Long]("token_id") -> r.getAs[String]("token")).toMap
+    val enc = Bpe.encode(d, merges)
+    val ref = Dedup.dupTokenSpansCut(enc, spanL = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(_._2).map(t => voc(t._3)).mkString("")
+          .replace(Bpe.Eow, " ").trim }
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 7L, 8L))
+    got.foreach { case (id, (_, text)) =>
+      assert(text == ref.getOrElse(id, ""), s"doc $id rebuild mismatch")
+    }
+    // doc 1 is the global min id: every duplicated gram it holds elects
+    // it keeper, so it survives verbatim regardless of the merge table.
+    assert(got(1L) == ((0L, "a b c d e f g h i j")))
+    // the shared "c d e f" region is keeper-owned by doc 1, so both
+    // docs 2 and 5 genuinely lose tokens.
+    assert(got(2L)._1 > 0L && got(5L)._1 > 0L)
+  }
+
   test("incremental dedup: exact dup, near dup, novel doc") {
     val corpus = docs(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

@@ -206,6 +206,50 @@ class CurateSpec extends SparkSpec {
       "cut removed more than the planted span")
   }
 
+  test("spanCut + tokens=bpe cuts at the TOKEN grain and reports tokens") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // The word-grain spanCut fixture, run in tokens=bpe mode: the cut
+    // must go through dupTokenSpansCutText (token L-grams over the
+    // encoded stream), report span_cut_tokens_cut, and still cut the
+    // boilerplate from non-keepers only. L=12 TOKEN grams: the unique
+    // filler words carry their doc index as a character, so the longest
+    // cross-doc-shared token run outside the boilerplate is well under
+    // 12 tokens — only the planted sentence (~60 tokens) can be flagged.
+    val boiler = "all rights reserved click here to subscribe to our newsletter"
+    def filler(i: Int, a: Int, b: Int) = (a until b).map(w =>
+      (if (w % 2 == 0) Seq("the", "is", "and", "for")(w % 4) else s"u${i}w$w"))
+      .mkString(" ")
+    val docs = Seq(
+      (2L, s"${filler(1, 0, 20)} $boiler ${filler(1, 20, 40)}", "web"),
+      (4L, s"$boiler ${filler(2, 1, 41)}", "web"),
+      (6L, s"${filler(3, 0, 40)} $boiler", "web"))
+    val docsDf = docs.toDF("doc_id", "text", "source")
+    val docsP = java.nio.file.Files.createTempDirectory("curate-tspan")
+      .toString + "/docs.parquet"
+    docsDf.write.parquet(docsP)
+    val vocabDir = java.nio.file.Files.createTempDirectory("curate-tspan-v")
+      .toString + "/vocab"
+    graft.pipeline.Bpe.saveVocab(spark,
+      graft.pipeline.Bpe.train(docsDf, 8), vocabDir)
+    val out = java.nio.file.Files.createTempDirectory("curate-tspan-out")
+      .toString
+    val stats = Curate.run(spark, docsP, out, benchmarkPath = None,
+      spanCut = Some(12), bpeVocab = Some(vocabDir))
+    assert(stats("span_cut_docs") == 3.0) // cut removes tokens, not docs
+    assert(stats("span_cut_tokens_cut") > 0.0,
+      "token-grain cut removed nothing")
+    assert(!stats.contains("span_cut_words_cut"),
+      "token-grain run must report tokens, not words")
+    val texts = spark.read.parquet(s"$out/curated")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(texts(2L).contains(boiler), "keeper lost its canonical copy")
+    assert(!texts(4L).contains(boiler) && !texts(6L).contains(boiler),
+      "non-keeper kept the boilerplate")
+    assert(texts(4L).contains("u2w1") && texts(6L).contains("u3w1"),
+      "cut removed more than the planted span")
+  }
+
   test("contamSpans stage cuts the planted leak instead of dropping the doc") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
