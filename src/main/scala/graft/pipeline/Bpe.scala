@@ -231,6 +231,73 @@ object Bpe {
     out.toSeq
   }
 
+  /** [[train]] with INCREMENTAL pair counts — the standard trainer
+    * optimization (round-16 VERDICT ask #3): after merging pair
+    * `(a, b)`, only words whose state contained `␟a␟␟b␟` change, so
+    * instead of re-aggregating every adjacent pair of every word each
+    * round, a standing `(a, b, cnt)` relation is maintained by a DELTA
+    * update — subtract the affected words' pre-merge pairs, add their
+    * post-merge pairs, merge into the standing counts. Byte-identical
+    * merges to [[train]] by construction (same argmax tie-break, same
+    * greedy replace; differential-pinned in BpeDeepSpec at 2048 rounds
+    * against the sequential reference).
+    *
+    * Cost shape per round: one NARROW `contains` scan of the
+    * vocabulary-sized state relation (no shuffle), one explode +
+    * aggregate over the AFFECTED words only (shrinks as training
+    * proceeds), and one distinct-pair-sized counts merge — versus
+    * [[train]]'s explode + shuffle of EVERY adjacent pair instance
+    * (total-symbol-sized) every round. The trade: one extra
+    * materialization per round (the counts relation checkpoints
+    * alongside the state), so at tiny vocabularies the fixed job
+    * overhead makes it a wash; the win grows with vocabulary — the
+    * production 100k+-vocab, 32k-merge regime this exists for.
+    */
+  def trainIncremental(docs: DataFrame, numMerges: Int,
+      textCol: String = "text"): Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    var state = Lineage.cut(
+      wordFreqs(docs, textCol)
+        .select(col("freq"), initState(col("word")).as("state")))
+    var counts = Lineage.cut(pairCounts(state))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      val top = counts
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val m = Merge(r, top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        out += m
+        // Affected rows are identified on the OLD state (the merged
+        // symbol's surface can collide with an older merge's — e.g.
+        // (x, yz) and (xy, z) both yield "xyz" — so post-replace
+        // `contains` over-matches; pre-replace `contains` of the exact
+        // pair pattern is precise).
+        val affected = state.filter(col("state").contains(m.pattern))
+        val delta = pairCounts(
+            affected.withColumn("state",
+              replace(col("state"), lit(m.pattern), lit(m.replacement))))
+          .unionByName(pairCounts(affected)
+            .select(col("a"), col("b"), (-col("cnt")).as("cnt")))
+        val nextCounts = Lineage.cut(
+          counts.unionByName(delta)
+            .groupBy("a", "b").agg(sum("cnt").as("cnt"))
+            .filter(col("cnt") =!= 0L))
+        val nextState = Lineage.cut(state.withColumn("state",
+          replace(col("state"), lit(m.pattern), lit(m.replacement))))
+        Lineage.release(state)
+        Lineage.release(counts)
+        state = nextState
+        counts = nextCounts
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
   /** The trained merge table as a DataFrame — `p63_bpe_vocab`'s output
     * shape and the persisted vocabulary layout.
     */

@@ -139,6 +139,15 @@ object LangNb {
     * lifecycle as [[Dedup.IndexParams]].
     */
   final case class ModelParams(n: Int, labels: Seq[String]) {
+    // The json round-trip below splits on commas and strips bare
+    // quotes — safe only for identifier-shaped labels. Enforce that at
+    // construction (the Hashing custom-tag convention, round-16
+    // ADVICE): a label with a comma/quote/bracket would serialize to
+    // JSON that parse() silently mis-reads.
+    labels.foreach(l => require(
+      l.nonEmpty && l.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"LangNb label '$l' must match [A-Za-z0-9_-]+ — the params.json " +
+        "round-trip does not escape, so punctuation would corrupt it"))
     def json: String =
       s"""{"n":$n,"labels":[${labels.map(l => s""""$l"""").mkString(",")}]}"""
     def requireMatches(n: Int, what: String): Unit =

@@ -810,9 +810,15 @@ object SourceMlQueries {
       idx.params.get.requireMatches(PipelineQueries.SHINGLE_N,
         PipelineQueries.MH_BANDS, PipelineQueries.MH_ROWS,
         graft.pipeline.Hashing.HashMode.Oracle, "s17 foreachBatch gate")
-      // Per-execution sink/checkpoint (foreachBatch APPENDS; a re-run in
-      // the same session must not double its verdicts).
-      val run = s"$base/run_${System.nanoTime()}"
+      // Fixed per-query run dir, DELETED before each execution: the
+      // sink checkpoint must not resume a finished drain (it would
+      // produce zero batches), and a nanoTime-suffixed dir per sample
+      // accumulated delta-sized parquet across bench/verify runs
+      // (round-16 ADVICE).
+      val run = s"$base/run"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(run), true)
       val stream = s.readStream.schema("doc_id BIGINT, text STRING")
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$base/in")
@@ -822,7 +828,10 @@ object SourceMlQueries {
         outPath = s"$run/verdicts", checkpoint = s"$run/_ckpt")
       q.awaitTermination()
       StreamingOps.unpersistIndex(cached)
+      // The idempotent sink partitions by micro-batch (`batch=<id>`);
+      // the gate's output is the verdict columns alone.
       s.read.parquet(s"$run/verdicts")
+        .select("doc_id", "dup_exact", "near_id", "near_jaccard", "keep")
     },
 
     // ---- M1-M4: StringIndexer (frequencyDesc, ties alphabetic, SPARK

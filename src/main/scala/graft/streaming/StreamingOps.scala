@@ -420,10 +420,16 @@ object StreamingOps {
     * gate's output exactly — p54's oracle SQL gates it verbatim (s17).
     *
     * Each micro-batch's full verdict relation (`doc_id, dup_exact,
-    * near_id, near_jaccard, keep`) appends to `outPath` as parquet.
-    * Returns the started query plus the cached index — callers
-    * `unpersistIndex` it after `awaitTermination` (the cache belongs to
-    * the drain, not the session).
+    * near_id, near_jaccard, keep`) lands under `outPath/batch=<id>` —
+    * OVERWRITING that batch's own directory, because foreachBatch is
+    * at-least-once: a retried micro-batch re-delivers the same batchId,
+    * and an append sink would duplicate its verdicts while the
+    * per-batchId overwrite is idempotent (round-16 ADVICE). Read the
+    * sink with `spark.read.parquet(outPath)` — partition discovery adds
+    * a `batch` column; select the verdict columns to drop it. Returns
+    * the started query plus the cached index — callers `unpersistIndex`
+    * it after `awaitTermination` (the cache belongs to the drain, not
+    * the session).
     */
   def indexGateDrain(stream: DataFrame,
       index: graft.pipeline.Dedup.CorpusIndex,
@@ -440,11 +446,11 @@ object StreamingOps {
       index.keys.persist(lvl), index.buckets.persist(lvl),
       index.shingles.persist(lvl), index.params)
     val q = stream.writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         graft.pipeline.Dedup.incrementalDedupAgainst(cached, batch,
             n, numBands, rowsPerBand, threshold, mode,
             broadcastDelta = true)
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

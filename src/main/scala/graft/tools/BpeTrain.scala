@@ -10,8 +10,15 @@ import graft.pipeline.Bpe
   *
   * ```
   * runMain graft.tools.BpeTrain <docs.parquet> <vocabDir> [merges=64] \
-  *     [encode=on]
+  *     [encode=on] [trainer=full|delta]
   * ```
+  *
+  * `trainer=delta` uses the incremental pair-count trainer
+  * ([[Bpe.trainIncremental]] — per-round cost bounded by the words a
+  * merge actually touches instead of every adjacent pair); merges are
+  * byte-identical to the default full re-aggregate trainer, so the
+  * saved vocabularies diff empty (BpeDeepSpec pins it; the round-17
+  * BASELINE run diffs the two parquet artifacts at 2048 merges).
   *
   * Prints one JSON line: corpus size, distinct words, merges trained,
   * wall seconds, and the corpus token total under the trained table
@@ -34,6 +41,12 @@ object BpeTrain {
       a.stripPrefix("merges=").toInt
     }.getOrElse(64)
     val doEncode = args.lift(3).contains("encode=on")
+    val trainer = args.lift(4).map { a =>
+      require(a.startsWith("trainer="), s"expected trainer=<t>, got '$a'")
+      a.stripPrefix("trainer=")
+    }.getOrElse("full")
+    require(trainer == "full" || trainer == "delta",
+      s"trainer must be full|delta, got '$trainer'")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.SessionTuning.autoConfs(docsPath, cpus.toInt)
       .foldLeft(SparkSession.builder()
@@ -48,7 +61,9 @@ object BpeTrain {
     val docs = spark.read.parquet(docsPath).select("doc_id", "text")
     val nDocs = docs.count()
     val t0 = System.nanoTime()
-    val merges = Bpe.train(docs, numMerges)
+    val merges =
+      if (trainer == "delta") Bpe.trainIncremental(docs, numMerges)
+      else Bpe.train(docs, numMerges)
     val trainSec = (System.nanoTime() - t0) / 1e9
     Bpe.saveVocab(spark, merges, vocabDir)
     val nWords = Bpe.wordFreqs(docs).count()
@@ -63,7 +78,7 @@ object BpeTrain {
     }
     def j(d: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    println(s"""{"docs":"$docsPath","n_docs":$nDocs,""" +
+    println(s"""{"docs":"$docsPath","n_docs":$nDocs,"trainer":"$trainer",""" +
       s""""n_distinct_words":$nWords,"merges":${merges.size},""" +
       s""""train_sec":${j(trainSec)},"corpus_tokens":$nTokens$encodeJson,""" +
       s""""vocab":"$vocabDir"}""")

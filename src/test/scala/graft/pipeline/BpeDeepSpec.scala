@@ -146,6 +146,34 @@ class BpeDeepSpec extends SparkSpec {
     assert(chunks == refTot)
   }
 
+  test("incremental trainer == sequential reference at 2048 rounds") {
+    // The delta pair-count trainer (round-16 VERDICT ask #3) must
+    // produce the BYTE-identical merge table — rank, pair, and winning
+    // count — at production depth, where thousands of delta updates
+    // have compounded on the standing counts relation (any drift in
+    // the subtract/add algebra diverges the argmax within a few
+    // rounds, so depth is the test).
+    val words = randomWords(420)
+    val docs = corpusOf(words)
+    val freqs = words.zipWithIndex.map { case (w, i) => (w, (1 + i % 3).toLong) }
+    val ref = refTrain(freqs, 2048)
+    assert(ref.size == 2048)
+    val eng = Bpe.trainIncremental(docs, 2048)
+    assert(eng == ref)
+  }
+
+  test("incremental trainer == full trainer incl. early exhaustion") {
+    // Tiny vocabulary that EXHAUSTS (every word collapses to one
+    // symbol) well before the requested rounds: both trainers must
+    // stop at the same round with the same table.
+    val words = randomWords(12)
+    val docs = corpusOf(words)
+    val full = Bpe.train(docs, 4096)
+    val inc = Bpe.trainIncremental(docs, 4096)
+    assert(full.nonEmpty && full.size < 4096, "fixture must exhaust")
+    assert(inc == full)
+  }
+
   test("distributed train == sequential reference over 256 rounds") {
     // Small vocabulary keeps 256 distributed rounds fast; 256 also makes
     // the trained table span multiple replay batches when consumed.

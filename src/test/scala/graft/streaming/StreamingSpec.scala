@@ -640,11 +640,27 @@ class StreamingSpec extends SparkSpec {
       3, 24, 2, 0.5, outPath = s"$dir/verdicts", checkpoint = s"$dir/_ckpt")
     q.awaitTermination()
     StreamingOps.unpersistIndex(cached)
-    val got = spark.read.parquet(s"$dir/verdicts").collect()
-      .map(_.toSeq).toSet
+    def readVerdicts = spark.read.parquet(s"$dir/verdicts")
+      .select("doc_id", "dup_exact", "near_id", "near_jaccard", "keep")
+      .collect().map(_.toSeq).toSet
+    val got = readVerdicts
     assert(got == expected)
     val byId = got.map(s => s.head -> s.tail).toMap
     assert(byId(10L) == Seq(true, 1L, 1.0, false))
     assert(byId(24L) == Seq(false, -1L, 0.0, true))
+    // At-least-once idempotence (round-16 ADVICE): the sink partitions
+    // by micro-batch and OVERWRITES per batchId, so a redelivered
+    // micro-batch replaces its own verdicts instead of appending
+    // duplicates. Re-drain the same input with a FRESH checkpoint (all
+    // three batchIds redeliver) into the same sink: row set unchanged.
+    val idx2 = Dedup.readIndex(spark, s"$dir/idx")
+    val (q2, cached2) = StreamingOps.indexGateDrain(
+      spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
+      idx2, 3, 24, 2, 0.5,
+      outPath = s"$dir/verdicts", checkpoint = s"$dir/_ckpt_retry")
+    q2.awaitTermination()
+    StreamingOps.unpersistIndex(cached2)
+    assert(readVerdicts == expected, "redelivered batches duplicated verdicts")
   }
 }
