@@ -256,6 +256,78 @@ object GraphQueries {
     |),
     |btw AS (SELECT src, dst, count(*) AS betweenness FROM pathedges GROUP BY src, dst)""".stripMargin
 
+  /** g17 hub cap for the k=3 betweenness: small enough to BITE at every
+    * test SF (213 of 2,000 vertices exceed it at sf0.01, 2,732 of
+    * 20,000 at sf0.1 — measured), so the capped-mid path algebra is
+    * genuinely exercised, while Σdeg³ fan-out stays bounded by |E|·cap².
+    */
+  private val MAXMID3 = 16L
+
+  /** k=3 twin of [[BTW]] with the hub cap (round-16 VERDICT ask #7):
+    * `cm` is the capped mid-adjacency (first hops never capped —
+    * [[graft.graph.Skew.cappedMidAdjacency]] semantics), distances and
+    * walks extend through `cm` only, every length's pairs join their
+    * exact-distance set, and the survivor per ordered pair is the
+    * lexicographically smallest zero-padded intermediate sequence —
+    * [[graft.graph.Betweenness.shortestPaths]] replayed term for term.
+    * Degenerate walks (revisiting an endpoint) need no explicit filter:
+    * their endpoints are always at a shorter distance, so the
+    * exact-distance join drops them — same argument as the engine's.
+    */
+  private val BTW3 = s"""
+    |cm AS (
+    |  SELECT n.id AS src, n.nb AS dst FROM n1 n
+    |  JOIN (SELECT id FROM (SELECT id, count(*) AS c FROM n1 GROUP BY id)
+    |        WHERE c <= $MAXMID3) al ON al.id = n.id
+    |),
+    |w2 AS (
+    |  SELECT f.id AS a, f.nb AS m, c.dst AS z
+    |  FROM n1 f JOIN cm c ON c.src = f.nb
+    |  WHERE f.id <> c.dst
+    |),
+    |d2p AS (
+    |  SELECT DISTINCT a, z FROM w2 w
+    |  WHERE NOT EXISTS (SELECT 1 FROM n1 e WHERE e.id = w.a AND e.nb = w.z)
+    |),
+    |w3 AS (
+    |  SELECT w.a, w.m AS m1, w.z AS m2, c.dst AS z
+    |  FROM w2 w JOIN cm c ON c.src = w.z
+    |  WHERE w.a <> c.dst
+    |),
+    |d3p AS (
+    |  SELECT DISTINCT d.a, c.dst AS z
+    |  FROM d2p d JOIN cm c ON c.src = d.z
+    |  WHERE d.a <> c.dst
+    |    AND NOT EXISTS (SELECT 1 FROM n1 e WHERE e.id = d.a AND e.nb = c.dst)
+    |    AND NOT EXISTS (SELECT 1 FROM d2p x WHERE x.a = d.a AND x.z = c.dst)
+    |),
+    |p2c AS (
+    |  SELECT w.a, w.z, MIN(w.m) AS m
+    |  FROM w2 w JOIN d2p d ON d.a = w.a AND d.z = w.z
+    |  GROUP BY w.a, w.z
+    |),
+    |p3key AS (
+    |  SELECT w.a, w.z,
+    |    MIN(lpad(CAST(w.m1 AS VARCHAR), 19, '0') || ',' ||
+    |        lpad(CAST(w.m2 AS VARCHAR), 19, '0')) AS k
+    |  FROM w3 w JOIN d3p d ON d.a = w.a AND d.z = w.z
+    |  GROUP BY w.a, w.z
+    |),
+    |p3c AS (
+    |  SELECT a, z, CAST(substr(k, 1, 19) AS BIGINT) AS m1,
+    |    CAST(substr(k, 21, 19) AS BIGINT) AS m2
+    |  FROM p3key
+    |),
+    |pe3 AS (
+    |  SELECT id AS src, nb AS dst FROM n1
+    |  UNION ALL SELECT a AS src, m AS dst FROM p2c
+    |  UNION ALL SELECT m AS src, z AS dst FROM p2c
+    |  UNION ALL SELECT a AS src, m1 AS dst FROM p3c
+    |  UNION ALL SELECT m1 AS src, m2 AS dst FROM p3c
+    |  UNION ALL SELECT m2 AS src, z AS dst FROM p3c
+    |),
+    |btw3 AS (SELECT src, dst, count(*) AS betweenness FROM pe3 GROUP BY src, dst)""".stripMargin
+
   private val SUPEDGES = s"""
     |sedges AS (
     |  SELECT src, dst FROM (
@@ -642,6 +714,24 @@ object GraphQueries {
         labelings.map { case (tag, l) =>
           Modularity.score(l, e).withColumn("labeling", lit(tag))
         }.reduce(_ unionByName _)
+    },
+
+    // ---- G2/G7 at k=3 (round-16 VERDICT ask #7): the bounded
+    // betweenness's path enumeration at max_sp_length=3, hub-capped —
+    // max_sp_length defaults to 2 everywhere (g04 gates it); this entry
+    // proves the length generalization under the oracle and pins the
+    // Σdeg³ cost shape with the cap that bounds it. Fresh computation
+    // (not the k=2 session cache): the k=3 chain IS what this query
+    // measures.
+    QueryDef(
+      "g17_betweenness_k3",
+      s"""WITH $EDGES, $BTW3
+         |SELECT src, dst, betweenness FROM btw3""".stripMargin) { (s, dir) =>
+      implicit val spark: SparkSession = s
+      Betweenness.run(derivedGraph(s, dir), maxLen = 3,
+          maxMidDegree = Some(MAXMID3))
+        .select(col("edges.src").as("src"), col("edges.dst").as("dst"),
+          col("betweenness"))
     }
   )
 
