@@ -17,7 +17,7 @@ import graft.pipeline.{Bpe, Curation, Dedup, LangNb, TextAnalysis}
   * ```
   * runMain graft.tools.CorpusReport <docs.parquet> <outDir> \
   *     [merges=32] [packBudget=1024] [jaccardT=0.8] \
-  *     [tokens=bpe:<vocabDir>] [langModel=<modelDir>]
+  *     [tokens=bpe:<vocabDir>] [langModel=<modelDir>] [groups=<dir>]
   * ```
   *
   * `tokens=bpe:` / `langModel=` pin the card to PERSISTED artifacts
@@ -28,6 +28,15 @@ import graft.pipeline.{Bpe, Curation, Dedup, LangNb, TextAnalysis}
   * VERDICT ask #2). Without the flags the card self-trains both (the
   * exploratory mode).
   *
+  * `groups=<dir>` pins the NEAR-DUP stat the same way (round-16 VERDICT
+  * ask #6): the [[Curate]] `outDir/groups` artifact
+  * `(doc_id, group_id, is_canonical)` is read instead of re-resolving
+  * transitive near-dup groups in-card — the card's dominant cost at
+  * scale. The artifact's doc set is the corpus the groups were resolved
+  * over (Curate's post-exact-dedup relation); `dup_groups_src` records
+  * the provenance, and CorpusReportSpec pins artifact == a fresh
+  * resolve over that same corpus.
+  *
   * Writes `outDir/report.json` and prints the same JSON line.
   */
 object CorpusReport {
@@ -35,7 +44,7 @@ object CorpusReport {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: CorpusReport <docs.parquet> <outDir> " +
       "[merges=32] [packBudget=1024] [jaccardT=0.8] " +
-      "[tokens=bpe:<vocabDir>] [langModel=<modelDir>]")
+      "[tokens=bpe:<vocabDir>] [langModel=<modelDir>] [groups=<dir>]")
     val docsPath = args(0)
     val outDir = args(1)
     val flags = args.drop(2).map { a =>
@@ -50,6 +59,7 @@ object CorpusReport {
       v.stripPrefix("bpe:")
     }
     val langModelDir = flags.get("langModel")
+    val dupGroupsDir = flags.get("groups")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.SessionTuning.autoConfs(docsPath, cpus.toInt)
       .foldLeft(SparkSession.builder()
@@ -63,7 +73,7 @@ object CorpusReport {
 
     val t0 = System.nanoTime()
     val built = build(spark, docsPath, merges, packBudget, jaccardT,
-      bpeVocabDir, langModelDir)
+      bpeVocabDir, langModelDir, dupGroupsDir)
     val wall = (System.nanoTime() - t0) / 1e9
     // Wall is measured OUTSIDE build (session setup excluded, all card
     // queries included) and spliced into the JSON so scale rows don't
@@ -89,7 +99,8 @@ object CorpusReport {
   def build(spark: SparkSession, docsPath: String, merges: Int,
       packBudget: Long, jaccardT: Double,
       bpeVocabDir: Option[String] = None,
-      langModelDir: Option[String] = None): String = {
+      langModelDir: Option[String] = None,
+      dupGroupsDir: Option[String] = None): String = {
     val docs = spark.read.parquet(docsPath)
       .select("doc_id", "text", "source").localCheckpoint()
 
@@ -140,10 +151,22 @@ object CorpusReport {
     val ex = exactGroups.agg(count(lit(1)),
       sum(col("group_size") - 1L)).head()
     val (nDistinctTexts, nExactDupDocs) = (ex.getLong(0), ex.getLong(1))
-    val pairs = Dedup.jaccardPairsPrefix(docs, 3, jaccardT)
-    val groups = Dedup.resolveDupGroups(docs, pairs)
-    val nearDupDocs = groups.filter(col("doc_id") =!= col("canonical_id"))
-      .count()
+    // Pinned near-dup stat: the Curate groups artifact replaces the
+    // in-card transitive group resolution (pairs + CC — the card's
+    // dominant cost at scale). Loud validation: an artifact with the
+    // wrong shape must fail, not report 0.
+    val nearDupDocs = dupGroupsDir match {
+      case Some(p) =>
+        val g = spark.read.parquet(p)
+        require(g.columns.toSet == Set("doc_id", "group_id", "is_canonical"),
+          s"groups artifact at $p has columns ${g.columns.mkString(",")} — " +
+            "expected (doc_id, group_id, is_canonical) from Curate")
+        g.filter(!col("is_canonical")).count()
+      case None =>
+        val pairs = Dedup.jaccardPairsPrefix(docs, 3, jaccardT)
+        Dedup.resolveDupGroups(docs, pairs)
+          .filter(col("doc_id") =!= col("canonical_id")).count()
+    }
 
     // ---- packing estimate (context windows at packBudget tokens)
     val bins = Curation.packSequencesFrom(
@@ -166,6 +189,7 @@ object CorpusReport {
       s""""exact_dup_docs":$nExactDupDocs,"near_dup_docs":$nearDupDocs,""" +
       s""""pack_budget":$packBudget,"pack_bins":$bins,""" +
       s""""bpe_vocab_src":"${bpeVocabDir.getOrElse("trained-in-card")}",""" +
-      s""""lang_model_src":"${langModelDir.getOrElse("self-trained")}"}"""
+      s""""lang_model_src":"${langModelDir.getOrElse("self-trained")}",""" +
+      s""""dup_groups_src":"${dupGroupsDir.getOrElse("resolved-in-card")}"}"""
   }
 }

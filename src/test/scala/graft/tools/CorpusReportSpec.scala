@@ -30,4 +30,48 @@ class CorpusReportSpec extends SparkSpec {
     // the artifact is valid JSON shape-wise (balanced braces)
     assert(json.count(_ == '{') == json.count(_ == '}'))
   }
+
+  test("groups= pins near_dup_docs to the Curate artifact == fresh resolve") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // Planted near-dup corpus where Curate's pre-groups stages are
+    // no-ops (every doc passes quality, no exact dups), so the groups
+    // artifact is resolved over exactly the input relation and the
+    // consistency claim is directly checkable: the pinned card's
+    // near_dup_docs == a fresh resolveDupGroups over the same corpus ==
+    // the unpinned card's own resolve.
+    val body = (i: Int) => (0 until 40).map(w =>
+      s"the word${(i * 53 + w * 7) % 23} is about token$w and it").mkString(" ")
+    val docs = ((0 until 20).flatMap { i =>
+      val t = s"doc $i " + body(i)
+      Seq((i * 2L, t, "web"), (i * 2L + 1, t + " tail", "web"))
+    } ++ (100 until 110).map(i =>
+      (i.toLong * 2, s"unique doc $i " + body(i + 1000), "books")))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("card-grp").toString
+    docs.write.parquet(s"$dir/docs.parquet")
+    Curate.run(spark, s"$dir/docs.parquet", s"$dir/cur",
+      benchmarkPath = None, jaccardT = 0.8)
+
+    def num(json: String, k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(json)
+        .getOrElse(fail(s"missing $k in $json")).group(1).toLong
+    val pinned = CorpusReport.build(spark, s"$dir/docs.parquet",
+      merges = 8, packBudget = 256L, jaccardT = 0.8,
+      dupGroupsDir = Some(s"$dir/cur/groups"))
+    val fresh = graft.pipeline.Dedup.resolveDupGroups(docs,
+        graft.pipeline.Dedup.jaccardPairsPrefix(docs, 3, 0.8))
+      .filter(col("doc_id") =!= col("canonical_id")).count()
+    // >= 20: the 20 planted pairs are a floor — the templated bodies
+    // legitimately form extra cross-doc near-dup pairs at J>=0.8, which
+    // both resolves (artifact and fresh) must agree on identically.
+    assert(fresh >= 20L, s"fixture should plant >=20 near-dups, got $fresh")
+    assert(num(pinned, "near_dup_docs") == fresh)
+    assert(pinned.contains(s""""dup_groups_src":"$dir/cur/groups""""))
+    // the unpinned card resolves the same thing itself
+    val unpinned = CorpusReport.build(spark, s"$dir/docs.parquet",
+      merges = 8, packBudget = 256L, jaccardT = 0.8)
+    assert(num(unpinned, "near_dup_docs") == fresh)
+    assert(unpinned.contains(""""dup_groups_src":"resolved-in-card""""))
+  }
 }
