@@ -50,7 +50,8 @@ class PlanSpec extends SparkSpec {
         "p40_bm25", "g12_triangles", "g13_kcore", "p51_dup_spans",
         "p53_dup_span_cut", "p54_incremental_dedup", "p55_shuffle_shards",
         "p57_contamination_spans", "p64_lang_nb", "p67_bpe_encode",
-        "p69_dup_token_spans")) {
+        "p69_dup_token_spans", "p70_dup_token_span_cut",
+        "g17_betweenness_k3")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name grew a cross product:\n$p")
     }
