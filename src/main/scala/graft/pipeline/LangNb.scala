@@ -40,22 +40,43 @@ object LangNb {
   /** Character n-grams of lowered text (positions 1..len-n+1); empty
     * for docs shorter than n (guarded — Spark's `sequence` generates
     * DESCENDING ranges when stop < start).
+    *
+    * The lambda body must reference the text through a PRE-COMPUTED
+    * column, never re-derive it: higher-order functions evaluate their
+    * lambda interpreted PER ELEMENT, so an expression like
+    * `lower(text)` inside the body re-lowers the whole string once per
+    * gram — O(len²) per document (measured: the gram explode alone was
+    * 183 s of the 30x data card's 253 s lang_mix stage). [[grams]] is
+    * the hoisted relational form; this column helper keeps the
+    * one-shot API but callers on corpus-sized paths go through
+    * [[grams]].
     */
-  def charGrams(text: Column, n: Int): Column = {
-    val tx = lower(text)
+  def charGrams(text: Column, n: Int): Column =
+    charGramsPre(lower(text), n)
+
+  /** N-grams of an ALREADY-LOWERED text column — the lambda touches
+    * only a bound attribute per element.
+    */
+  private def charGramsPre(tx: Column, n: Int): Column =
     when(length(tx) >= n,
       transform(sequence(lit(1), length(tx) - (n - 1)),
         i => tx.substr(i, lit(n))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** `(doc_id, gram)` occurrence rows with the lowering hoisted to a
+    * real projection before the per-element lambda (see [[charGrams]]).
+    */
+  private def grams(docs: DataFrame, n: Int, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), lower(col(textCol)).as("tx"))
+      .select(col("doc_id"), explode(charGramsPre(col("tx"), n)).as("gram"))
 
   /** Per-(doc, gram) occurrence counts — the one corpus-sized pass both
     * training and classification aggregate from.
     */
   private def docGrams(docs: DataFrame, n: Int, idCol: String,
       textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(charGrams(col(textCol), n)).as("gram"))
+    grams(docs, n, idCol, textCol)
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("occ"))
 
   /** Train from a `(doc_id, label)` relation. Laplace smoothing over
@@ -101,8 +122,23 @@ object LangNb {
   def classify(docs: DataFrame, model: Model, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dg = docGrams(docs, n, idCol, textCol)
-    val ds = dg.join(model.gramLp, Seq("gram"))
+    // Prune out-of-vocabulary grams BEFORE the (doc, gram) shuffle
+    // aggregate: OOV grams are dropped by the grid inner join anyway,
+    // but only AFTER the corpus-sized explode has been shuffled — a
+    // broadcast semi-join against the (vocabulary-sized) distinct gram
+    // set moves that drop to the map side. Result-identical; on a
+    // corpus with vocabulary drift (the measured round-17 case: a 30x
+    // word-bijected corpus against a base-trained model, where the
+    // lang_mix stage dominated the data card at 267 s) the shuffle
+    // shrinks by the OOV fraction.
+    val inVocab = grams(docs, n, idCol, textCol)
+      .join(broadcast(model.gramLp.select("gram").distinct()),
+        Seq("gram"), "left_semi")
+    val dg = inVocab.groupBy("doc_id", "gram").agg(count(lit(1)).as("occ"))
+    // The grid is (training vocab x labels) — broadcastable by the
+    // model's own scale contract; never let a missing-stats parquet
+    // read plan it as the shuffled side.
+    val ds = dg.join(broadcast(model.gramLp), Seq("gram"))
       .groupBy("doc_id", "label").agg(sum(col("occ") * col("lp")).as("gsum"))
     val scored = docs.select(col(idCol).as("doc_id"))
       .crossJoin(broadcast(model.priors))

@@ -103,6 +103,17 @@ object CorpusReport {
       dupGroupsDir: Option[String] = None): String = {
     val docs = spark.read.parquet(docsPath)
       .select("doc_id", "text", "source").localCheckpoint()
+    // Per-family stage walls, spliced into the JSON — the card's cost
+    // must be attributable (round-17: the "near-dup resolve dominates"
+    // hypothesis was WRONG at 30x; the measured dominator was the
+    // doubled BPE token accounting, fixed below).
+    val stageSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def staged[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      stageSecs(name) = (System.nanoTime() - t0) / 1e9
+      r
+    }
 
     // ---- volume
     val vol = docs.agg(
@@ -116,11 +127,21 @@ object CorpusReport {
       s"CorpusReport: no documents at $docsPath — nothing to report on")
     val (nDocs, nSources, nWords, nChars) =
       (vol.getLong(0), vol.getLong(1), vol.getLong(2), vol.getLong(3))
-    val vocab = bpeVocabDir match {
+    val vocab = staged("bpe_vocab") { bpeVocabDir match {
       case Some(p) => Bpe.loadVocab(spark, p)
       case None => Bpe.train(docs, merges)
+    } }
+    // ONE per-doc token relation serves both the volume total and the
+    // packing estimate below — the card previously replayed the vocab
+    // over the corpus twice (tokenSum + docTokenCounts), and that
+    // doubled accounting, not the dup resolve, dominated the 30x card.
+    val docToks = staged("bpe_doc_tokens") {
+      val dt = Bpe.docTokenCounts(docs, vocab).localCheckpoint()
+      dt.count()
+      dt
     }
-    val nTokens = Bpe.tokenSum(docs, vocab)
+    val nTokens = docToks.agg(coalesce(sum("n_tokens"), lit(0L)))
+      .head().getLong(0)
 
     // ---- source mix (top 10 by docs)
     val srcMix = docs.groupBy("source").agg(count(lit(1)).as("n"))
@@ -129,33 +150,32 @@ object CorpusReport {
 
     // ---- language mix (NB argmax labels — persisted model when
     // pinned, self-trained otherwise)
-    val langMix = langModelDir
+    val langMix = staged("lang_mix") { langModelDir
       .map(p => LangNb.classifyPersisted(docs, p))
       .getOrElse(LangNb.classifySelfTrained(docs))
       .groupBy("label").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("label")).collect()
-      .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").mkString(",")
+      .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").mkString(",") }
 
     // ---- quality
-    val q = docs.agg(
+    val q = staged("quality") { docs.agg(
       sum(TextAnalysis.qualityOk(col("text")).cast("long")),
-      avg(TextAnalysis.repetitionRatio(col("text"), 3))).head()
+      avg(TextAnalysis.repetitionRatio(col("text"), 3))).head() }
     val (qPass, repMean) = (q.getLong(0), q.getDouble(1))
-    val buckets = Curation.ccnetBuckets(docs)
+    val buckets = staged("ccnet_buckets") { Curation.ccnetBuckets(docs)
       .groupBy("bucket").agg(count(lit(1)).as("n")).collect()
       .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted
-      .mkString(",")
+      .mkString(",") }
 
     // ---- duplication
-    val exactGroups = Dedup.exact(docs)
-    val ex = exactGroups.agg(count(lit(1)),
-      sum(col("group_size") - 1L)).head()
+    val ex = staged("exact_dedup") { Dedup.exact(docs).agg(count(lit(1)),
+      sum(col("group_size") - 1L)).head() }
     val (nDistinctTexts, nExactDupDocs) = (ex.getLong(0), ex.getLong(1))
     // Pinned near-dup stat: the Curate groups artifact replaces the
     // in-card transitive group resolution (pairs + CC — the card's
     // dominant cost at scale). Loud validation: an artifact with the
     // wrong shape must fail, not report 0.
-    val nearDupDocs = dupGroupsDir match {
+    val nearDupDocs = staged("near_dup") { dupGroupsDir match {
       case Some(p) =>
         val g = spark.read.parquet(p)
         require(g.columns.toSet == Set("doc_id", "group_id", "is_canonical"),
@@ -166,15 +186,15 @@ object CorpusReport {
         val pairs = Dedup.jaccardPairsPrefix(docs, 3, jaccardT)
         Dedup.resolveDupGroups(docs, pairs)
           .filter(col("doc_id") =!= col("canonical_id")).count()
-    }
+    } }
 
     // ---- packing estimate (context windows at packBudget tokens)
-    val bins = Curation.packSequencesFrom(
+    val bins = staged("packing") { Curation.packSequencesFrom(
         docs.select(col("source").as("shard"), col("doc_id"))
-          .join(Bpe.docTokenCounts(docs, vocab), Seq("doc_id"))
+          .join(docToks, Seq("doc_id"))
           .select(col("shard"), col("doc_id"), col("n_tokens")),
         packBudget)
-      .select(col("shard"), col("bin")).distinct().count()
+      .select(col("shard"), col("bin")).distinct().count() }
 
     def j(d: Double) =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
@@ -190,6 +210,8 @@ object CorpusReport {
       s""""pack_budget":$packBudget,"pack_bins":$bins,""" +
       s""""bpe_vocab_src":"${bpeVocabDir.getOrElse("trained-in-card")}",""" +
       s""""lang_model_src":"${langModelDir.getOrElse("self-trained")}",""" +
-      s""""dup_groups_src":"${dupGroupsDir.getOrElse("resolved-in-card")}"}"""
+      s""""dup_groups_src":"${dupGroupsDir.getOrElse("resolved-in-card")}",""" +
+      s""""stage_sec":{${stageSecs.map { case (k, v) =>
+        s""""$k":${j(v)}""" }.mkString(",")}}}"""
   }
 }
