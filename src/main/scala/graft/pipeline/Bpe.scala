@@ -201,9 +201,21 @@ object Bpe {
     * round r+1 never recomputes rounds 1..r. Stops early (returning
     * fewer merges) only when every word is a single symbol.
     */
+  /** One progress line per 256 training rounds (driver-side, cheap):
+    * cumulative wall at round checkpoints, so a single run yields the
+    * LATE-WINDOW s/round (steady state) as well as the average — the
+    * early rounds are the expensive ones for both trainers, and an
+    * all-rounds average understates the incremental trainer's
+    * steady-state advantage (round-17 VERDICT ask #6).
+    */
+  private def progress(trainer: String, r: Int, t0: Long): Unit =
+    if (r % 256 == 0) println(f"[bpe] trainer=$trainer round=$r " +
+      f"wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
+
   def train(docs: DataFrame, numMerges: Int, textCol: String = "text")
       : Seq[Merge] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val t0 = System.nanoTime()
     var state = Lineage.cut(
       wordFreqs(docs, textCol)
         .select(col("freq"), initState(col("word")).as("state")))
@@ -225,6 +237,7 @@ object Bpe {
         // pins rounds × vocab-size of block storage.
         Lineage.release(state)
         state = next
+        progress("full", r, t0)
         r += 1
       }
     }
@@ -256,6 +269,7 @@ object Bpe {
   def trainIncremental(docs: DataFrame, numMerges: Int,
       textCol: String = "text"): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val t0 = System.nanoTime()
     var state = Lineage.cut(
       wordFreqs(docs, textCol)
         .select(col("freq"), initState(col("word")).as("state")))
@@ -292,6 +306,7 @@ object Bpe {
         Lineage.release(counts)
         state = nextState
         counts = nextCounts
+        progress("delta", r, t0)
         r += 1
       }
     }

@@ -176,16 +176,18 @@ object LangNb {
     */
   final case class ModelParams(n: Int, labels: Seq[String]) {
     // The json round-trip below splits on commas and strips bare
-    // quotes — safe only for identifier-shaped labels. Enforce that at
-    // construction (the Hashing custom-tag convention, round-16
-    // ADVICE): a label with a comma/quote/bracket would serialize to
-    // JSON that parse() silently mis-reads.
-    labels.foreach(l => require(
-      l.nonEmpty && l.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
-      s"LangNb label '$l' must match [A-Za-z0-9_-]+ — the params.json " +
-        "round-trip does not escape, so punctuation would corrupt it"))
-    def json: String =
+    // quotes — safe only for identifier-shaped labels. Enforce at
+    // SERIALIZATION time (the save/train path), not construction: a
+    // model persisted before this rule existed may carry other
+    // punctuation (e.g. a dot) and must still LOAD — parse() warns
+    // instead (round-17 ADVICE). A label with a comma/quote/bracket
+    // would serialize to JSON that parse() silently mis-reads.
+    def json: String = {
+      labels.foreach(l => require(ModelParams.labelOk(l),
+        s"LangNb label '$l' must match [A-Za-z0-9_.-]+ — the params.json " +
+          "round-trip does not escape, so it would corrupt the file"))
       s"""{"n":$n,"labels":[${labels.map(l => s""""$l"""").mkString(",")}]}"""
+    }
     def requireMatches(n: Int, what: String): Unit =
       require(this.n == n,
         s"$what with gram size n=$n but the persisted model was trained " +
@@ -194,11 +196,23 @@ object LangNb {
   }
 
   object ModelParams {
+    private[pipeline] def labelOk(l: String): Boolean =
+      l.nonEmpty && l.forall(c => c.isLetterOrDigit || c == '_' ||
+        c == '-' || c == '.')
     private val Pat = """\{"n":(\d+),"labels":\[([^\]]*)\]\}""".r
     def parse(json: String): ModelParams = json.trim match {
-      case Pat(n, ls) => ModelParams(n.toInt,
-        ls.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty).toSeq)
+      case Pat(n, ls) =>
+        val labels = ls.split(",")
+          .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq
+        // Accept-and-warn on load: a pre-rule persisted model must
+        // still round-trip; only NEW saves enforce the charset.
+        labels.filterNot(labelOk).foreach(l =>
+          org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+            s"persisted LangNb label '$l' is outside [A-Za-z0-9_.-]+ — " +
+              "loading as-is, but the unescaped params.json round-trip " +
+              "may have mangled it; re-save to normalize"))
+        ModelParams(n.toInt, labels)
       case other => throw new IllegalArgumentException(
         s"unparseable LangNb model params.json: $other")
     }

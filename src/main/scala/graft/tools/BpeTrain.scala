@@ -10,7 +10,7 @@ import graft.pipeline.Bpe
   *
   * ```
   * runMain graft.tools.BpeTrain <docs.parquet> <vocabDir> [merges=64] \
-  *     [encode=on] [trainer=full|delta]
+  *     [encode=on] [trainer=auto|full|delta]
   * ```
   *
   * `trainer=delta` uses the incremental pair-count trainer
@@ -19,6 +19,14 @@ import graft.pipeline.Bpe
   * byte-identical to the default full re-aggregate trainer, so the
   * saved vocabularies diff empty (BpeDeepSpec pins it; the round-17
   * BASELINE run diffs the two parquet artifacts at 2048 merges).
+  *
+  * `trainer=auto` (the default) picks by merge count: the measured
+  * crossover (BASELINE "BPE trainer crossover", round 17) has the full
+  * re-aggregate ~10% faster at <=25k merges (per-round job overhead
+  * dominates) and the delta trainer 1.9x faster at 100k — so auto
+  * selects delta at [[AutoDeltaThreshold]] (32768) merges and above,
+  * making the incremental path the default in the production vocab
+  * regime without penalizing small exploratory vocabularies.
   *
   * Prints one JSON line: corpus size, distinct words, merges trained,
   * wall seconds, and the corpus token total under the trained table
@@ -31,6 +39,19 @@ import graft.pipeline.Bpe
   */
 object BpeTrain {
 
+  /** Merge count at and above which `trainer=auto` picks the
+    * incremental trainer — between the measured 25k (full wins by
+    * ~10%) and 100k (delta wins 1.9x) crossover bracket, at the
+    * production 32k-vocab point.
+    */
+  val AutoDeltaThreshold = 32768
+
+  /** `auto` resolves by merge count; explicit flags pass through. */
+  private[tools] def selectTrainer(flag: String, numMerges: Int): String =
+    if (flag != "auto") flag
+    else if (numMerges >= AutoDeltaThreshold) "delta"
+    else "full"
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: BpeTrain <docs.parquet> <vocabDir> [merges=64] [encode=on]")
@@ -41,12 +62,13 @@ object BpeTrain {
       a.stripPrefix("merges=").toInt
     }.getOrElse(64)
     val doEncode = args.lift(3).contains("encode=on")
-    val trainer = args.lift(4).map { a =>
+    val trainerFlag = args.lift(4).map { a =>
       require(a.startsWith("trainer="), s"expected trainer=<t>, got '$a'")
       a.stripPrefix("trainer=")
-    }.getOrElse("full")
-    require(trainer == "full" || trainer == "delta",
-      s"trainer must be full|delta, got '$trainer'")
+    }.getOrElse("auto")
+    require(Seq("auto", "full", "delta").contains(trainerFlag),
+      s"trainer must be auto|full|delta, got '$trainerFlag'")
+    val trainer = selectTrainer(trainerFlag, numMerges)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.SessionTuning.autoConfs(docsPath, cpus.toInt)
       .foldLeft(SparkSession.builder()

@@ -175,17 +175,34 @@ object CorpusReport {
     // in-card transitive group resolution (pairs + CC — the card's
     // dominant cost at scale). Loud validation: an artifact with the
     // wrong shape must fail, not report 0.
-    val nearDupDocs = staged("near_dup") { dupGroupsDir match {
+    val (nearDupDocs, dupGroupsDocs) = staged("near_dup") { dupGroupsDir match {
       case Some(p) =>
         val g = spark.read.parquet(p)
         require(g.columns.toSet == Set("doc_id", "group_id", "is_canonical"),
           s"groups artifact at $p has columns ${g.columns.mkString(",")} — " +
             "expected (doc_id, group_id, is_canonical) from Curate")
-        g.filter(!col("is_canonical")).count()
+        // A wrong-corpus or stale artifact must fail loudly, not report
+        // a plausible-but-wrong stat (round-17 ADVICE): every doc the
+        // artifact references must exist in the card corpus (cheap
+        // anti-join — artifact-sized, not corpus²). The artifact's own
+        // doc count is recorded in the JSON (`dup_groups_docs`) because
+        // Curate resolves groups over its post-quality/post-exact-dedup
+        // universe — pinned and in-card stats legitimately differ when
+        // those stages bite, and the count makes that visible.
+        val agg = g.join(docs.select("doc_id"), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1))).head.getLong(0)
+        require(agg == 0L,
+          s"groups artifact at $p references $agg doc_ids absent from " +
+            s"$docsPath — a stale or wrong-corpus artifact; re-run Curate " +
+            "over this corpus or drop the groups= flag")
+        val c = g.agg(
+          coalesce(sum((!col("is_canonical")).cast("long")), lit(0L)),
+          count(lit(1))).head
+        (c.getLong(0), c.getLong(1))
       case None =>
         val pairs = Dedup.jaccardPairsPrefix(docs, 3, jaccardT)
-        Dedup.resolveDupGroups(docs, pairs)
-          .filter(col("doc_id") =!= col("canonical_id")).count()
+        (Dedup.resolveDupGroups(docs, pairs)
+          .filter(col("doc_id") =!= col("canonical_id")).count(), nDocs)
     } }
 
     // ---- packing estimate (context windows at packBudget tokens)
@@ -211,6 +228,7 @@ object CorpusReport {
       s""""bpe_vocab_src":"${bpeVocabDir.getOrElse("trained-in-card")}",""" +
       s""""lang_model_src":"${langModelDir.getOrElse("self-trained")}",""" +
       s""""dup_groups_src":"${dupGroupsDir.getOrElse("resolved-in-card")}",""" +
+      s""""dup_groups_docs":$dupGroupsDocs,""" +
       s""""stage_sec":{${stageSecs.map { case (k, v) =>
         s""""$k":${j(v)}""" }.mkString(",")}}}"""
   }

@@ -236,7 +236,16 @@ object DeltaGate {
             s""""batch_cold_parquet_secs":[${decompSink.map(j).mkString(",")}],""" +
             s""""batch_cold_parquet_min_sec":${j(decompSink.min)},""" +
             s""""fb_noop_secs":[${decompMach.map(j).mkString(",")}],""" +
-            s""""fb_noop_min_sec":${j(decompMach.min)}""")
+            s""""fb_noop_min_sec":${j(decompMach.min)},""" +
+            // In decompose mode the real drain (D) runs AFTER the
+            // E/F/C components inside each sample, so its wall
+            // benefits from warmed index reads/JIT relative to plain
+            // foreachbatch-mode runs: D/F within a decompose run is
+            // the honest ratio; stream_gate_secs is NOT comparable
+            // across streamMode settings (round-17 ADVICE).
+            s""""decompose_order":"E,F,C,D per sample — """ +
+            s"""stream_gate_secs warmed by in-sample components; """ +
+            s"""compare D/F within this run, not across streamMode"""" )
     println(s"""{"corpus":"$corpusDir","n_corpus":$nCorpus,""" +
       s""""n_delta":$nDelta,"index_build_sec":${j(buildSec)},""" +
       s""""gate_secs":[${gateSecs.map(j).mkString(",")}],""" +

@@ -29,9 +29,12 @@ import org.apache.spark.sql.functions._
   */
 object EntropyCorpus {
 
+  // Mask to non-negative instead of abs(): abs(Long.MinValue) stays
+  // negative (2^-64 per hash, but then chr(97 + h % 26) emits a
+  // non-letter and (h % nWords) a wid that joins nothing).
   private def h(tag: String, a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    abs(xxhash64(lit(tag), a, b))
+    xxhash64(lit(tag), a, b).bitwiseAND(lit(Long.MaxValue))
 
   /** The `nWords`-row vocabulary relation `(wid, word)`. */
   def vocabulary(spark: SparkSession, nWords: Long): DataFrame =

@@ -14,15 +14,24 @@ import graft.queries.{GraphQueries, SessionCache}
   * join-chain behind g04 is the survey's flagged exponential risk and
   * needs its own fresh measurement at larger inputs.
   *
-  *   sbt "runMain graft.tools.IterScaleBench <sfDir> [runs=3]"
+  *   sbt "runMain graft.tools.IterScaleBench <sfDir> [runs] \
+  *       [maxLen=2] [cap=<n|none>] [capDiff=on]"
   *
   * For the given directory, times FRESH (cache-evicted) executions of:
   *   - `edges`       — the co-purchase graph derivation (self-join +
   *                     distinct), the family's shared input;
   *   - `betweenness` — `Betweenness.run` (bounded shortest-path motif
-  *     chain + min-path tie-break + edge explode/count), edges cached;
+  *     chain + min-path tie-break + edge explode/count), edges cached —
+  *     path bound `maxLen` and hub cap `cap` flag-settable (the g17
+  *     k=3 configuration is `maxLen=3 cap=16`);
   *   - `rmetrics`    — `RMetrics.run` (2-hop neighborhoods + common-
   *     neighbor metrics), edges cached.
+  *
+  * `capDiff=on` additionally runs betweenness UNCAPPED at the same
+  * `maxLen` (feasible at small SF where exact enumeration fits) and
+  * reports the capped run's accuracy against it — edges compared, edges
+  * whose count differs, and both walls — the cap-sensitivity evidence
+  * for the hub cap's bias/cost trade (round-17 VERDICT ask #2).
   *
   * Prints one JSON line with the min and median over `runs` passes
   * (min-of-runs is the capability number on this noisy VM —
@@ -32,7 +41,14 @@ object IterScaleBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val runs = if (args.length > 1) args(1).toInt else 3
+    val runs = args.lift(1).filter(!_.contains("=")).map(_.toInt).getOrElse(3)
+    val flags = args.drop(1).filter(_.contains("=")).map { a =>
+      val Array(k, v) = a.split("=", 2); k -> v
+    }.toMap
+    val maxLen = flags.getOrElse("maxLen", "2").toInt
+    val cap: Option[Long] = flags.get("cap").filter(_ != "none").map(_.toLong)
+    val capDiff = flags.get("capDiff").contains("on")
+    require(!capDiff || cap.nonEmpty, "capDiff=on needs a cap= to compare")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.SessionTuning.autoConfs(sfDir, cpus.toInt)
       .foldLeft(SparkSession.builder()
@@ -73,7 +89,7 @@ object IterScaleBench {
       },
       "betweenness" -> measure { evict(); warmEdges() } {
         noop(Betweenness.run(
-          GraphQueries.derivedGraph(spark, sfDir), maxLen = 2)(spark))
+          GraphQueries.derivedGraph(spark, sfDir), maxLen, cap)(spark))
       },
       "rmetrics" -> measure { evict(); warmEdges() } {
         noop(RMetrics.run(
@@ -85,7 +101,41 @@ object IterScaleBench {
     val fields = results.map { case (name, (mn, med)) =>
       s""""$name":{"min":${jnum(mn)},"median":${jnum(med)}}"""
     }.mkString(",")
-    println(s"""{"tool":"iterscale","sf":"$sfDir","runs":$runs,$fields}""")
+    val capJson = if (!capDiff) "" else {
+      import org.apache.spark.sql.functions.{col, abs => cabs, sum => csum,
+        lit, count, coalesce}
+      evict(); warmEdges()
+      val g = GraphQueries.derivedGraph(spark, sfDir)
+      def timed(c: Option[Long]): (org.apache.spark.sql.DataFrame, Double) = {
+        val t0 = System.nanoTime()
+        val df = Betweenness.run(g, maxLen, c)(spark)
+        noop(df)
+        (df, (System.nanoTime() - t0) / 1e9)
+      }
+      val (capped, cappedSec) = timed(cap)
+      val (exact, exactSec) = timed(None)
+      // Full outer on the edge key: the cap can DROP edges from the
+      // result entirely (every geodesic through them routed via a
+      // capped hub), not just lower counts.
+      val cmp = capped.select(col("edges").as("e"),
+          col("betweenness").cast("long").as("bc"))
+        .join(exact.select(col("edges").as("e"),
+          col("betweenness").cast("long").as("bx")), Seq("e"), "full_outer")
+        .select(coalesce(col("bc"), lit(0L)).as("bc"),
+          coalesce(col("bx"), lit(0L)).as("bx"))
+        .agg(count(lit(1)).as("n"),
+          csum((col("bc") =!= col("bx")).cast("long")).as("nd"),
+          csum(cabs(col("bc") - col("bx"))).as("sad"),
+          csum(col("bx")).as("tot")).head()
+      s""","cap_diff":{"max_len":$maxLen,"cap":${cap.get},""" +
+        s""""capped_sec":${jnum(cappedSec)},"exact_sec":${jnum(exactSec)},""" +
+        s""""edges_compared":${cmp.getLong(0)},""" +
+        s""""edges_differing":${cmp.getLong(1)},""" +
+        s""""abs_count_diff":${cmp.getLong(2)},""" +
+        s""""exact_count_total":${cmp.getLong(3)}}"""
+    }
+    println(s"""{"tool":"iterscale","sf":"$sfDir","runs":$runs,""" +
+      s""""max_len":$maxLen,"cap":${cap.getOrElse(-1L)},$fields$capJson}""")
     spark.stop()
   }
 }

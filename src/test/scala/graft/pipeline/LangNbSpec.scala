@@ -65,6 +65,64 @@ class LangNbSpec extends SparkSpec {
     assert(byId(0L) == "en" && byId(100L) == "und")
   }
 
+  test("vocabulary drift: an OOV-heavy corpus still classifies by its " +
+      "surviving in-vocabulary grams") {
+    // The scenario that motivated the round-17 classify rewrite (OOV
+    // broadcast semi-join before the (doc, gram) shuffle): a corpus
+    // whose text is MOSTLY outside the training vocabulary — e.g. a
+    // word-bijected scale-up copy scored by a base-trained model. The
+    // drifted docs here are ~80% digit-soup (every 3-gram touching a
+    // digit is OOV for the a..g / p..z model) with a 20% tail of
+    // genuine lang-A or lang-B words; classification must key on the
+    // survivors, not the noise, and still emit exactly one row per doc.
+    import spark.implicits._
+    val trainDocs = ((0 until 20).map(i => (i.toLong, docA(i), "A")) ++
+      (0 until 20).map(i => (100L + i, docB(i), "B")))
+      .toDF("doc_id", "text", "label")
+    val model = LangNb.train(trainDocs, trainDocs.select("doc_id", "label"))
+    def noise(i: Int) = (0 until 10).map(k => s"${i}0${k}9").mkString(" ")
+    val drifted = ((0 until 8).map(i =>
+        (400L + i, s"${noise(i)} ${wordA(i)} ${wordA(i + 1)}")) ++
+      (0 until 8).map(i =>
+        (500L + i, s"${noise(i)} ${wordB(i)} ${wordB(i + 1)}")))
+      .toDF("doc_id", "text")
+    val rows = LangNb.classify(drifted, model).collect()
+    assert(rows.length == 16, "must stay one row per doc under OOV pruning")
+    val got = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0 until 8).foreach { i =>
+      assert(got(400L + i) == "A", s"doc ${400 + i}: ${got(400L + i)}")
+      assert(got(500L + i) == "B", s"doc ${500 + i}: ${got(500L + i)}")
+    }
+  }
+
+  test("params charset: save refuses a round-trip-corrupting label; load " +
+      "accepts a legacy out-of-charset label with a warning") {
+    import spark.implicits._
+    // A comma inside a label would serialize to params.json that
+    // parse() silently mis-splits — the SAVE path must refuse.
+    intercept[IllegalArgumentException] {
+      LangNb.ModelParams(3, Seq("a,b")).json
+    }
+    // But a model persisted BEFORE the charset rule must still LOAD
+    // (round-17 ADVICE: the require used to run at construction and
+    // broke old models at load). Persist a valid model, then rewrite
+    // its params.json with a pre-rule label shape.
+    val docs = (0 until 10).map(i => (i.toLong, docA(i)))
+      .toDF("doc_id", "text")
+    val labels = docs.select(col("doc_id"), lit("en").as("label"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_nblegacy").toString
+    LangNb.saveModel(LangNb.train(docs, labels), 3, dir)
+    // drop the ChecksumFileSystem sidecar before the raw rewrite, or
+    // the stale .crc fails the read
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/.params.json.crc"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/params.json"),
+      """{"n":3,"labels":["en!legacy"]}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (_, params) = LangNb.loadModel(spark, dir)
+    assert(params.n == 3 && params.labels == Seq("en!legacy"))
+  }
+
   test("persisted model: save -> load -> classify equals the in-memory model, " +
       "gram-size mismatch fails loudly") {
     import spark.implicits._

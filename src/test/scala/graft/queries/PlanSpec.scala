@@ -121,6 +121,40 @@ class PlanSpec extends SparkSpec {
     assert(p38.contains("BroadcastHashJoin"), s"rate table not broadcast:\n$p38")
   }
 
+  test("p64: OOV grams pruned map-side — broadcast semi-join BELOW the " +
+      "(doc,gram) aggregate; model grid and priors broadcast") {
+    // The round-17 classify rewrite (LangNb.scala:122-153): a broadcast
+    // LEFT-SEMI against the model's distinct grams drops
+    // out-of-vocabulary grams BEFORE the corpus-sized (doc, gram)
+    // shuffle aggregate, and the (vocab x labels) grid joins as a
+    // forced broadcast — never the shuffled side off a missing-stats
+    // parquet estimate. Oracle-gated for OUTPUT since round 15; this
+    // pins the PLAN (the p36/p38/p40 precedent).
+    val p = planOf("p64_lang_nb")
+    assert(p.contains("LeftSemi"), s"OOV semi-join missing:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      s"OOV semi-join not broadcast (vocab set is model-sized):\n$p")
+    // Placement: the tree prints parents above children, so the
+    // classify-side (doc_id, gram) HashAggregate must appear BEFORE
+    // the semi-join line — semi-join above the aggregate would mean
+    // the OOV drop happens only after the corpus-sized shuffle.
+    val lines = p.linesIterator.toVector
+    val agg = lines.indexWhere(l => l.contains("HashAggregate") &&
+      l.contains("doc_id") && l.contains("gram"))
+    val semi = lines.indexWhere(_.contains("LeftSemi"))
+    assert(agg >= 0 && semi > agg,
+      s"OOV semi-join not below the (doc,gram) aggregate (agg@$agg, " +
+        s"semi@$semi):\n$p")
+    // Grid join + priors join both broadcast (grid as a second
+    // BroadcastHashJoin, priors as a broadcast nested-loop cross of a
+    // labels-sized table).
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"model grid join not broadcast:\n$p")
+    // (The final per-doc score attach joins two corpus-sized relations
+    // and is legitimately a shuffle join at scale — not asserted.)
+  }
+
   test("p18: probe assignment broadcasts the representative table") {
     val p = planOf("p18_ann_ivf_probed")
     assert(p.contains("BroadcastExchange"), s"rep table not broadcast:\n$p")

@@ -73,5 +73,32 @@ class CorpusReportSpec extends SparkSpec {
       merges = 8, packBudget = 256L, jaccardT = 0.8)
     assert(num(unpinned, "near_dup_docs") == fresh)
     assert(unpinned.contains(""""dup_groups_src":"resolved-in-card""""))
+    // Provenance count (round-17 ADVICE): the pinned card records the
+    // artifact's own doc universe — here Curate's pre-groups stages are
+    // no-ops, so it equals the corpus (50 docs); unpinned cards resolve
+    // over the corpus itself.
+    assert(num(pinned, "dup_groups_docs") == 50L)
+    assert(num(unpinned, "dup_groups_docs") == 50L)
+  }
+
+  test("groups= from the wrong corpus fails loudly instead of reporting a " +
+      "plausible stat") {
+    import spark.implicits._
+    // A groups artifact referencing doc_ids that don't exist in the
+    // card corpus is stale or wrong-corpus — the subset check must
+    // refuse it (round-17 ADVICE: shape-only validation let it pass).
+    val docs = (0 until 10).map(i => (i.toLong, s"doc number $i", "web"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("card-wrong").toString
+    docs.write.parquet(s"$dir/docs.parquet")
+    Seq((900L, 900L, true), (901L, 900L, false))
+      .toDF("doc_id", "group_id", "is_canonical")
+      .write.parquet(s"$dir/stale-groups")
+    val e = intercept[IllegalArgumentException] {
+      CorpusReport.build(spark, s"$dir/docs.parquet",
+        merges = 4, packBudget = 256L, jaccardT = 0.8,
+        dupGroupsDir = Some(s"$dir/stale-groups"))
+    }
+    assert(e.getMessage.contains("absent from"))
   }
 }
