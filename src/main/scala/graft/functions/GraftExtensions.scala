@@ -62,7 +62,11 @@ object GraftExtensions {
     ("minhash_sig",
       info("minhash_sig",
         "minhash_sig(hs, k) - k-min universal-hash MinHash signature"),
-      (args: Seq[Expression]) => MinHashSig(args(0), intLit(args(1), "k"))))
+      (args: Seq[Expression]) => MinHashSig(args(0), intLit(args(1), "k"))),
+    ("char_grams",
+      info("char_grams",
+        "char_grams(text, n) - character n-grams of lower(text), one pass"),
+      (args: Seq[Expression]) => CharGrams(args(0), intLit(args(1), "n"))))
 
   /** Register into an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -38,38 +38,26 @@ object LangNb {
   final case class Model(gramLp: DataFrame, priors: DataFrame)
 
   /** Character n-grams of lowered text (positions 1..len-n+1); empty
-    * for docs shorter than n (guarded — Spark's `sequence` generates
-    * DESCENDING ranges when stop < start).
-    *
-    * The lambda body must reference the text through a PRE-COMPUTED
-    * column, never re-derive it: higher-order functions evaluate their
-    * lambda interpreted PER ELEMENT, so an expression like
-    * `lower(text)` inside the body re-lowers the whole string once per
-    * gram — O(len²) per document (measured: the gram explode alone was
-    * 183 s of the 30x data card's 253 s lang_mix stage). [[grams]] is
-    * the hoisted relational form; this column helper keeps the
-    * one-shot API but callers on corpus-sized paths go through
-    * [[grams]].
+    * for docs shorter than n. Backed by the native one-pass
+    * [[graft.functions.CharGrams]] expression — the interpreted
+    * `substr`-per-position composite this wrapped through round 17 was
+    * O(len²) per document (`substr` re-seeks UTF8 char boundaries from
+    * byte 0 on every call) and was the measured dominator of the 30x
+    * data card's lang_mix stage; see the expression's scaladoc.
     */
   def charGrams(text: Column, n: Int): Column =
-    charGramsPre(lower(text), n)
+    graft.functions.CharGrams(text, n)
 
-  /** N-grams of an ALREADY-LOWERED text column — the lambda touches
-    * only a bound attribute per element.
-    */
-  private def charGramsPre(tx: Column, n: Int): Column =
-    when(length(tx) >= n,
-      transform(sequence(lit(1), length(tx) - (n - 1)),
-        i => tx.substr(i, lit(n))))
-      .otherwise(array().cast("array<string>"))
-
-  /** `(doc_id, gram)` occurrence rows with the lowering hoisted to a
-    * real projection before the per-element lambda (see [[charGrams]]).
+  /** `(doc_id, gram)` occurrence rows — the corpus-sized path, through
+    * the native one-pass [[graft.functions.CharGrams]] kernel (O(len)
+    * per document and codegen-resident; the interpreted
+    * `substr`-per-position composite was the measured dominator of the
+    * 30x data card's lang_mix stage — see the expression's scaladoc).
     */
   private def grams(docs: DataFrame, n: Int, idCol: String,
       textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), lower(col(textCol)).as("tx"))
-      .select(col("doc_id"), explode(charGramsPre(col("tx"), n)).as("gram"))
+    docs.select(col(idCol).as("doc_id"),
+      explode(charGrams(col(textCol), n)).as("gram"))
 
   /** Per-(doc, gram) occurrence counts — the one corpus-sized pass both
     * training and classification aggregate from.
@@ -122,24 +110,23 @@ object LangNb {
   def classify(docs: DataFrame, model: Model, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Prune out-of-vocabulary grams BEFORE the (doc, gram) shuffle
-    // aggregate: OOV grams are dropped by the grid inner join anyway,
-    // but only AFTER the corpus-sized explode has been shuffled — a
-    // broadcast semi-join against the (vocabulary-sized) distinct gram
-    // set moves that drop to the map side. Result-identical; on a
-    // corpus with vocabulary drift (the measured round-17 case: a 30x
-    // word-bijected corpus against a base-trained model, where the
-    // lang_mix stage dominated the data card at 267 s) the shuffle
-    // shrinks by the OOV fraction.
-    val inVocab = grams(docs, n, idCol, textCol)
-      .join(broadcast(model.gramLp.select("gram").distinct()),
-        Seq("gram"), "left_semi")
-    val dg = inVocab.groupBy("doc_id", "gram").agg(count(lit(1)).as("occ"))
-    // The grid is (training vocab x labels) — broadcastable by the
+    // The gram stream NEVER shuffles: each raw (doc_id, gram)
+    // occurrence probes the broadcast (training vocab x labels) grid
+    // directly — the inner join drops OOV grams map-side (subsuming
+    // the round-17 OOV semi-join) — and the per-(doc, label) sum is
+    // map-side-combined down to labels-many partial rows per doc per
+    // partition before the ONLY corpus-sized exchange. The previous
+    // shape paid a full (doc_id, gram) string-keyed shuffle aggregate
+    // first, whose sole purpose was shrinking a join that broadcast
+    // probing makes cheap anyway; summing lp per occurrence equals
+    // sum(occ * lp), so scores are bit-identical (order-independent
+    // integer micro-nat sums). On the 30x card corpus this halved the
+    // dominant lang_mix stage. The grid is broadcastable by the
     // model's own scale contract; never let a missing-stats parquet
     // read plan it as the shuffled side.
-    val ds = dg.join(broadcast(model.gramLp), Seq("gram"))
-      .groupBy("doc_id", "label").agg(sum(col("occ") * col("lp")).as("gsum"))
+    val ds = grams(docs, n, idCol, textCol)
+      .join(broadcast(model.gramLp), Seq("gram"))
+      .groupBy("doc_id", "label").agg(sum(col("lp")).as("gsum"))
     val scored = docs.select(col(idCol).as("doc_id"))
       .crossJoin(broadcast(model.priors))
       .join(ds, Seq("doc_id", "label"), "left")

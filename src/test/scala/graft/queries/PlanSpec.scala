@@ -121,36 +121,37 @@ class PlanSpec extends SparkSpec {
     assert(p38.contains("BroadcastHashJoin"), s"rate table not broadcast:\n$p38")
   }
 
-  test("p64: OOV grams pruned map-side — broadcast semi-join BELOW the " +
-      "(doc,gram) aggregate; model grid and priors broadcast") {
-    // The round-17 classify rewrite (LangNb.scala:122-153): a broadcast
-    // LEFT-SEMI against the model's distinct grams drops
-    // out-of-vocabulary grams BEFORE the corpus-sized (doc, gram)
-    // shuffle aggregate, and the (vocab x labels) grid joins as a
-    // forced broadcast — never the shuffled side off a missing-stats
-    // parquet estimate. Oracle-gated for OUTPUT since round 15; this
-    // pins the PLAN (the p36/p38/p40 precedent).
+  test("p64: the gram stream never shuffles — raw occurrences probe the " +
+      "broadcast grid; the only gram-stream aggregate keys (doc,label)") {
+    // The classify plan (LangNb.scala:122-150): raw (doc_id, gram)
+    // occurrences join the broadcast (vocab x labels) grid directly
+    // (OOV grams drop map-side inside the same probe) and are
+    // map-side-combined into per-(doc_id, label) partial sums before
+    // the single corpus-sized exchange. A regression would show as a
+    // hashpartitioning on `gram` (the round-17 shape paid a full
+    // string-keyed (doc, gram) shuffle aggregate) or as the grid
+    // planning onto the shuffled side of a SortMergeJoin off a
+    // missing-stats parquet estimate. Oracle-gated for OUTPUT since
+    // round 15; this pins the PLAN (the p36/p38/p40 precedent).
     val p = planOf("p64_lang_nb")
-    assert(p.contains("LeftSemi"), s"OOV semi-join missing:\n$p")
-    assert(p.linesIterator.exists(l =>
-        l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
-      s"OOV semi-join not broadcast (vocab set is model-sized):\n$p")
-    // Placement: the tree prints parents above children, so the
-    // classify-side (doc_id, gram) HashAggregate must appear BEFORE
-    // the semi-join line — semi-join above the aggregate would mean
-    // the OOV drop happens only after the corpus-sized shuffle.
+    assert(p.contains("BroadcastHashJoin"), s"grid join not broadcast:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("hashpartitioning") && l.contains("gram")),
+      s"the gram stream grew a shuffle (hashpartitioning on gram):\n$p")
+    // The partial aggregate directly above the broadcast probe keys
+    // (doc_id, label) — the tree prints parents above children, so a
+    // (doc_id, label) HashAggregate must precede the grid join line.
     val lines = p.linesIterator.toVector
     val agg = lines.indexWhere(l => l.contains("HashAggregate") &&
-      l.contains("doc_id") && l.contains("gram"))
-    val semi = lines.indexWhere(_.contains("LeftSemi"))
-    assert(agg >= 0 && semi > agg,
-      s"OOV semi-join not below the (doc,gram) aggregate (agg@$agg, " +
-        s"semi@$semi):\n$p")
-    // Grid join + priors join both broadcast (grid as a second
-    // BroadcastHashJoin, priors as a broadcast nested-loop cross of a
-    // labels-sized table).
-    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
-      s"model grid join not broadcast:\n$p")
+      l.contains("doc_id") && l.contains("label"))
+    // the grid probe is the broadcast join keyed on gram (other
+    // broadcast joins — the priors cross, an AQE-broadcast score
+    // attach — key on doc_id/label)
+    val join = lines.indexWhere(l =>
+      l.contains("BroadcastHashJoin") && l.contains("gram"))
+    assert(agg >= 0 && join > agg,
+      s"(doc,label) aggregate not above the gram-keyed grid probe " +
+        s"(agg@$agg, join@$join):\n$p")
     // (The final per-doc score attach joins two corpus-sized relations
     // and is legitimately a shuffle join at scale — not asserted.)
   }
