@@ -8,14 +8,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression computing the character `n`-grams of a
-  * LOWERED text column in one linear pass — the corpus-sized kernel of
-  * [[graft.pipeline.LangNb]] classification and training.
+  * text column in one linear pass — the corpus-sized kernel of
+  * [[graft.pipeline.LangNb]] classification and training
+  * (`lowered = true`, the default) and of
+  * [[graft.pipeline.Dedup.editDistanceJoin]]'s positional q-gram
+  * postings (`lowered = false`, paired with `posexplode` for 1-based
+  * gram positions).
   *
-  * Semantically identical (differential-tested in CharGramsSpec) to the
-  * composite it replaces — `transform(sequence(1, length(tx) - (n-1)),
-  * i ⇒ substr(tx, i, n))` over `tx = lower(text)` — but strictly
-  * better on both axes that made that composite the measured dominator
-  * of the 30x data card's lang_mix stage:
+  * Value-identical on non-null input (differential-tested in
+  * CharGramsSpec) to the composite it replaces —
+  * `transform(sequence(1, length(tx) - (n-1)), i ⇒ substr(tx, i, n))`
+  * over `tx = lower(text)` (or `tx = text` when `lowered = false`).
+  * ONE intentional delta: NULL input. The composite's when/otherwise
+  * guard returned an empty array for NULL text; this expression uses
+  * standard `UnaryExpression` null propagation and returns NULL. Both
+  * yield zero rows under the `explode`/`posexplode` call sites this
+  * kernel exists for (explode drops null arrays), and the divergence
+  * is pinned by a spec row. Otherwise strictly better on both axes
+  * that made the composite the measured dominator of the 30x data
+  * card's lang_mix stage:
   *
   *   - `substr(tx, i, n)` re-seeks the UTF8 char boundary from byte 0
   *     every call — O(i) per gram, O(len²) per document. This kernel
@@ -29,11 +40,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Lowering happens INSIDE the kernel, so char positions are positions
   * of the lowered string — exact parity with the DuckDB oracle's
   * `substr(lower(text), i, n)` replay even for texts whose char count
-  * changes under lowercasing. Documents shorter than `n` chars yield
-  * an empty array (never null) — the `sequence` descending-range guard
-  * of the composite form, preserved.
+  * changes under lowercasing. Non-null documents shorter than `n`
+  * chars yield an empty array (never null) — the `sequence`
+  * descending-range guard of the composite form, preserved.
   */
-case class CharGrams(child: Expression, n: Int)
+case class CharGrams(child: Expression, n: Int, lowered: Boolean = true)
     extends UnaryExpression with ImplicitCastInputTypes {
   require(n >= 1, s"n must be >= 1, got $n")
 
@@ -43,10 +54,11 @@ case class CharGrams(child: Expression, n: Int)
   override def prettyName: String = "char_grams"
 
   override protected def nullSafeEval(input: Any): Any =
-    CharGrams.compute(input.asInstanceOf[UTF8String], n)
+    CharGrams.compute(input.asInstanceOf[UTF8String], n, lowered)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.CharGrams.compute($c, $n)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CharGrams.compute($c, $n, $lowered)")
 
   override protected def withNewChildInternal(newChild: Expression): CharGrams =
     copy(child = newChild)
@@ -59,11 +71,11 @@ object CharGrams {
   /** Runtime kernel — static so generated code can call it directly.
     * One pass to find char boundaries, one byte-range slice per gram.
     */
-  def compute(text: UTF8String, n: Int): ArrayData = {
-    val lowered = text.toLowerCase
-    val numChars = lowered.numChars()
+  def compute(text: UTF8String, n: Int, lowered: Boolean): ArrayData = {
+    val prepared = if (lowered) text.toLowerCase else text
+    val numChars = prepared.numChars()
     if (numChars < n) return Empty
-    val bytes = lowered.getBytes
+    val bytes = prepared.getBytes
     val offsets = new Array[Int](numChars + 1)
     var i = 0
     var c = 0
@@ -87,4 +99,13 @@ object CharGrams {
   def apply(text: org.apache.spark.sql.Column, n: Int)
       : org.apache.spark.sql.Column =
     Shim.column(CharGrams(Shim.expression(text), n))
+
+  /** Column API, case-preserving: character `n`-grams of `text` as-is
+    * — `posexplode(raw(str, q))` is the positional q-gram postings
+    * path of [[graft.pipeline.Dedup.editDistanceJoin]] (gram = the
+    * struct's value, 1-based position = posexplode's index + 1).
+    */
+  def raw(text: org.apache.spark.sql.Column, n: Int)
+      : org.apache.spark.sql.Column =
+    Shim.column(CharGrams(Shim.expression(text), n, lowered = false))
 }

@@ -65,8 +65,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => MinHashSig(args(0), intLit(args(1), "k"))),
     ("char_grams",
       info("char_grams",
-        "char_grams(text, n) - character n-grams of lower(text), one pass"),
-      (args: Seq[Expression]) => CharGrams(args(0), intLit(args(1), "n"))))
+        "char_grams(text, n[, lowered]) - character n-grams in one pass; " +
+          "lowered defaults true (grams of lower(text))"),
+      (args: Seq[Expression]) => CharGrams(args(0), intLit(args(1), "n"),
+        if (args.length >= 3) boolLit(args(2), "lowered") else true)))
 
   /** Register into an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

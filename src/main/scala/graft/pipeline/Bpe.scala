@@ -313,6 +313,188 @@ object Bpe {
     out.toSeq
   }
 
+  /** Default [[trainLocal]] vocabulary bound: 8M distinct words
+    * (~15 B/word of text, low-GB of driver structures) — far above any
+    * natural-language vocabulary (Heaps' law puts even web-scale
+    * corpora in the single-digit millions of distinct lowered words)
+    * while keeping the collect bounded-by-contract on a modest driver.
+    */
+  val LocalTrainerMaxWords = 8 * 1000 * 1000
+
+  /** Unsigned byte-wise UTF-8 comparison — exactly Spark's string
+    * ordering (`UTF8String.compareTo`), so the driver trainer's argmax
+    * tie-break `(cnt desc, a asc, b asc)` is bit-compatible with the
+    * distributed trainers' `orderBy`. (Java `String.compareTo` orders
+    * by UTF-16 code unit, which misorders supplementary characters
+    * against U+E000..U+FFFF — not good enough for byte equality.)
+    */
+  private[pipeline] def utf8Compare(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** [[train]] computed EXACTLY, in driver memory, over the collected
+    * distinct-word frequency table — the production tokenizer-trainer
+    * design (SentencePiece / HF `tokenizers` train from an in-memory
+    * word-count map for the same reason): BPE's state is
+    * VOCABULARY-sized, not corpus-sized, so after the one distributed
+    * corpus pass ([[wordFreqs]]) the remaining R rounds are pure
+    * symbol algebra on at most `maxDriverWords` rows — no reason to
+    * pay R Spark job launches (the distributed trainers' measured
+    * 0.76–1.7 s/round is ~all fixed per-round overhead at 100k words,
+    * which priced a 32k-merge vocabulary at ~7–8 h; this path trains
+    * it in seconds).
+    *
+    * Byte-identical merges to [[train]]/[[trainIncremental]] by
+    * construction, differential-pinned in BpeLocalSpec: same
+    * code-point initial symbols + `</w>` ([[initState]]), same
+    * freq-weighted adjacent-instance pair counts ([[pairCounts]]),
+    * same argmax tie-break (count desc, then UNSIGNED UTF-8 byte
+    * order on lhs/rhs — [[utf8Compare]], Spark's own string order),
+    * same greedy left-to-right non-overlapping replace per round, and
+    * the same every-word-single-symbol early exhaustion.
+    *
+    * The collect is bounded by contract at `maxDriverWords` distinct
+    * words (fetched via `limit(max+1)` so an over-large vocabulary
+    * fails fast instead of OOM-ing the driver) — above it, callers
+    * fall back to the distributed [[trainIncremental]] scale path
+    * (`BpeTrain trainer=auto` automates exactly that policy).
+    */
+  def trainLocal(docs: DataFrame, numMerges: Int, textCol: String = "text",
+      maxDriverWords: Int = LocalTrainerMaxWords): Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val rows = wordFreqs(docs, textCol).limit(maxDriverWords + 1).collect()
+    require(rows.length <= maxDriverWords,
+      s"trainLocal: > $maxDriverWords distinct words — use the " +
+        "distributed trainer (trainIncremental) at this vocabulary scale")
+    trainLocalFromCounts(
+      rows.map(r => (r.getString(0), r.getLong(1))), numMerges)
+  }
+
+  /** The in-memory trainer core over `(word, freq)` pairs — separated
+    * so specs can drive it without a session.
+    */
+  private[pipeline] def trainLocalFromCounts(wf: Array[(String, Long)],
+      numMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    val t0 = System.nanoTime()
+    // Symbol arrays: one symbol per CODE POINT (Spark's substr(i, 1)
+    // walks code points, not UTF-16 units), then the end-of-word mark.
+    val syms: Array[Array[String]] = wf.map { case (w, _) =>
+      val cps = w.codePoints().toArray
+      val out = new Array[String](cps.length + 1)
+      var i = 0
+      while (i < cps.length) {
+        out(i) = new String(Character.toChars(cps(i))); i += 1
+      }
+      out(cps.length) = Eow
+      out
+    }
+    val freqs: Array[Long] = wf.map(_._2)
+
+    val pairCnt = mutable.HashMap.empty[(String, String), Long]
+    // Lazy inverted index pair -> word ids (append-only; stale and
+    // duplicate entries are filtered when a merge processes the pair).
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
+    // Lazy max-heap of (cnt, a, b) snapshots; an entry is live iff it
+    // matches pairCnt's current value. Max count wins; ties go to the
+    // UTF-8-byte-smallest (a, b) — so smaller bytes rank HIGHER.
+    val heapOrd: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(x._1, y._1)
+          if (c != 0) c
+          else {
+            val a = utf8Compare(y._2, x._2)
+            if (a != 0) a else utf8Compare(y._3, x._3)
+          }
+        }
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+
+    def bump(p: (String, String), by: Long, wid: Int): Unit = {
+      val next = pairCnt.getOrElse(p, 0L) + by
+      if (next == 0L) pairCnt.remove(p)
+      else {
+        pairCnt(p) = next
+        heap.enqueue((next, p._1, p._2))
+      }
+      if (by > 0 && wid >= 0)
+        pairWords.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += wid
+    }
+    def eachPair(s: Array[String])(f: ((String, String)) => Unit): Unit = {
+      var i = 0
+      while (i + 1 < s.length) { f((s(i), s(i + 1))); i += 1 }
+    }
+
+    var wid = 0
+    while (wid < syms.length) {
+      val fr = freqs(wid)
+      eachPair(syms(wid))(p => bump(p, fr, wid))
+      wid += 1
+    }
+
+    def mergeWord(s: Array[String], a: String, b: String): Array[String] = {
+      val out = new mutable.ArrayBuffer[String](s.length)
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.toArray
+    }
+
+    val out = mutable.ArrayBuffer.empty[Merge]
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      // Pop to the first live snapshot.
+      var top: (Long, String, String) = null
+      while (top == null && heap.nonEmpty) {
+        val c = heap.dequeue()
+        if (pairCnt.get((c._2, c._3)).contains(c._1)) top = c
+      }
+      if (top == null) exhausted = true
+      else {
+        val (cnt, a, b) = top
+        out += Merge(r, a, b, cnt)
+        val touched = pairWords.remove((a, b))
+          .getOrElse(mutable.ArrayBuffer.empty)
+        val seen = new java.util.HashSet[Integer]()
+        touched.foreach { w =>
+          if (seen.add(w)) {
+            val s = syms(w)
+            // Stale index entries: the word may no longer contain (a,b).
+            var has = false
+            var i = 0
+            while (!has && i + 1 < s.length) {
+              has = s(i) == a && s(i + 1) == b; i += 1
+            }
+            if (has) {
+              val fr = freqs(w)
+              eachPair(s)(p => bump(p, -fr, -1))
+              val ns = mergeWord(s, a, b)
+              syms(w) = ns
+              eachPair(ns)(p => bump(p, fr, w))
+            }
+          }
+        }
+        progress("local", r, t0)
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
   /** The trained merge table as a DataFrame — `p63_bpe_vocab`'s output
     * shape and the persisted vocabulary layout.
     */

@@ -104,9 +104,13 @@ object IterScaleBench {
     val capJson = if (!capDiff) "" else {
       import org.apache.spark.sql.functions.{col, abs => cabs, sum => csum,
         lit, count, coalesce}
-      evict(); warmEdges()
-      val g = GraphQueries.derivedGraph(spark, sfDir)
+      // Each timed run gets the same fresh prep as measure()'s passes
+      // (evict + re-warm edges) so neither wall rides the other's
+      // JIT/cache warming — the cross-warming bias the DeltaGate
+      // decompose_order note documents.
       def timed(c: Option[Long]): (org.apache.spark.sql.DataFrame, Double) = {
+        evict(); warmEdges()
+        val g = GraphQueries.derivedGraph(spark, sfDir)
         val t0 = System.nanoTime()
         val df = Betweenness.run(g, maxLen, c)(spark)
         noop(df)
