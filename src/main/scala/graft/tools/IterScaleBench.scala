@@ -83,7 +83,27 @@ object IterScaleBench {
     def warmEdges(): Unit = noop(GraphQueries.derivedEdges(spark, sfDir))
 
     // Same thresholds as the catalog (GraphQueries RL1/RL2).
-    val results = Seq(
+    val decompose = flags.get("decompose").contains("on")
+    val decomposeRows: Seq[(String, (Double, Double))] =
+      if (!decompose) Seq.empty
+      else Seq(
+        // Phase walls of the betweenness chain, each fresh-prepped:
+        // distances (the BFS), candidates (BFS + pruned path
+        // enumeration), spaths (+ min_by tie-break aggregate); the
+        // full betweenness row below adds the explode+count.
+        "distances" -> measure { evict(); warmEdges() } {
+          noop(Betweenness.boundedDistances(
+            GraphQueries.derivedGraph(spark, sfDir).adjacency, maxLen, cap))
+        },
+        "candidates" -> measure { evict(); warmEdges() } {
+          noop(Betweenness.shortestPathCandidates(
+            GraphQueries.derivedGraph(spark, sfDir), maxLen, cap))
+        },
+        "spaths" -> measure { evict(); warmEdges() } {
+          noop(Betweenness.shortestPaths(
+            GraphQueries.derivedGraph(spark, sfDir), maxLen, cap))
+        })
+    val results = decomposeRows ++ Seq(
       "edges" -> measure { evict() } {
         noop(GraphQueries.derivedEdges(spark, sfDir))
       },
