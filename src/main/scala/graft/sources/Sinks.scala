@@ -187,6 +187,80 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).text(outDir)
   }
 
+  /** S9 parity, reference-figure half: the colored-by-community
+    * spring-layout scatter (`visualizer/plotly_visualizer.py:75-210`)
+    * over an ENGINE-computed layout ([[graft.graph.SpringLayout]] —
+    * distributed Fruchterman-Reingold, deterministic), so unlike the
+    * reference nothing NetworkX-shaped ever lands on the driver: the
+    * layout relation `(id, x, y[, community])` renders to JSON lines
+    * distributed and funnels only for the single-document write (the
+    * inherent `coalesce(1)` of [[exportGraphML]]). Optional `edges`
+    * draws the community-internal link structure under the scatter.
+    * Colors derive from `hash(community) % palette` — stable across
+    * exports of the same labeling.
+    */
+  def exportScatterHtml(layout: DataFrame, outDir: String,
+      edges: Option[DataFrame] = None): Unit = {
+    val hasCom = layout.columns.contains("community")
+    val com =
+      if (hasCom) col("community").cast("string")
+      else lit("all")
+    def scriptSafe(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "<", "\\\\u003c")
+    val nodeLines = layout.select(concat(lit("    "),
+      scriptSafe(to_json(struct(col("id"), col("x"), col("y"),
+        com.as("c")))), lit(",")).as("line"))
+    val edgeLines = edges.map { e =>
+      val kept = layout.select(col("id"))
+      e.select(col("src"), col("dst"))
+        .join(kept.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(kept.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .select(concat(lit("    "),
+          scriptSafe(to_json(struct(col("src"), col("dst")))),
+          lit(",")).as("line"))
+    }
+    val header =
+      """<!DOCTYPE html><html><head><meta charset="utf-8">
+        |<title>graft communities</title></head><body style="margin:0">
+        |<canvas id="c" width="1280" height="960"></canvas><script>
+        |const nodes=[""".stripMargin
+    val mid = "];\nconst edges=["
+    val footer =
+      """];
+        |const W=1280,H=960,P=24;
+        |let xm=1e18,xM=-1e18,ym=1e18,yM=-1e18;
+        |for(const n of nodes){xm=Math.min(xm,n.x);xM=Math.max(xM,n.x);
+        |  ym=Math.min(ym,n.y);yM=Math.max(yM,n.y);}
+        |const sx=v=>P+(W-2*P)*(v-xm)/Math.max(xM-xm,1e-9);
+        |const sy=v=>P+(H-2*P)*(v-ym)/Math.max(yM-ym,1e-9);
+        |const pal=['#1f77b4','#ff7f0e','#2ca02c','#d62728','#9467bd',
+        |  '#8c564b','#e377c2','#7f7f7f','#bcbd22','#17becf'];
+        |const cix=s=>{let h=0;for(const ch of s)h=(h*31+ch.charCodeAt(0))|0;
+        |  return pal[((h%pal.length)+pal.length)%pal.length];};
+        |const g=document.getElementById('c').getContext('2d');
+        |const pos=new Map(nodes.map(n=>[n.id,[sx(n.x),sy(n.y)]]));
+        |g.strokeStyle='rgba(160,160,160,0.35)';
+        |for(const e of edges){const s=pos.get(e.src),d=pos.get(e.dst);
+        |  if(!s||!d)continue;
+        |  g.beginPath();g.moveTo(s[0],s[1]);g.lineTo(d[0],d[1]);g.stroke();}
+        |for(const n of nodes){g.fillStyle=cix(String(n.c));
+        |  g.beginPath();g.arc(sx(n.x),sy(n.y),4,0,7);g.fill();}
+        |document.getElementById('c').title=nodes.length+' nodes';
+        |</script></body></html>""".stripMargin
+    val spark = layout.sparkSession
+    import spark.implicits._
+    val doc = Seq((0, header)).toDF("ord", "line")
+      .unionByName(nodeLines.select(lit(1).as("ord"), col("line")))
+      .unionByName(Seq((2, mid)).toDF("ord", "line"))
+      .unionByName(edgeLines.getOrElse(spark.emptyDataFrame
+          .withColumn("line", lit("")).select("line").limit(0))
+        .select(lit(3).as("ord"), col("line")))
+      .unionByName(Seq((4, footer)).toDF("ord", "line"))
+    doc.coalesce(1).sortWithinPartitions("ord")
+      .select("line")
+      .write.mode(SaveMode.Overwrite).text(outDir)
+  }
+
   /** S7: community CSV sink. The reference collected the graph into
     * NetworkX on the driver and wrote one `community_<i>.csv` per
     * component (`spark_manager/spark_manager.py:335-368`) — a driver
