@@ -516,13 +516,27 @@ object SourceMlQueries {
       val joined = graft.streaming.StreamingOps.intervalJoin(
         purchases, views, "user_id", "v_user", "p_ts", "v_ts",
         "1 HOUR", "1 hour")
-      val q = joined.writeStream.format("memory").queryName("s11_join")
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table("s11_join")
-        .select(col("p_id"), col("v_id"), col("user_id"), col("v_value"))
+      // Size STATE partitions to state volume, not CPU count: a
+      // stream-stream join provisions 4 state stores per shuffle
+      // partition and pays a per-partition commit every micro-batch —
+      // measured ~90% of this query's wall at 32 partitions
+      // (StreamJoinDecompose, BASELINE round-19: 7.8 s at 32 parts vs
+      // 2.6 s at 8 for identical output; per-batch slope 2.8 -> 0.65
+      // s). The events-per-watermark-window state here is tiny; 8
+      // partitions is still parallel. Streaming queries pin the value
+      // at checkpoint creation, so the conf is scoped to the start()
+      // and restored for the rest of the catalog.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val out = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = joined.writeStream.format("memory").queryName("s11_join")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("s11_join")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      out.select(col("p_id"), col("v_id"), col("user_id"), col("v_value"))
     },
 
     // ---- §2.10 + sketches: streaming bottom-k sample — the third

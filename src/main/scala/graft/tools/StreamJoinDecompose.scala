@@ -44,12 +44,21 @@ import graft.streaming.StreamingOps
 object StreamJoinDecompose {
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: StreamJoinDecompose <sfDir> [files] [runs]")
+    require(args.nonEmpty,
+      "usage: StreamJoinDecompose <sfDir> [files] [runs] [parts=<n>]")
     val sfDir = args(0)
-    val files = if (args.length > 1) args(1).toInt else 4
-    val runs = if (args.length > 2) args(2).toInt else 3
+    val flags = args.drop(1).filter(_.contains("=")).map { a =>
+      val Array(k, v) = a.split("=", 2); k -> v }.toMap
+    val pos = args.drop(1).filterNot(_.contains("="))
+    val files = pos.lift(0).map(_.toInt).getOrElse(4)
+    val runs = pos.lift(1).map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.SessionTuning.autoConfs(sfDir, cpus.toInt)
+    // parts= overrides shuffle partitions — stream-stream join state
+    // stores scale with it (4 stores x partitions), so this knob
+    // isolates per-state-partition overhead from real join work.
+    val conf0 = graft.SessionTuning.autoConfs(sfDir, cpus.toInt) ++
+      flags.get("parts").map("spark.sql.shuffle.partitions" -> _)
+    val spark = conf0
       .foldLeft(SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.session.timeZone", "UTC")
