@@ -71,20 +71,33 @@ object EdgeWeights {
       featureMinAvg: Double): DataFrame = {
     val sims = similarities.select(
       col("src").as("s_src"), col("dst").as("s_dst"), col("similarity"))
+    // The exploded posting carries the edge's OWN common-neighbor array
+    // alongside each exploded element: "peer ∈ CN(e)" then becomes a
+    // per-row `array_contains` filter inside the one attachment join,
+    // deleting the second explode + the 3-key semi-join that dominated
+    // this stage (round-19 probe at sf0.1: the semi-join sorted the
+    // full 32.4M-row attachment — 13 s of the 13.9 s stage; this shape
+    // runs 2.3 s with bit-identical output). Trade-off, documented:
+    // the array rides the posting exchange once (Σ|CN(e)|² bytes worst
+    // case vs the semi-join's extra full shuffle+sort of the
+    // attachment); CN arrays are bounded by the level-2 neighborhood
+    // machinery upstream, and the attachment fan-out is the same Σ
+    // either way.
     val cn = edgesR.filter(!col("keepit"))
       .select(col("src").as("nb_src"), col("dst").as("nb_dst"),
+        col("common_neighbors"),
         explode(col("common_neighbors")).as("cn"))
-    // J5: attach similarity rows whose src is a common neighbor.
-    val j1 = sims.join(cn, col("s_src") === col("cn"), "right")
-      .select(col("nb_src"), col("nb_dst"),
-        col("s_dst").as("peer"), col("similarity"))
-      .filter(col("peer").isNotNull && col("similarity").isNotNull)
-    // Membership: keep rows whose OTHER endpoint is also a common
-    // neighbor of the same edge.
-    val member = edgesR.filter(!col("keepit"))
-      .select(col("src").as("nb_src"), col("dst").as("nb_dst"),
-        explode(col("common_neighbors")).as("peer"))
-    val j3 = j1.join(member, Seq("nb_src", "nb_dst", "peer"), "left_semi")
+    // J5: attach similarity rows whose src is a common neighbor, with
+    // the membership test for the other endpoint applied in-row. The
+    // SHUFFLE_HASH hint matters because both inputs are typically
+    // lineage-cut (`localCheckpoint`) relations with unknown size
+    // stats, which the planner would otherwise sort-merge: hash-build
+    // on the per-partition sims slice skips sorting the fan-out side
+    // entirely (measured 3.5x alone at sf0.1).
+    val j1 = sims.hint("shuffle_hash")
+      .join(cn, col("s_src") === col("cn"), "right")
+      .filter(col("s_dst").isNotNull && col("similarity").isNotNull &&
+        array_contains(col("common_neighbors"), col("s_dst")))
     // "Distinct values then count" as an EXPLICIT pre-dedup, not a
     // double countDistinct: Spark plans two distinct aggregates over
     // one relation via Expand (×2 row multiplication, two concurrent
@@ -92,7 +105,7 @@ object EdgeWeights {
     // spill/OOM hot spot. The manual (edge, value) dedup ships each
     // row once, collapses duplicates map-side BEFORE the exchange, and
     // leaves the ratio as two plain map-side-combinable counts.
-    j3.select(col("nb_src").as("src"), col("nb_dst").as("dst"),
+    j1.select(col("nb_src").as("src"), col("nb_dst").as("dst"),
         col("similarity"))
       .distinct()
       .groupBy(col("src"), col("dst"))
