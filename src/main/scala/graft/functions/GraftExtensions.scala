@@ -68,6 +68,13 @@ object GraftExtensions {
         "char_grams(text, n[, lowered]) - character n-grams in one pass; " +
           "lowered defaults true (grams of lower(text))"),
       (args: Seq[Expression]) => CharGrams(args(0), intLit(args(1), "n"),
+        if (args.length >= 3) boolLit(args(2), "lowered") else true)),
+    ("word_grams",
+      info("word_grams",
+        "word_grams(text, n[, lowered]) - space-joined word n-grams in " +
+          "one pass (whole-text gram when shorter than n words); " +
+          "lowered defaults true"),
+      (args: Seq[Expression]) => WordGrams(args(0), intLit(args(1), "n"),
         if (args.length >= 3) boolLit(args(2), "lowered") else true)))
 
   /** Register into an already-built session (tests, notebooks). */
