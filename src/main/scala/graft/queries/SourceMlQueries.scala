@@ -222,6 +222,10 @@ object SourceMlQueries {
         .agg(count(lit(1)).as("n"), graft.Exact.dsum(col("value")).as("total_value"))
         .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("n"), col("total_value"))
+      // NOT under withStatePartitions (round-19, measured): this drain
+      // aggregates the full event volume — the windowed agg's shuffle
+      // work tracks DATA, and shrinking its partitions cost more than
+      // the single state store's commits saved (2.0 -> 2.9 s).
       val q = agg.writeStream.format("memory").queryName("s04_stream_out")
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -274,11 +278,13 @@ object SourceMlQueries {
         .as[graft.streaming.StreamingOps.SessionEvent]
       val sessions = graft.streaming.StreamingOps
         .sessionize(stream, gapSec, "0 seconds")
-      val q = sessions.writeStream.format("memory").queryName("s06_sessions")
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      graft.streaming.StreamingOps.withStatePartitions(s, Seq(s"$base/in")) {
+        val q = sessions.writeStream.format("memory").queryName("s06_sessions")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table("s06_sessions")
         .filter(col("user") =!= "__sentinel__")
         .select(col("user").cast("long").as("user_id"),
@@ -315,11 +321,13 @@ object SourceMlQueries {
         .as[graft.streaming.StreamingOps.KeyedEvent](
           org.apache.spark.sql.Encoders.product)
       val stats = graft.streaming.StreamingOps.runningStats(stream)
-      val q = stats.writeStream.format("memory").queryName("s07_stats")
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      graft.streaming.StreamingOps.withStatePartitions(s, Seq(s"$base/in")) {
+        val q = stats.writeStream.format("memory").queryName("s07_stats")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table("s07_stats")
         .groupBy("key")
         .agg(max(col("n")).as("n"),
@@ -356,11 +364,13 @@ object SourceMlQueries {
         .parquet(s"$base/in")
       val deduped = graft.streaming.StreamingOps
         .dedupStream(stream, "ts", "1 hour", Seq("event_id"))
-      val q = deduped.writeStream.format("memory").queryName("s08_dedup")
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      graft.streaming.StreamingOps.withStatePartitions(s, Seq(s"$base/in")) {
+        val q = deduped.writeStream.format("memory").queryName("s08_dedup")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table("s08_dedup").select(col("event_id"), col("cents"))
     },
 
@@ -415,11 +425,13 @@ object SourceMlQueries {
         .as[graft.streaming.StreamingOps.SketchEvent](
           org.apache.spark.sql.Encoders.product)
       val ests = graft.streaming.StreamingOps.approxDistinctStream(stream)
-      val q = ests.writeStream.format("memory").queryName("s09_hll")
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      graft.streaming.StreamingOps.withStatePartitions(s, Seq(s"$base/in")) {
+        val q = ests.writeStream.format("memory").queryName("s09_hll")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       // Final state per key: n_rows is strictly increasing across
       // emissions, so max_by picks the last (complete) sketch even if
       // the drain split into several update batches.
@@ -460,11 +472,13 @@ object SourceMlQueries {
         .as[graft.streaming.StreamingOps.CellEvent](
           org.apache.spark.sql.Encoders.product)
       val counts = graft.streaming.StreamingOps.countMinStream(stream)
-      val q = counts.writeStream.format("memory").queryName("s10_cm")
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      graft.streaming.StreamingOps.withStatePartitions(s, Seq(s"$base/in")) {
+        val q = counts.writeStream.format("memory").queryName("s10_cm")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       // Counters are strictly increasing across emissions: max picks
       // each cell's final (complete) count even over a split drain.
       val sketch = s.table("s10_cm").groupBy(col("cm_row"), col("pos"))
@@ -522,21 +536,18 @@ object SourceMlQueries {
       // measured ~90% of this query's wall at 32 partitions
       // (StreamJoinDecompose, BASELINE round-19: 7.8 s at 32 parts vs
       // 2.6 s at 8 for identical output; per-batch slope 2.8 -> 0.65
-      // s). The events-per-watermark-window state here is tiny; 8
-      // partitions is still parallel. Streaming queries pin the value
-      // at checkpoint creation, so the conf is scoped to the start()
-      // and restored for the rest of the catalog.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      val out = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+      // s). Round-19: the inline conf became the family-wide derived
+      // policy (StreamingOps.withStatePartitions).
+      graft.streaming.StreamingOps.withStatePartitions(s,
+          Seq(s"$base/purchases", s"$base/views")) {
         val q = joined.writeStream.format("memory").queryName("s11_join")
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.table("s11_join")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      out.select(col("p_id"), col("v_id"), col("user_id"), col("v_value"))
+      }
+      s.table("s11_join")
+        .select(col("p_id"), col("v_id"), col("user_id"), col("v_value"))
     },
 
     // ---- §2.10 + sketches: streaming bottom-k sample — the third
@@ -567,11 +578,13 @@ object SourceMlQueries {
           org.apache.spark.sql.Encoders.product)
       val samples = graft.streaming.StreamingOps.bottomKStream(
         stream, PipelineQueries.BOTTOMK)
-      val q = samples.writeStream.format("memory").queryName("s12_bk")
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      graft.streaming.StreamingOps.withStatePartitions(s, Seq(s"$base/in")) {
+        val q = samples.writeStream.format("memory").queryName("s12_bk")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       // n_seen is strictly increasing, so max_by picks each key's final
       // (complete) sample even over a split drain; posexplode recovers
       // the 1-based sample rank from the sorted array.
@@ -611,11 +624,13 @@ object SourceMlQueries {
           org.apache.spark.sql.Encoders.product)
       val samples = graft.streaming.StreamingOps.bottomKStream(
         stream, PipelineQueries.WS_K)
-      val q = samples.writeStream.format("memory").queryName("s13_ws")
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      graft.streaming.StreamingOps.withStatePartitions(s, Seq(s"$base/in")) {
+        val q = samples.writeStream.format("memory").queryName("s13_ws")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table("s13_ws")
         .groupBy(col("key"))
         .agg(max_by(col("sample"), col("n_seen")).as("sample"))
@@ -659,11 +674,13 @@ object SourceMlQueries {
         .as[graft.streaming.StreamingOps.BandEvent](
           org.apache.spark.sql.Encoders.product)
       val cands = graft.streaming.StreamingOps.lshCandidatesStream(buckets)
-      val q = cands.writeStream.format("memory").queryName("s14_lsh")
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      graft.streaming.StreamingOps.withStatePartitions(s, Seq(s"$base/in")) {
+        val q = cands.writeStream.format("memory").queryName("s14_lsh")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       graft.pipeline.Dedup.verifyJaccardPairs(docs,
         s.table("s14_lsh").dropDuplicates(),
         PipelineQueries.SHINGLE_N, PipelineQueries.MH_T)
@@ -705,6 +722,10 @@ object SourceMlQueries {
       def stream = s.readStream.schema("doc_id BIGINT, text STRING")
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$base/in")
+      // NOT under withStatePartitions (round-19, measured): both drains
+      // are STATELESS stream-static joins — no state stores to
+      // provision, so shrinking partitions only cost corpus-side join
+      // parallelism (2.1 -> 2.6 s).
       val qe = StreamingOps.incrementalExactStream(stream, idx.keys)
         .writeStream.format("memory").queryName("s15_exact")
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
@@ -766,6 +787,8 @@ object SourceMlQueries {
       def stream = s.readStream.schema("doc_id BIGINT, text STRING")
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$base/in")
+      // NOT under withStatePartitions: stateless stream-static joins
+      // (see the s15 note).
       val qe = StreamingOps.incrementalExactStream(stream, idx.keys)
         .writeStream.format("memory").queryName("s16_exact")
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
@@ -836,6 +859,10 @@ object SourceMlQueries {
       val stream = s.readStream.schema("doc_id BIGINT, text STRING")
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$base/in")
+      // NOT under withStatePartitions: the foreachBatch body runs the
+      // BATCH gate plan per micro-batch — no streaming state stores,
+      // and its broadcast-probe joins want the session's data-sized
+      // parallelism (see the s15 note; measured 2.6 -> 3.4 s wrapped).
       val (q, cached) = StreamingOps.indexGateDrain(stream, idx,
         PipelineQueries.SHINGLE_N, PipelineQueries.MH_BANDS,
         PipelineQueries.MH_ROWS, PipelineQueries.MH_T,

@@ -16,6 +16,68 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** On-disk input bytes per STATE partition — the streaming twin of
+    * [[graft.SessionTuning.BytesPerShufflePartition]] (same measured
+    * 2 MB/partition rate; keyed streaming state is bounded by the keys
+    * the watermark keeps live, which the staged input bytes upper-bound
+    * on these bounded drains).
+    */
+  val StateBytesPerPartition: Long = 2L << 20
+
+  /** Floor on derived state partitions — enough parallelism for the
+    * keyed state work while paying single-digit per-partition
+    * provisioning/commit costs per micro-batch.
+    */
+  val MinStatePartitions: Int = 8
+
+  /** Scale-adaptive STATE-partition count for a streaming start whose
+    * input is `bytes` on disk. Round-19 generalization of the round-18
+    * s11 finding (`tools/StreamJoinDecompose`, BASELINE): a stateful
+    * operator provisions one state store per shuffle partition per
+    * stateful operator (4 for a stream-stream join) and pays a
+    * per-partition commit EVERY micro-batch, so at small state volume
+    * the cost is linear in the partition count and dominates the drain
+    * (s11: 7.8 s at 32 partitions vs 2.6 s at 8 for identical output).
+    * State partitions must therefore track STATE VOLUME, not CPU count
+    * — the same data-derived policy as
+    * [[graft.SessionTuning.autoShufflePartitions]], with a floor below
+    * the core count because provisioning cost, not parallelism, is the
+    * binding constraint at small state. At 100 TB the same formula
+    * simply derives a large count from the bytes.
+    * `SPARK_GRAFT_STREAM_STATE_PARTITIONS` overrides (explicit beats
+    * derived).
+    */
+  def statePartitionsForBytes(bytes: Long): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS") match {
+      case Some(v) => v.trim.toInt
+      case None =>
+        val need =
+          (bytes + StateBytesPerPartition - 1) / StateBytesPerPartition
+        var p = 1L
+        while (p < need) p <<= 1
+        math.min(graft.SessionTuning.MaxPartitions.toLong,
+          math.max(MinStatePartitions.toLong, p)).toInt
+    }
+
+  /** Run `body` (a streaming start + drain) with
+    * `spark.sql.shuffle.partitions` scoped to the state-partition count
+    * derived from the staged input paths' on-disk size, restoring the
+    * session value after. Streaming queries pin the partition count at
+    * checkpoint creation, so scoping the `start()`/`awaitTermination()`
+    * region is exact; batch plans built after the drain see the
+    * restored session value.
+    */
+  def withStatePartitions[T](spark: org.apache.spark.sql.SparkSession,
+      stagedPaths: Seq[String])(body: => T): T = {
+    val bytes = stagedPaths.map(graft.SessionTuning.dirBytes).sum
+    val parts = statePartitionsForBytes(bytes)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      body
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Streaming exact dedup on `idCols` ALONE (a duplicate id with a
     * different event time is still a duplicate), with a watermark on
     * `tsCol` bounding the state store: `dropDuplicatesWithinWatermark`
