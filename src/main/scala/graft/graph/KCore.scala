@@ -15,25 +15,61 @@ import graft.plans.Lineage
   * pipeline's min-degree filter), which is exactly ONE peel round — the
   * k-core is that filter iterated to its fixed point.
   *
-  * Formulation: distributed iterative peeling. Each round recomputes
-  * in-subgraph degrees (one map-side-combinable aggregate on the vertex
-  * key) and keeps only edges whose BOTH endpoints still clear k (two
-  * hash semi-joins on the endpoint keys). The edge set shrinks
-  * monotonically, so a round that removes nothing is the fixed point —
-  * count equality IS set equality here, no content signature needed
-  * (unlike connected components, where the edge set mutates in place
-  * and [[Communities]] hashes it).
+  * Formulation: FRONTIER-DELTA peeling (round-19 rework; the k-core is
+  * the unique maximal subgraph, so any peel order reaches the same
+  * fixed point as the round-synchronized peel the DuckDB oracle
+  * replays). The old shape recomputed in-subgraph degrees and
+  * semi-joined the FULL edge relation every round, so a round that
+  * removed 30 vertices cost the same as one that removed 30,000
+  * (measured at sf0.1: rounds 3-17 each remove ≤112 edge rows yet cost
+  * ~0.35 s — 5.3 of the 6.3 s total). Here the per-vertex degree
+  * relation is MAINTAINED across rounds:
   *
-  * 100 TB design: every stage is a key-partitioned aggregate or
-  * equi-semi-join on the (shrinking) edge relation — no driver state
-  * beyond the one convergence scalar per round, no vertex-indexed
-  * mutable structure. Rounds are bounded by the peel cascade depth
-  * (≤ 23 on the test graphs; O(n) worst case on a path, which is why
-  * `maxRounds` throws loudly instead of emitting a half-peeled core).
-  * Lineage is cut between rounds (`localCheckpoint`) so the plan stays
-  * flat across iterations.
+  *   - the frontier (vertices whose current degree < k) is counted and
+  *     broadcast; edges incident to it are found by one narrow
+  *     broadcast semi-join scan of the standing symmetric edge set (no
+  *     shuffle of the edges, ever, inside the loop);
+  *   - each surviving neighbor's degree is decremented by its count of
+  *     removed neighbors (`loss`), a frontier-sized aggregate; degree
+  *     rows of removed vertices are dropped. Per-round work is
+  *     proportional to the FRONTIER's incident edges, not the graph;
+  *   - the standing edge set is COMPACTED (both-endpoint anti-join,
+  *     lineage cut) only when the removed-vertex buffer exceeds a
+  *     quarter of the survivors, amortizing the scan shrink;
+  *   - on convergence (empty frontier) the maintained degree relation
+  *     IS the answer — degree within the surviving subgraph — so there
+  *     is no final recompute pass at all.
+  *
+  * 100 TB design: the frontier is broadcast only while it is small
+  * (`BroadcastFrontierMax`); a larger frontier falls back to one
+  * full-recompute round of the old shape (key-partitioned aggregate +
+  * two hash semi-joins), which simultaneously re-derives exact degrees
+  * — so the adaptive loop never ships an unbounded broadcast. Driver
+  * state stays one scalar per round. Rounds are bounded by the peel
+  * cascade depth (O(n) worst case on a path, which is why `maxRounds`
+  * throws loudly instead of emitting a half-peeled core).
   */
 object KCore {
+
+  /** Frontier rows above which a delta round falls back to one
+    * full-recompute round instead of broadcasting the frontier (8-byte
+    * ids; 4M ids ≈ 32 MB broadcast — comfortably under executor
+    * budgets while covering any realistic cascade).
+    */
+  val BroadcastFrontierMax: Long = 4L << 20
+
+  /** Rows per partition for the iterated relations — the loop scans
+    * the standing deg/sym checkpoints several times per round, so
+    * their partition count must track THEIR size (guide §2.2: fewer,
+    * larger partitions), not the session's shuffle-partition count; a
+    * 24k-row vertex relation spread over 32 partitions pays 32 task
+    * launches per scan for microseconds of work each.
+    */
+  private val RowsPerPartition: Long = 1L << 16
+
+  private def partsFor(rows: Long): Int =
+    math.max(1L, math.min(graft.SessionTuning.MaxPartitions.toLong,
+      (rows + RowsPerPartition - 1) / RowsPerPartition)).toInt
 
   /** Vertices of the k-core with their within-core degree.
     *
@@ -54,25 +90,90 @@ object KCore {
     var sym = Lineage.cut(
       canon.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(canon.select(col("v").as("src"), col("u").as("dst"))))
-    var prev = sym.count()
-    var converged = prev == 0L
+    var symRows = sym.count()
+    // Maintained survivor degrees: degree of x within the graph minus
+    // every vertex removed so far. The frontier (deg < k) and the
+    // survivor set (deg >= k) are narrow FILTER VIEWS of this one
+    // checkpointed relation — no per-round frontier materialization,
+    // no anti-join.
+    var deg = Lineage.cut(
+      sym.groupBy("src").agg(count(lit(1)).as("deg_in_core"))
+        .select(col("src").as("id"), col("deg_in_core"))
+        .coalesce(partsFor(symRows)))
+    // One 1-row aggregate per round yields both convergence counters
+    // (the same bounded-by-contract collect as the Communities
+    // convergence signature).
+    def stats(): (Long, Long) = {
+      val r = deg.agg(count(lit(1)),
+        count(when(col("deg_in_core") < k, lit(1)))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var (survivors, frontierRows) = stats()
+    // Removed vertices not yet compacted out of `sym`.
+    var removedBuf: Option[DataFrame] = None
+    var removedBufRows = 0L
     var rounds = 0
-    while (!converged && rounds < maxRounds) {
-      val keep = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .select(col("src").as("ok"))
-      sym = Lineage.cut(
-        sym.join(keep.withColumnRenamed("ok", "src"), Seq("src"), "left_semi")
-          .join(keep.withColumnRenamed("ok", "dst"), Seq("dst"), "left_semi"))
-      val n = sym.count()
-      converged = n == prev // monotone shrink: same count == same set
-      prev = n
+    while (frontierRows > 0L && rounds < maxRounds) {
+      val frontier = deg.filter(col("deg_in_core") < k).select("id")
+      if (frontierRows <= BroadcastFrontierMax) {
+        // Delta round: every join side that moves is frontier-sized.
+        val dead = sym.join(broadcast(frontier).withColumnRenamed("id", "src"),
+          Seq("src"), "left_semi")
+        val loss = dead.groupBy("dst").agg(count(lit(1)).as("lost"))
+          .select(col("dst").as("id"), col("lost"))
+        deg = Lineage.cut(
+          deg.filter(col("deg_in_core") >= k)
+            .join(broadcast(loss), Seq("id"), "left")
+            .select(col("id"),
+              (col("deg_in_core") - coalesce(col("lost"), lit(0L)))
+                .as("deg_in_core"))
+            .coalesce(partsFor(survivors - frontierRows)))
+        removedBuf = Some(removedBuf.map(_.unionAll(frontier)).getOrElse(frontier))
+        removedBufRows += frontierRows
+        // Amortized compaction keeps the per-round sym scan shrinking.
+        if (removedBufRows > math.max(1024L, (survivors - frontierRows) / 4)) {
+          val rem = Lineage.cut(removedBuf.get)
+          sym = Lineage.cut(
+            sym.join(broadcast(rem).withColumnRenamed("id", "src"),
+                Seq("src"), "left_anti")
+              .join(broadcast(rem).withColumnRenamed("id", "dst"),
+                Seq("dst"), "left_anti")
+              .coalesce(partsFor(symRows)))
+          symRows = sym.count()
+          removedBuf = None
+          removedBufRows = 0L
+        }
+      } else {
+        // Full-recompute fallback (the pre-round-19 shape): compact,
+        // re-derive exact degrees, never broadcast the huge frontier.
+        removedBuf.foreach { rb =>
+          val rem = Lineage.cut(rb)
+          sym = Lineage.cut(
+            sym.join(rem.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+              .join(rem.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti"))
+          removedBuf = None
+          removedBufRows = 0L
+        }
+        val keep = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .select(col("src").as("ok"))
+        sym = Lineage.cut(
+          sym.join(keep.withColumnRenamed("ok", "src"), Seq("src"), "left_semi")
+            .join(keep.withColumnRenamed("ok", "dst"), Seq("dst"), "left_semi"))
+        deg = Lineage.cut(
+          sym.groupBy("src").agg(count(lit(1)).as("deg_in_core"))
+            .select(col("src").as("id"), col("deg_in_core")))
+      }
+      val s2 = stats()
+      survivors = s2._1
+      frontierRows = s2._2
       rounds += 1
     }
-    if (!converged) throw new IllegalStateException(
+    if (frontierRows > 0L) throw new IllegalStateException(
       s"kCore($k): peeling did not reach a fixed point within $maxRounds " +
         s"rounds — refusing to emit a non-converged core")
-    sym.groupBy("src").agg(count(lit(1)).as("deg_in_core"))
-      .select(col("src").as("id"), col("deg_in_core"))
+    // The maintained relation is the answer: degree within the
+    // surviving subgraph, survivors only.
+    deg
   }
 }
