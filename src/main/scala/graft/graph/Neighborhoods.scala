@@ -29,8 +29,16 @@ object Neighborhoods {
   /** Neighbor pairs `(id, nb)` within ≤ `level` hops, distinct,
     * self-excluded. `level` must be 1 or 2.
     */
-  def neighborPairs(g: PropertyGraph, level: Int,
-      maxMidDegree: Option[Long] = None): DataFrame = {
+  /** Neighbor pairs within ≤ `level` hops, self-excluded, WITH
+    * duplicates (a level-2 neighbor reachable through several mids
+    * appears once per route). The `neighbors` aggregate dedups inside
+    * `collect_set`, so the explicit `distinct()` exchange this family
+    * used to pay on the Σdeg² hop-2 fan-out — a full extra shuffle of
+    * the engine's biggest intermediate — is only spent by callers that
+    * genuinely need distinct PAIRS ([[neighborPairs]]).
+    */
+  private def rawNeighborPairs(g: PropertyGraph, level: Int,
+      maxMidDegree: Option[Long]): DataFrame = {
     require(level == 1 || level == 2, s"level must be 1 or 2, got $level")
     val adj = g.adjacency // (src, dst), distinct, no self-loops
     val lvl1 = adj.select(col("src").as("id"), col("dst").as("nb"))
@@ -46,17 +54,28 @@ object Neighborhoods {
           .select(col("id"), col("nb"))
         hop2.unionByName(lvl1) // lvl-2 includes lvl-1 (reference line 349-350)
     }
-    pairs.filter(col("id") =!= col("nb")).distinct()
+    pairs.filter(col("id") =!= col("nb"))
   }
 
+  /** Neighbor pairs `(id, nb)` within ≤ `level` hops, distinct,
+    * self-excluded. `level` must be 1 or 2.
+    */
+  def neighborPairs(g: PropertyGraph, level: Int,
+      maxMidDegree: Option[Long] = None): DataFrame =
+    rawNeighborPairs(g, level, maxMidDegree).distinct()
+
   /** Per-vertex neighbor set + degree with isolated-vertex backfill:
-    * `(id, count, neighbors)` for EVERY vertex of `g`.
+    * `(id, count, neighbors)` for EVERY vertex of `g`. The distinct
+    * count is `size(collect_set(...))` — one exchange of the raw pair
+    * fan-out with map-side partial sets, instead of distinct + count
+    * (two exchanges of the same rows; round-19, measured on g02).
     */
   def neighbors(g: PropertyGraph, level: Int,
       maxMidDegree: Option[Long] = None): DataFrame = {
-    val agged = neighborPairs(g, level, maxMidDegree)
+    val agged = rawNeighborPairs(g, level, maxMidDegree)
       .groupBy("id")
-      .agg(collect_set(col("nb")).as("nbs"), count(lit(1)).as("cnt"))
+      .agg(collect_set(col("nb")).as("nbs"))
+      .select(col("id"), size(col("nbs")).cast("long").as("cnt"), col("nbs"))
     g.vertices.select("id")
       .join(agged, Seq("id"), "full")
       .select(
