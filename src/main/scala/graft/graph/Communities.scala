@@ -39,7 +39,7 @@ object Communities {
       .union(e.select(col("v").as("a"), col("u").as("b")))
     val m = sym.groupBy("a").agg(min(col("b")).as("mb"))
       .select(col("a"), least(col("a"), col("mb")).as("m"))
-    sym.join(m, Seq("a"))
+    sym.join(m.hint("shuffle_hash"), Seq("a"))
       .filter(col("b") > col("a"))
       .select(col("b").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
@@ -53,7 +53,7 @@ object Communities {
     */
   private def smallStar(e: DataFrame): DataFrame = {
     val m = e.groupBy("u").agg(min(col("v")).as("m"))
-    e.join(m, Seq("u"))
+    e.join(m.hint("shuffle_hash"), Seq("u"))
       .select(explode(array(
         struct(col("v").as("x"), col("m").as("y")),
         struct(col("u").as("x"), col("m").as("y")))).as("p"))
