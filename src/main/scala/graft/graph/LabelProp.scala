@@ -45,9 +45,11 @@ object LabelProp {
     val top = Window.partitionBy(col("src"))
       .orderBy(col("n").desc, col("nlabel").asc)
     for (_ <- 1 to iters) {
+      // Hash-build the vertex-sized label side (lineage-cut inputs have
+      // no stats; the planner would sort-merge the edge side per round).
       val winners = sym
-        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")),
-          Seq("dst"))
+        .join(labels.select(col("id").as("dst"), col("label").as("nlabel"))
+          .hint("shuffle_hash"), Seq("dst"))
         .groupBy(col("src"), col("nlabel")).agg(count(lit(1)).as("n"))
         .withColumn("r", row_number().over(top))
         .filter(col("r") === 1)

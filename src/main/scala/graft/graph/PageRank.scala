@@ -54,8 +54,12 @@ object PageRank {
 
     var pr = deg.select(col("src").as("id"), lit(scale / n).as("pr"))
     for (_ <- 1 to iters) {
+      // Hash-build the vertex-sized rank side: both inputs are lineage
+      // cuts (no stats), so the planner would sort-merge the edge side
+      // every round (round-19).
       val contrib = symDeg
-        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+        .join(pr.withColumnRenamed("id", "src").hint("shuffle_hash"),
+          Seq("src"))
         .select(col("dst").as("id"),
           expr(s"(pr * $dampNum) div ($dampDen * deg)").as("c"))
       // Symmetric graph => every vertex has an in-edge; no left join
@@ -106,7 +110,8 @@ object PageRank {
     var pr = wdeg.select(col("src").as("id"), lit(scale / n).as("pr"))
     for (_ <- 1 to iters) {
       val contrib = symDeg
-        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+        .join(pr.withColumnRenamed("id", "src").hint("shuffle_hash"),
+          Seq("src"))
         .select(col("dst").as("id"),
           expr(s"(pr * $dampNum * w) div ($dampDen * wsum)").as("c"))
       pr = Lineage.cut(contrib.groupBy(col("id"))
