@@ -585,13 +585,23 @@ object Bpe {
     * constant-size task by construction.
     */
   def vocab(docs: DataFrame, merges: Seq[Merge],
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    vocabFromWords(wordFreqs(docs, textCol).select("word"), merges)
+
+  /** [[vocab]] over an already-derived distinct-word relation (shared
+    * with [[encode]]'s segmentation pass, round-19).
+    */
+  private def vocabFromWords(words: DataFrame, merges: Seq[Merge])
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = docs.sparkSession
+    val spark = words.sparkSession
     import spark.implicits._
-    val chars = wordFreqs(docs, textCol)
-      .select(explode(transform(sequence(lit(1), length(col("word"))),
-        i => col("word").substr(i, lit(1)))).as("token"))
+    val chars = words
+      // single-char grams via the native kernel (the substr composite
+      // here is the O(len^2) interpreted shape CharGrams replaced;
+      // words are already lowered by wordFreqs, so raw mode).
+      .select(explode(
+        graft.functions.CharGrams.raw(col("word"), 1)).as("token"))
       .distinct()
       .withColumn("token_id",
         (row_number().over(Window.orderBy("token")) - 1).cast("long"))
@@ -616,7 +626,12 @@ object Bpe {
   def encode(docs: DataFrame, merges: Seq[Merge],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val segs = wordStates(wordFreqs(docs, textCol).select("word"), merges)
+    // ONE distinct-word pass shared by the segmentation table and the
+    // vocab's char set (round-19: encode paid the corpus-word aggregate
+    // twice — once under wordStates, once inside vocab()).
+    val words = graft.plans.Lineage.cut(
+      wordFreqs(docs, textCol).select("word"))
+    val segs = wordStates(words, merges)
       .select(col("word"), stateSymbols(col("state")).as("syms"))
     val occ = docs
       .select(col(idCol).as("doc_id"),
@@ -626,7 +641,7 @@ object Bpe {
       .select(col("doc_id"), col("wpos"),
         posexplode(col("syms"))).toDF("doc_id", "wpos", "sidx", "token")
     val w = Window.partitionBy("doc_id").orderBy("wpos", "sidx")
-    toks.join(vocab(docs, merges, textCol), Seq("token"))
+    toks.join(vocabFromWords(words, merges), Seq("token"))
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
       .select("doc_id", "pos", "token", "token_id")
   }
