@@ -393,6 +393,15 @@ object Bench {
     val total = times.values.sum
     val jsonLine = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${jmap(times)},"min_queries":${jmap(mins)},"contended":$contended,"contention":{"confirmed":${jarr(confirmed)},"unstable":${jarr(unstable)},"over_committed":${jarr(overCommitted)},"baseline_source":"$baselineSource"},"reruns":$rr,"stability_reruns":$st,"errors":$es,"sf":"$sfDir"}"""
     emit(jsonLine)
+    // Tail-capture contract (round-19 VERDICT #2): the full artifact line
+    // above grew to ~4 KB at 127 queries and has overflowed the driver's
+    // 2000-char stdout-tail capture since round 14 (every BENCH_r*.json
+    // since carries `parsed: null`). Print a COMPACT summary line as the
+    // LAST stdout line — total/n/errors/contended fit any tail window —
+    // so a tail-parser always finds one complete JSON object. The full
+    // per-query map stays in the line above and in bench_last.json
+    // (`emit` writes it); nothing about the measurement changed.
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${times.size},"errors":${errors.size},"contended":$contended,"queries_in":"bench_last.json","sf":"$sfDir"}""")
     spark.stop()
     // Regression loudness (VERDICT round 4 #3): an erroring query must
     // fail the run, not just fill a JSON field nobody diffs. The JSON

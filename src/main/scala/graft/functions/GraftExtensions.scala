@@ -71,11 +71,13 @@ object GraftExtensions {
         if (args.length >= 3) boolLit(args(2), "lowered") else true)),
     ("word_grams",
       info("word_grams",
-        "word_grams(text, n[, lowered]) - space-joined word n-grams in " +
-          "one pass (whole-text gram when shorter than n words); " +
-          "lowered defaults true"),
+        "word_grams(text, n[, lowered[, step]]) - space-joined word " +
+          "n-grams in one pass (whole-text gram when shorter than n " +
+          "words); lowered defaults true; gram starts advance by step " +
+          "words (default 1; step = n gives non-overlapping segments)"),
       (args: Seq[Expression]) => WordGrams(args(0), intLit(args(1), "n"),
-        if (args.length >= 3) boolLit(args(2), "lowered") else true)))
+        if (args.length >= 3) boolLit(args(2), "lowered") else true,
+        if (args.length >= 4) intLit(args(3), "step") else 1)))
 
   /** Register into an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -40,14 +40,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[CharGrams]]: standard `UnaryExpression` null propagation (NULL in,
   * NULL out), zero rows under the `posexplode` call sites either way.
   *
+  * `step` (round 20) generalizes the start positions to every `step`-th
+  * word — `step = 1` (default) is the overlapping-gram family above;
+  * `step = n` yields the NON-OVERLAPPING ceil(w/n) segmentation of
+  * [[graft.pipeline.Dedup.segmentDedup]] (the last segment may be
+  * shorter), value-identical to ITS composite
+  *
+  *   transform(sequence(0, ceil(w/n) - 1),
+  *             i ⇒ concat_ws(" ", slice(toks, i*n + 1, n)))
+  *
+  * which was the same interpreted HOF cost the span family paid before
+  * round 19.
+  *
   * Space detection scans BYTES for 0x20, which is exact in UTF-8 (0x20
   * never occurs inside a multi-byte sequence), and lowering happens
   * inside the kernel before the scan (case mapping never adds or
   * removes U+0020), so positions equal the composite's.
   */
-case class WordGrams(child: Expression, n: Int, lowered: Boolean = true)
+case class WordGrams(child: Expression, n: Int, lowered: Boolean = true,
+    step: Int = 1)
     extends UnaryExpression with ImplicitCastInputTypes {
   require(n >= 1, s"n must be >= 1, got $n")
+  require(step >= 1, s"step must be >= 1, got $step")
 
   override def inputTypes: Seq[Shim.AbstractType] = Seq(StringType)
   override def dataType: DataType =
@@ -55,11 +69,11 @@ case class WordGrams(child: Expression, n: Int, lowered: Boolean = true)
   override def prettyName: String = "word_grams"
 
   override protected def nullSafeEval(input: Any): Any =
-    WordGrams.compute(input.asInstanceOf[UTF8String], n, lowered)
+    WordGrams.compute(input.asInstanceOf[UTF8String], n, lowered, step)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.WordGrams.compute($c, $n, $lowered)")
+      c => s"graft.functions.WordGrams.compute($c, $n, $lowered, $step)")
 
   override protected def withNewChildInternal(newChild: Expression): WordGrams =
     copy(child = newChild)
@@ -69,8 +83,13 @@ object WordGrams {
 
   /** Runtime kernel — static so generated code can call it directly.
     * One pass to record space positions, one byte-range slice per gram.
+    * Gram `g` covers words `[g·step, min(g·step + n, w))`; the gram
+    * count `max(ceil((w - n) / step) + 1, 1)` reduces to `w - n + 1`
+    * for `step = 1` and to `ceil(w / n)` for `step = n` — exactly the
+    * two composites in the class doc.
     */
-  def compute(text: UTF8String, n: Int, lowered: Boolean): ArrayData = {
+  def compute(text: UTF8String, n: Int, lowered: Boolean,
+      step: Int): ArrayData = {
     val prepared = if (lowered) text.toLowerCase else text
     val bytes = prepared.getBytes
     var spaces = 0
@@ -91,17 +110,22 @@ object WordGrams {
       i += 1
     }
     starts(w) = bytes.length + 1
-    val numGrams = math.max(w - n + 1, 1)
+    val numGrams = math.max((w - n + step - 1) / step + 1, 1)
     val out = new Array[Any](numGrams)
     var g = 0
     while (g < numGrams) {
-      val endWord = math.min(g + n, w) // exclusive; clamps short texts
-      val from = starts(g)
+      val startWord = g * step
+      val endWord = math.min(startWord + n, w) // exclusive; clamps short texts
+      val from = starts(startWord)
       out(g) = UTF8String.fromBytes(bytes, from, starts(endWord) - 1 - from)
       g += 1
     }
     new GenericArrayData(out)
   }
+
+  /** Binary-compatibility overload (pre-round-20 generated code). */
+  def compute(text: UTF8String, n: Int, lowered: Boolean): ArrayData =
+    compute(text, n, lowered, 1)
 
   /** Column API: word `n`-grams of `lower(text)`, one gram per start
     * position (whole-text gram for texts shorter than `n` words).
@@ -114,4 +138,13 @@ object WordGrams {
   def raw(text: org.apache.spark.sql.Column, n: Int)
       : org.apache.spark.sql.Column =
     Shim.column(WordGrams(Shim.expression(text), n, lowered = false))
+
+  /** Column API: the non-overlapping `segWords`-word segmentation of
+    * `text` (case-preserving; `n = step = segWords`) — the
+    * [[graft.pipeline.Dedup.segmentDedup]] kernel.
+    */
+  def segments(text: org.apache.spark.sql.Column, segWords: Int)
+      : org.apache.spark.sql.Column =
+    Shim.column(WordGrams(Shim.expression(text), segWords,
+      lowered = false, step = segWords))
 }

@@ -111,25 +111,49 @@ object Betweenness {
   /** [[walkSeeds]]/[[extendWalks]] twins for the shortest-path chain:
     * a walk is FULLY determined by its endpoints plus intermediate
     * sequence, so these carry the zero-padded tie-break KEY STRING
-    * (",<19-digit mid>" per hop — all comparisons stay element-wise
+    * (",<width-digit mid>" per hop — all comparisons stay element-wise
     * numeric order, every group's keys share one shape) instead of an
     * edge-struct path array: every expression in the extension and the
     * survivor aggregate is a scalar builtin (concat/lpad/min), nothing
     * drops out of whole-stage codegen or the hash-aggregate path, and
-    * the shuffles move one string per walk. The path array is parsed
-    * back out of the winning key once per surviving pair
-    * ([[pathFromKey]]).
+    * the shuffles move one string per walk. The pad width is the DIGIT
+    * COUNT OF THE LARGEST VERTEX ID (round 20; was a fixed 19): any
+    * fixed width ≥ that yields the identical element-wise numeric order
+    * and hence the identical winner, while the candidate relation — the
+    * chain's biggest shuffle — and every min() comparison shrink ~3x
+    * (7-digit ids: 8 vs 20 bytes per hop). One scalar action derives
+    * the width; non-negative ids are asserted (a negative id's "-"
+    * would not zero-pad into numeric order — the old fixed width
+    * silently mis-ordered them too). The path array is parsed back out
+    * of the winning key once per surviving pair ([[pathFromKey]]).
     */
   private def keyedSeeds(adj: DataFrame): DataFrame =
     adj.select(col("src").as("a"), col("dst").as("z"),
       lit("").as("pathkey"))
 
-  private def extendKeyed(p: DataFrame, midAdj: DataFrame): DataFrame =
+  private def extendKeyed(p: DataFrame, midAdj: DataFrame,
+      width: Int): DataFrame =
     p.select(col("a"), col("z").as("mid"), col("pathkey"))
       .join(midAdj.select(col("src").as("mid"), col("dst").as("z")), Seq("mid"))
       .select(col("a"), col("z"),
         concat(col("pathkey"), lit(","),
-          lpad(col("mid").cast("string"), 19, "0")).as("pathkey"))
+          lpad(col("mid").cast("string"), width, "0")).as("pathkey"))
+
+  /** Digits of the largest vertex id — the minimal zero-pad width that
+    * keeps concatenated-key order equal to element-wise numeric order.
+    * One 1-row action on the (cached) adjacency.
+    */
+  private def keyWidth(adj: DataFrame): Int = {
+    val r = adj.agg(max(greatest(col("src"), col("dst"))),
+      min(least(col("src"), col("dst")))).head
+    if (r.isNullAt(0)) 1 // empty graph: no walks, any width works
+    else {
+      require(r.getLong(1) >= 0L,
+        s"betweenness tie-break needs non-negative vertex ids, " +
+          s"found ${r.getLong(1)}")
+      math.max(r.getLong(0).toString.length, 1)
+    }
+  }
 
   /** The `array<struct<src,dst>>` edge path of the walk
     * `a → mids… → z`, reconstructed from the vertex sequence as a
@@ -187,7 +211,11 @@ object Betweenness {
     * pair) — exposed for the IterScaleBench cost decomposition.
     */
   private[graft] def shortestPathCandidates(g: PropertyGraph, maxLen: Int,
-      maxMidDegree: Option[Long] = None): DataFrame = {
+      maxMidDegree: Option[Long] = None): DataFrame =
+    shortestPathCandidates(g, maxLen, maxMidDegree, keyWidth(g.adjacency))
+
+  private def shortestPathCandidates(g: PropertyGraph, maxLen: Int,
+      maxMidDegree: Option[Long], width: Int): DataFrame = {
     val adj = g.adjacency
     // The distance relation is consumed by maxLen-1 semi-joins and is
     // itself an iterated-join plan — but do NOT Lineage.cut it:
@@ -201,7 +229,7 @@ object Betweenness {
     var level = keyedSeeds(adj).filter(col("a") =!= col("z"))
     var candidates = level
     for (d <- 2 to maxLen) {
-      level = extendKeyed(level, midAdj)
+      level = extendKeyed(level, midAdj, width)
         .join(dist.filter(col("distance") === d).select("a", "z"),
           Seq("a", "z"), "left_semi")
       // Level d feeds both the candidate union and level d+1's
@@ -215,7 +243,8 @@ object Betweenness {
 
   def shortestPaths(g: PropertyGraph, maxLen: Int,
       maxMidDegree: Option[Long] = None): DataFrame = {
-    val candidates = shortestPathCandidates(g, maxLen, maxMidDegree)
+    val width = keyWidth(g.adjacency)
+    val candidates = shortestPathCandidates(g, maxLen, maxMidDegree, width)
     // Deterministic survivor: lexicographically smallest intermediate
     // sequence (zero-padded so string order == numeric order; within
     // a group every candidate has the same length — the pair's
@@ -226,7 +255,8 @@ object Betweenness {
     candidates.groupBy("a", "z")
       .agg(min(col("pathkey")).as("pathkey"))
       .select(col("a"), col("z"),
-        pathFromKey(col("a"), col("pathkey"), col("z"), maxLen).as("path"))
+        pathFromKey(col("a"), col("pathkey"), col("z"), maxLen, width)
+          .as("path"))
   }
 
   /** Parse the winning tie-break key back into the edge-struct path —
@@ -237,17 +267,18 @@ object Betweenness {
     */
   private def pathFromKey(a: org.apache.spark.sql.Column,
       key: org.apache.spark.sql.Column,
-      z: org.apache.spark.sql.Column, maxLen: Int)
+      z: org.apache.spark.sql.Column, maxLen: Int, width: Int)
       : org.apache.spark.sql.Column = {
-    def mid(i: Int) = substring(key, 20 * i + 2, 19).cast("bigint")
+    // Each hop's key chunk is "," + `width` digits = width + 1 chars.
+    val chunk = width + 1
+    def mid(i: Int) = substring(key, chunk * i + 2, width).cast("bigint")
     def arm(k: Int): org.apache.spark.sql.Column = {
       val verts = (a +: (0 until k).map(mid)) :+ z
       array(verts.sliding(2).map(p =>
         struct(p(0).as("src"), p(1).as("dst"))).toSeq: _*)
     }
-    // Each hop's key chunk is "," + 19 digits = 20 chars.
     (0 until maxLen - 1).foldRight(arm(maxLen - 1)) { (k, rest) =>
-      when(length(key) === 20 * k, arm(k)).otherwise(rest)
+      when(length(key) === chunk * k, arm(k)).otherwise(rest)
     }
   }
 

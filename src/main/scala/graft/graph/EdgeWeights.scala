@@ -54,14 +54,17 @@ object EdgeWeights {
     *   j_3 = {(e, s, d, sim) : s ∈ CN(e) ∧ d ∈ CN(e)}, then the weight is
     *   computed over DISTINCT sim VALUES per edge.
     *
-    * Two consequences exploited here:
-    *   1. "d ∈ CN(e)" is a membership test — a LEFT SEMI join of the
-    *      src-side attachment against the (edge, cn) table. The
-    *      reference's second 28M-row attachment build + 5-key sort-merge
-    *      join (measured ~3x this whole stage at sf0.1) only re-derives
-    *      that membership with multiplicity the final dedup throws away.
-    *   2. "distinct values then count" folds into countDistinct, removing
-    *      the separate dedup shuffle.
+    * Two consequences exploited here (round 19):
+    *   1. "d ∈ CN(e)" is an IN-ROW membership test: the exploded posting
+    *      carries the edge's own `common_neighbors` array, so the second
+    *      endpoint's membership is an `array_contains` filter inside the
+    *      ONE attachment join — no second attachment build, no 3-key
+    *      semi-join (the pre-round-19 semi-join sorted the full 32.4M-row
+    *      attachment, ~13 s of the 13.9 s stage at sf0.1).
+    *   2. "distinct values then count" is an EXPLICIT `(edge, value)`
+    *      pre-dedup followed by two plain map-side-combinable counts —
+    *      not a countDistinct pair, whose Expand plan doubled rows and
+    *      was the 100x stress's spill hot spot (see the inline note).
     *
     * Per-edge fan-out is bounded by |CN| × degree(cn); every join is a
     * hash-partitionable equi-join, so the plan scales out like any

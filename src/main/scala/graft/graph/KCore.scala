@@ -40,8 +40,24 @@ import graft.plans.Lineage
   *     IS the answer — degree within the surviving subgraph — so there
   *     is no final recompute pass at all.
   *
-  * 100 TB design: the frontier is broadcast only while it is small
-  * (`BroadcastFrontierMax`); a larger frontier falls back to one
+  * 100 TB design: EVERY broadcast in the delta round is row-bounded
+  * before it ships (round-20 fix of the round-19 ADVICE hazard — the
+  * old guard capped only the frontier's own rows, while `loss` and the
+  * compaction's removed-id relation could approach the vertex set):
+  *
+  *   - `broadcast(frontier)` ships `frontierRows` ids;
+  *   - `broadcast(loss)` is bounded WITHOUT counting it: every loss id
+  *     is either a SURVIVING neighbor of a frontier vertex — and a
+  *     frontier vertex has < k surviving neighbors BY DEFINITION of the
+  *     frontier (`deg_in_core < k`), so at most (k−1)·frontierRows rows
+  *     — or an already-removed, not-yet-compacted vertex, at most
+  *     `removedBufRows` rows (both driver-known scalars);
+  *   - the compaction's `broadcast(rem)` ships exactly `removedBufRows`
+  *     ids, and switches to a plain (planner-chosen) join above the
+  *     budget.
+  *
+  * A round whose worst-case broadcast volume `k·frontierRows +
+  * removedBufRows` exceeds `BroadcastFrontierMax` falls back to one
   * full-recompute round of the old shape (key-partitioned aggregate +
   * two hash semi-joins), which simultaneously re-derives exact degrees
   * — so the adaptive loop never ships an unbounded broadcast. Driver
@@ -51,12 +67,24 @@ import graft.plans.Lineage
   */
 object KCore {
 
-  /** Frontier rows above which a delta round falls back to one
-    * full-recompute round instead of broadcasting the frontier (8-byte
-    * ids; 4M ids ≈ 32 MB broadcast — comfortably under executor
-    * budgets while covering any realistic cascade).
+  /** Broadcast-row budget for one delta round — frontier ids PLUS the
+    * worst-case loss/compaction relations (see the object doc's bound);
+    * above it the round falls back to full recompute (8-byte ids; 4M
+    * rows ≈ 32 MB broadcast — comfortably under executor budgets while
+    * covering any realistic cascade).
     */
   val BroadcastFrontierMax: Long = 4L << 20
+
+  /** True when one delta round's TOTAL worst-case broadcast rows —
+    * `k·frontierRows + removedBufRows` (frontier ids + the loss bound
+    * of (k−1)·frontierRows survivors and `removedBufRows` uncompacted
+    * removed ids) — fit the budget. Division form avoids overflow for
+    * any `k`/row-count combination.
+    */
+  private[graph] def deltaBroadcastBudgetOk(frontierRows: Long, k: Int,
+      removedBufRows: Long): Boolean =
+    removedBufRows <= BroadcastFrontierMax &&
+      frontierRows <= (BroadcastFrontierMax - removedBufRows) / k
 
   /** Rows per partition for the iterated relations — the loop scans
     * the standing deg/sym checkpoints several times per round, so
@@ -115,7 +143,7 @@ object KCore {
     var rounds = 0
     while (frontierRows > 0L && rounds < maxRounds) {
       val frontier = deg.filter(col("deg_in_core") < k).select("id")
-      if (frontierRows <= BroadcastFrontierMax) {
+      if (deltaBroadcastBudgetOk(frontierRows, k, removedBufRows)) {
         // Delta round: every join side that moves is frontier-sized.
         val dead = sym.join(broadcast(frontier).withColumnRenamed("id", "src"),
           Seq("src"), "left_semi")
@@ -133,10 +161,15 @@ object KCore {
         // Amortized compaction keeps the per-round sym scan shrinking.
         if (removedBufRows > math.max(1024L, (survivors - frontierRows) / 4)) {
           val rem = Lineage.cut(removedBuf.get)
+          // Budget-checked broadcast: `removedBufRows` is driver-known
+          // exactly; above the budget the cut's MEASURED stats let the
+          // planner pick the join (never an unbounded broadcast).
+          val remB = if (removedBufRows <= BroadcastFrontierMax)
+            broadcast(rem) else rem
           sym = Lineage.cut(
-            sym.join(broadcast(rem).withColumnRenamed("id", "src"),
+            sym.join(remB.withColumnRenamed("id", "src"),
                 Seq("src"), "left_anti")
-              .join(broadcast(rem).withColumnRenamed("id", "dst"),
+              .join(remB.withColumnRenamed("id", "dst"),
                 Seq("dst"), "left_anti")
               .coalesce(partsFor(symRows)))
           symRows = sym.count()

@@ -42,23 +42,28 @@ object LabelProp {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
     var labels = vertices.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iters) labels = Lineage.cut(oneRound(sym, labels))
+    labels
+  }
+
+  /** One synchronous propagation round (pre-cut) — factored so the
+    * loop-plan evidence tool can explain the per-iteration join
+    * directly. The label side is a lineage cut carrying its MEASURED
+    * size (round 20), so the planner hash-builds or broadcasts the
+    * vertex-sized side itself — round-19's SHUFFLE_HASH hint retired.
+    */
+  private[graft] def oneRound(sym: DataFrame, labels: DataFrame): DataFrame = {
     val top = Window.partitionBy(col("src"))
       .orderBy(col("n").desc, col("nlabel").asc)
-    for (_ <- 1 to iters) {
-      // Hash-build the vertex-sized label side (lineage-cut inputs have
-      // no stats; the planner would sort-merge the edge side per round).
-      val winners = sym
-        .join(labels.select(col("id").as("dst"), col("label").as("nlabel"))
-          .hint("shuffle_hash"), Seq("dst"))
-        .groupBy(col("src"), col("nlabel")).agg(count(lit(1)).as("n"))
-        .withColumn("r", row_number().over(top))
-        .filter(col("r") === 1)
-        .select(col("src").as("id"), col("nlabel").as("new_label"))
-      labels = Lineage.cut(
-        labels.join(winners, Seq("id"), "left")
-          .select(col("id"),
-            coalesce(col("new_label"), col("label")).as("label")))
-    }
-    labels
+    val winners = sym
+      .join(labels.select(col("id").as("dst"), col("label").as("nlabel")),
+        Seq("dst"))
+      .groupBy(col("src"), col("nlabel")).agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(top))
+      .filter(col("r") === 1)
+      .select(col("src").as("id"), col("nlabel").as("new_label"))
+    labels.join(winners, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("new_label"), col("label")).as("label"))
   }
 }

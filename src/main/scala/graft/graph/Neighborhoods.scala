@@ -26,9 +26,6 @@ import org.apache.spark.sql.functions._
   */
 object Neighborhoods {
 
-  /** Neighbor pairs `(id, nb)` within ≤ `level` hops, distinct,
-    * self-excluded. `level` must be 1 or 2.
-    */
   /** Neighbor pairs within ≤ `level` hops, self-excluded, WITH
     * duplicates (a level-2 neighbor reachable through several mids
     * appears once per route). The `neighbors` aggregate dedups inside

@@ -53,22 +53,28 @@ object PageRank {
     val base = scale * (dampDen - dampNum) / (dampDen * n)
 
     var pr = deg.select(col("src").as("id"), lit(scale / n).as("pr"))
-    for (_ <- 1 to iters) {
-      // Hash-build the vertex-sized rank side: both inputs are lineage
-      // cuts (no stats), so the planner would sort-merge the edge side
-      // every round (round-19).
-      val contrib = symDeg
-        .join(pr.withColumnRenamed("id", "src").hint("shuffle_hash"),
-          Seq("src"))
-        .select(col("dst").as("id"),
-          expr(s"(pr * $dampNum) div ($dampDen * deg)").as("c"))
-      // Symmetric graph => every vertex has an in-edge; no left join
-      // against the vertex set is needed to keep isolated rows.
-      pr = Lineage.cut(contrib.groupBy(col("id"))
-        .agg((sum(col("c")) + base).as("pr")))
-    }
+    for (_ <- 1 to iters) pr = Lineage.cut(oneRound(symDeg, pr, base,
+      dampNum, dampDen))
     pr.select(col("id"), col("pr").as("pr_fp"))
   }
+
+  /** One synchronous rank round (pre-cut) — factored so the loop-plan
+    * evidence tool can explain the per-iteration join directly.
+    * The rank side is a lineage cut carrying its MEASURED size
+    * (round 20), so the planner hash-builds or broadcasts the
+    * vertex-sized side itself — the round-19 SHUFFLE_HASH hint is
+    * retired (plan checked: no per-round sort of the edge side).
+    * Symmetric graph => every vertex has an in-edge; no left join
+    * against the vertex set is needed to keep isolated rows.
+    */
+  private[graft] def oneRound(symDeg: DataFrame, pr: DataFrame, base: Long,
+      dampNum: Long, dampDen: Long): DataFrame =
+    symDeg
+      .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+      .select(col("dst").as("id"),
+        expr(s"(pr * $dampNum) div ($dampDen * deg)").as("c"))
+      .groupBy(col("id"))
+      .agg((sum(col("c")) + base).as("pr"))
 
   /** Weighted variant: transition mass from `u` splits proportionally
     * to integer edge weights `w` (contribution = `pr·d·w div (W_u)`
@@ -109,9 +115,9 @@ object PageRank {
 
     var pr = wdeg.select(col("src").as("id"), lit(scale / n).as("pr"))
     for (_ <- 1 to iters) {
+      // Measured-stats cut on the rank side (see run()): hint retired.
       val contrib = symDeg
-        .join(pr.withColumnRenamed("id", "src").hint("shuffle_hash"),
-          Seq("src"))
+        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"),
           expr(s"(pr * $dampNum * w) div ($dampDen * wsum)").as("c"))
       pr = Lineage.cut(contrib.groupBy(col("id"))

@@ -380,10 +380,17 @@ object Curation {
     *
     * Output: `(doc_id, n_tokens, score_micro, per_tok_micro, selected)`.
     *
-    * Scale: the weight table is exactly `buckets` rows — broadcast; the
-    * bucket histogram is a map-side-combinable agg on an 8-byte key; the
-    * per-doc score re-aggregates the same exploded pass. Two shuffles
-    * total, both on small keys; corpus text never shuffles.
+    * Scale: ONE tokenize+hash pass (round 20 — the weight build and the
+    * per-doc score used to each re-run the explode+hash over the full
+    * token stream, 2x the dominant stage): the pass collapses to a
+    * `(doc_id, b) → cnt` histogram behind a lineage cut, bounded by
+    * docs × min(tokens, buckets) rows — far below the token stream.
+    * The bucket totals are a re-aggregate of the histogram
+    * (`Σ cnt` per bucket ≡ the token-grain count, exactly), the weight
+    * table is exactly `buckets` rows — broadcast — and the per-doc
+    * score is `Σ cnt·w_micro` ≡ the per-token sum in the same exact
+    * integer arithmetic. Two small-key shuffles; corpus text never
+    * shuffles.
     */
   def importanceWeights(docs: DataFrame, isTarget: Column,
       buckets: Int = 1024,
@@ -391,11 +398,14 @@ object Curation {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val toks = docs.select(col("doc_id"), isTarget.as("tgt"),
       explode(TextAnalysis.tokens(col("text"))).as("w"))
-    val bucketed = toks.select(col("doc_id"), col("tgt"),
-      (mode(col("w")) % buckets).as("b"))
-    val counts = bucketed.groupBy("b").agg(
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("tgt_n"),
-      sum(when(!col("tgt"), 1L).otherwise(0L)).as("raw_n"))
+    // `tgt` is a function of doc_id, so carrying it in the grouping key
+    // adds no groups.
+    val hist = graft.plans.Lineage.cut(
+      toks.select(col("doc_id"), col("tgt"), (mode(col("w")) % buckets).as("b"))
+        .groupBy("doc_id", "tgt", "b").agg(count(lit(1)).as("cnt")))
+    val counts = hist.groupBy("b").agg(
+      sum(when(col("tgt"), col("cnt")).otherwise(0L)).as("tgt_n"),
+      sum(when(!col("tgt"), col("cnt")).otherwise(0L)).as("raw_n"))
     val weights = counts.select(col("b"),
       expr("(1000000 * (tgt_n + 1)) div (raw_n + 1)").as("w_micro"))
     // Selection cut: a doc is selected when its mean per-token weight
@@ -405,9 +415,10 @@ object Curation {
     val globalCut = counts.agg(
         expr("(1000000 * (sum(tgt_n) + 1)) div (sum(raw_n) + 1)")
           .as("cut_micro"))
-    bucketed.join(broadcast(weights), Seq("b"))
+    hist.join(broadcast(weights), Seq("b"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum(col("w_micro")).as("score_micro"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("w_micro") * col("cnt")).as("score_micro"))
       .crossJoin(broadcast(globalCut))
       .select(col("doc_id"), col("n_tokens"), col("score_micro"),
         expr("score_micro div n_tokens").as("per_tok_micro"),

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.plans.logical.Statistics
 import org.apache.spark.sql.classic.{Dataset => ClassicDataset}
 import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.graftshim.Shim
@@ -20,12 +21,22 @@ import org.apache.spark.sql.graftshim.Shim
   * `sizeInBytes` doubles every checkpointed join iteration.
   *
   * [[cut]] therefore re-wraps the checkpointed RDD in a fresh
-  * `LogicalRDD` WITHOUT origin stats: planning sees an unknown-size leaf
-  * (`spark.sql.defaultSizeInBytes`), exactly like a plain RDD scan —
-  * constant-cost planning at every iteration. Joins against a cut table
-  * won't auto-broadcast (unknown size reads as huge), which is the safe
-  * default for loop state; broadcast the other side explicitly where
-  * wanted.
+  * `LogicalRDD` WITHOUT the origin plan's propagated stats — but (round
+  * 20, VERDICT r19 #4) WITH a MEASURED size: the checkpoint blocks are
+  * already materialized when `cut` returns, so their actual byte size
+  * (block-store memSize + diskSize) is known exactly and is re-planted
+  * as the leaf's `sizeInBytes`. That keeps the double-exponential
+  * compounding impossible — every cut's stat is a fresh CONSTANT read
+  * off the block store, never a product of upstream estimates — while
+  * letting the planner pick hash/broadcast joins on genuinely small cut
+  * relations by itself. Round 19 had papered over the stat-less
+  * sort-merge default with per-site SHUFFLE_HASH hints (g08/g10/g11/
+  * g15); with measured stats those hints are retired. The measured
+  * (deserialized) block size OVERSTATES the serialized size, so
+  * broadcast decisions err conservative. If the storage info is
+  * unavailable for any reason the leaf falls back to the old
+  * unknown-size behavior (`spark.sql.defaultSizeInBytes`, reads as
+  * huge — joins against it sort-merge, the safe default).
   */
 object Lineage {
 
@@ -43,7 +54,20 @@ object Lineage {
       case _ => ()
     }
 
-  /** `localCheckpoint` + drop origin statistics/constraints. */
+  /** The freshly materialized checkpoint blocks' measured byte size as
+    * planner statistics — `None` when the block store has no record
+    * (callers then keep the unknown-size default). `max(1)`: an empty
+    * relation must read as tiny, not as "no information".
+    */
+  private def measuredStats(spark: org.apache.spark.sql.SparkSession,
+      rddId: Int): Option[Statistics] =
+    try spark.sparkContext.getRDDStorageInfo.find(_.id == rddId).map { i =>
+      Statistics(sizeInBytes = BigInt(math.max(i.memSize + i.diskSize, 1L)))
+    } catch { case _: Exception => None }
+
+  /** `localCheckpoint` + replace origin statistics/constraints with the
+    * measured size of the materialized blocks (see object doc).
+    */
   def cut(df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint().asInstanceOf[ClassicDataset[Row]]
     val spark = ck.sparkSession
@@ -53,7 +77,8 @@ object Lineage {
       // physical partitioning.
       case lr: LogicalRDD =>
         LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
-          lr.outputOrdering, lr.isStreaming, None)(spark, None, None)
+          lr.outputOrdering, lr.isStreaming, None)(spark,
+          measuredStats(spark, lr.rdd.id), None)
       case other => // defensive: wrap whatever the checkpoint produced
         LogicalRDD(other.output, ck.queryExecution.toRdd)(spark, None, None)
     }

@@ -63,6 +63,53 @@ class WordGramsSpec extends SparkSpec {
     }
   }
 
+  /** The step = n (non-overlapping segmentation) composite of
+    * [[graft.pipeline.Dedup.segmentDedup]]: ceil(w/n) segments, segment
+    * i = words [i·n, i·n + n), last one possibly shorter.
+    */
+  private def segHof(tx: org.apache.spark.sql.Column, n: Int) = {
+    val toks = split(tx, " ")
+    val nSegs = ceil(size(toks).cast("double") / n).cast("long")
+    transform(sequence(lit(0L), nSegs - 1),
+      i => concat_ws(" ", slice(toks, (i * n + 1).cast("int"), lit(n))))
+  }
+
+  test("segments (step = n) equals the segmentDedup slice composite") {
+    import spark.implicits._
+    val docs = (nasty ++ sampled(87L, 80)).toDF("text")
+    for (n <- Seq(1, 2, 3, 8)) {
+      val diff = docs.select(col("text"),
+          WordGrams.segments(col("text"), n).as("expr"),
+          segHof(col("text"), n).as("hof"))
+        .filter(not(col("expr") === col("hof")))
+        .collect()
+      assert(diff.isEmpty, s"n=$n mismatches: ${diff.take(3).mkString("; ")}")
+    }
+  }
+
+  test("general step: starts advance by step, end clamps, >=1 gram always") {
+    import spark.implicits._
+    val docs = (nasty ++ sampled(99L, 40)).toDF("text")
+    // step=2, n=3 over w words: grams at 0,2,4,... — mirror with a HOF.
+    def stepHof(tx: org.apache.spark.sql.Column, n: Int, st: Int) = {
+      val toks = split(tx, " ")
+      val numG = greatest(
+        floor((size(toks) - n + (st - 1)).cast("double") / st).cast("long") + 1L,
+        lit(1L))
+      transform(sequence(lit(0L), numG - 1),
+        i => concat_ws(" ", slice(toks, (i * st + 1).cast("int"), lit(n))))
+    }
+    import org.apache.spark.sql.graftshim.Shim
+    val stepped = Shim.column(
+      WordGrams(Shim.expression(col("text")), 3, lowered = false, step = 2))
+    val diff = docs.select(col("text"),
+        stepped.as("expr"),
+        stepHof(col("text"), 3, 2).as("hof"))
+      .filter(not(col("expr") === col("hof")))
+      .collect()
+    assert(diff.isEmpty, s"mismatches: ${diff.take(3).mkString("; ")}")
+  }
+
   test("NULL text yields NULL (CharGrams convention; zero rows under posexplode)") {
     import spark.implicits._
     val docs = Seq[Option[String]](None, Some("a b")).toDF("text")
@@ -76,9 +123,11 @@ class WordGramsSpec extends SparkSpec {
     import spark.implicits._
     Seq("A b c").toDF("text").createOrReplaceTempView("wg_t")
     val rows = spark.sql(
-      "SELECT word_grams(text, 2) AS g, word_grams(text, 2, false) AS r FROM wg_t")
+      "SELECT word_grams(text, 2) AS g, word_grams(text, 2, false) AS r, " +
+        "word_grams(text, 2, false, 2) AS s FROM wg_t")
       .collect()
     assert(rows.head.getSeq[String](0) == Seq("a b", "b c"))
     assert(rows.head.getSeq[String](1) == Seq("A b", "b c"))
+    assert(rows.head.getSeq[String](2) == Seq("A b", "c"))
   }
 }

@@ -53,6 +53,25 @@ class KCoreSpec extends SparkSpec {
     assert(coreMap(messy, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("kcore: delta-round broadcast budget covers frontier + loss + removed buffer") {
+    val max = KCore.BroadcastFrontierMax
+    // The round's worst-case broadcast rows are k*frontier + removedBuf
+    // (loss ids ≤ (k-1)*frontier surviving neighbors + removedBuf
+    // uncompacted removed ids; see the object doc).
+    assert(KCore.deltaBroadcastBudgetOk(1000L, 3, 0L))
+    assert(KCore.deltaBroadcastBudgetOk(max / 3, 3, 0L))
+    assert(!KCore.deltaBroadcastBudgetOk(max / 3 + 1, 3, 0L))
+    // A large uncompacted removed buffer shrinks the frontier budget...
+    assert(!KCore.deltaBroadcastBudgetOk(max / 3, 3, max / 2))
+    assert(KCore.deltaBroadcastBudgetOk((max / 2) / 3, 3, max / 2))
+    // ...and alone can exceed it (the round-19 ADVICE hazard).
+    assert(!KCore.deltaBroadcastBudgetOk(0L, 3, max + 1))
+    // k=1: frontier vertices have 0 surviving neighbors; budget is the
+    // frontier itself plus the buffer. No overflow at any magnitude.
+    assert(KCore.deltaBroadcastBudgetOk(max, 1, 0L))
+    assert(!KCore.deltaBroadcastBudgetOk(Long.MaxValue, 1000000, 0L))
+  }
+
   test("kcore: differential vs sequential peeling; core(k+1) within core(k)") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
